@@ -1,0 +1,188 @@
+"""The functional bank — Spark execution of the cFunctionals component.
+
+Reference: cFunctionals maps each element's window to nFunctValues summary
+statistics via registered cFunctional* sub-components
+(/root/reference/src/functionals/functionals.cpp:320-390; dispatch :368-380;
+output naming `<input>_<functional>` :229-266). Two physical strategies here,
+mirroring how cFunctionals shares one min/max/mean/sort pre-pass across all
+sub-components (:349-365):
+
+1. `functionals_kernel` — groupBy(keys).applyInPandas with ONE vectorized
+   numpy kernel computing every enabled family for every value column per
+   group (Arrow-batched; the shared pre-pass lives inside kernels.compute_all,
+   since Catalyst cannot CSE across a UDF boundary — SURVEY.md §4).
+2. `functionals_sql` — pure built-in aggregate expressions for the families
+   that are single-pass aggregates (means/moments/extremes/percentiles/
+   regression closed forms). Zero Python, map-side partial aggregation,
+   whole-stage codegen — the fast path at 100 TB.
+
+Both emit identical column names so they are interchangeable and
+cross-checkable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from opensmile_spark.functionals.kernels import compute_all
+
+DEFAULT_FAMILIES = [
+    "means", "moments", "extremes", "percentiles", "regression",
+    "crossings", "times", "onset", "segments", "peaks2",
+]
+
+
+def feature_names(value_cols, families=None, options=None) -> list[str]:
+    """Static output names (<input>_<functional>, functionals.cpp:236-241)."""
+    probe = compute_all(np.arange(1.0, 9.0), families or DEFAULT_FAMILIES,
+                        options)
+    return [f"{c}_{k}" for c in value_cols for k in probe]
+
+
+def functionals_kernel(
+    df: DataFrame,
+    value_cols: list[str],
+    group_cols=("conv_id",),
+    order_col: str = "turn_idx",
+    families: list[str] | None = None,
+    options: dict | None = None,
+) -> DataFrame:
+    """One output row per group; columns <value>_<functional>."""
+    families = families or DEFAULT_FAMILIES
+    group_cols = list(group_cols)
+    feats = feature_names(value_cols, families, options)
+
+    key_schema = ", ".join(
+        f"`{c}` {df.schema[c].dataType.simpleString()}" for c in group_cols
+    )
+    schema = key_schema + ", n_turns long, " + ", ".join(
+        f"`{n}` double" for n in feats
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        row = {c: pdf[c].iloc[0] for c in group_cols}
+        row["n_turns"] = len(pdf)
+        for c in value_cols:
+            x = pdf[c].to_numpy(dtype=np.float64)
+            out = compute_all(x, families, options)
+            for k, v in out.items():
+                row[f"{c}_{k}"] = v
+        return pd.DataFrame([row])
+
+    proj = df.select(*group_cols, order_col, *value_cols)
+    return proj.groupBy(*group_cols).applyInPandas(kernel, schema=schema)
+
+
+def functionals_sql(
+    df: DataFrame,
+    value_cols: list[str],
+    group_cols=("conv_id",),
+    order_col: str = "turn_idx",
+    percentiles=(0.20, 0.50, 0.80),
+) -> DataFrame:
+    """SQL-native fast path: single groupBy with built-in aggregates.
+
+    Covers the single-pass families with the exact reference formulas:
+      means   (functionalMeans.cpp:117-264): amean absmean qmean rqmean
+              nzamean nzabsmean nzqmean nnz
+      moments (functionalMoments.cpp:95-166): variance stddev skewness
+              kurtosis stddevNorm  (population moments, guards replicated)
+      extremes(functionalExtremes.cpp:93-137): max min range maxameandist
+              minameandist
+      percentiles (functionalPercentiles.cpp:297-315, interp=1): exact
+              linear-interpolated — Spark `percentile` (exact), NOT
+              percentile_approx
+      regression (functionalRegression.cpp:219-240): linregc1/c2 closed form
+              over the 0..N-1 index axis.
+
+    All map-side combinable except `percentile` (which buffers per group) —
+    still no Python, no extra shuffle beyond the groupBy.
+    """
+    group_cols = list(group_cols)
+    w = Window.partitionBy(*group_cols).orderBy(order_col)
+    proj = df.select(
+        *group_cols,
+        *value_cols,
+        (F.row_number().over(w) - 1).cast("double").alias("__i"),
+    )
+
+    aggs = [F.count("*").cast("long").alias("n_turns")]
+    for c in value_cols:
+        x = F.col(c)
+        n = F.count(x)
+        nd = n.cast("double")
+        mean = F.sum(x) / nd
+        m2 = F.sum(x * x) / nd - mean * mean          # population variance
+        m3c = (F.sum(F.pow(x, 3)) / nd - 3 * mean * (F.sum(x * x) / nd)
+               + 2 * F.pow(mean, 3))
+        m4c = (F.sum(F.pow(x, 4)) / nd
+               - 4 * mean * (F.sum(F.pow(x, 3)) / nd)
+               + 6 * mean * mean * (F.sum(x * x) / nd)
+               - 3 * F.pow(mean, 4))
+        sd = F.when(m2 > 0, F.sqrt(m2)).otherwise(0.0)
+        nnz = F.sum(F.when(x != 0.0, 1).otherwise(0)).cast("double")
+
+        aggs += [
+            mean.alias(f"{c}_amean"),
+            (F.sum(F.abs(x)) / nd).alias(f"{c}_absmean"),
+            (F.sum(x * x) / nd).alias(f"{c}_qmean"),
+            F.sqrt(F.sum(x * x) / nd).alias(f"{c}_rqmean"),
+            nnz.alias(f"{c}_nnz"),
+            F.when(nnz > 0, F.sum(F.when(x != 0.0, x)) / nnz)
+            .otherwise(0.0).alias(f"{c}_nzamean"),
+            F.when(nnz > 0, F.sum(F.when(x != 0.0, F.abs(x))) / nnz)
+            .otherwise(0.0).alias(f"{c}_nzabsmean"),
+            F.when(nnz > 0, F.sum(F.when(x != 0.0, x * x)) / nnz)
+            .otherwise(0.0).alias(f"{c}_nzqmean"),
+            m2.alias(f"{c}_variance"),
+            sd.alias(f"{c}_stddev"),
+            F.when(m2 > 0, m3c / (m2 * F.sqrt(m2))).otherwise(0.0)
+            .alias(f"{c}_skewness"),
+            F.when(m2 > 0, m4c / (m2 * m2)).otherwise(0.0)
+            .alias(f"{c}_kurtosis"),
+            F.when(m2 <= 0, 0.0)
+            .when(mean != 0.0, sd / mean)
+            .otherwise(sd).alias(f"{c}_stddevNorm"),
+            F.max(x).alias(f"{c}_max"),
+            F.min(x).alias(f"{c}_min"),
+            (F.max(x) - F.min(x)).alias(f"{c}_range"),
+            (F.max(x) - mean).alias(f"{c}_maxameandist"),
+            (mean - F.min(x)).alias(f"{c}_minameandist"),
+            F.percentile(x, 0.25).alias(f"{c}_quartile1"),
+            F.percentile(x, 0.50).alias(f"{c}_quartile2"),
+            F.percentile(x, 0.75).alias(f"{c}_quartile3"),
+            (F.percentile(x, 0.75) - F.percentile(x, 0.25))
+            .alias(f"{c}_iqr1-3"),
+        ]
+        for p in percentiles:
+            aggs.append(
+                F.percentile(x, float(p)).alias(f"{c}_percentile{p * 100:.1f}")
+            )
+        if len(percentiles) >= 3:
+            aggs.append(
+                F.abs(F.percentile(x, float(percentiles[-1]))
+                      - F.percentile(x, float(percentiles[0])))
+                .alias(f"{c}_pctlrange0-2")
+            )
+        # linear regression on index axis i=0..N-1 (functionalRegression.cpp:
+        # 219-240): S1=N(N-1)/2, S2=N(N-1)(2N-1)/6,
+        # t=(sum_y - num*S1/S2)/(N - S1^2/S2), m=(num - t*S1)/S2
+        i = F.col("__i")
+        num = F.sum(x * i)
+        asum = F.sum(x)
+        S1 = nd * (nd - 1) / 2
+        S2 = nd * (nd - 1) * (2 * nd - 1) / 6
+        denom = nd - S1 * S1 / S2
+        t_off = F.when((n > 1) & (denom != 0), (asum - num * S1 / S2) / denom) \
+            .otherwise(F.when(n > 1, 0.0).otherwise(F.first(x)))
+        m_slope = F.when(n > 1, (num - t_off * S1) / S2).otherwise(0.0)
+        aggs += [
+            m_slope.alias(f"{c}_linregc1"),
+            t_off.alias(f"{c}_linregc2"),
+        ]
+
+    return proj.groupBy(*group_cols).agg(*aggs)

@@ -1,0 +1,925 @@
+"""Functional kernels — faithful NumPy transcriptions of the reference's
+cFunctional* sub-components (/root/reference/src/functionals/*.cpp).
+
+These are the single source of truth for functional semantics: the Spark
+applyInPandas bank (bank.py) and the pytest oracle both call these functions,
+and unit tests validate selected closed forms independently (tests/).
+
+Contract mirrors cFunctionalComponent::process
+(functionals.cpp:411-419): each family receives the raw window `x`, the
+shared pre-pass values (sorted copy, min, max, mean — computed once per
+window, functionals.cpp:349-365), and emits an ordered dict of named outputs.
+All accumulation in float64 (the reference accumulates in double,
+e.g. functionalMoments.cpp:95-110).
+
+timeNorm semantics ('frames' | 'segment' | 'second') follow
+parseTimeNormOption defaults per family:
+  Extremes default 'frames' (functionalExtremes.cpp:61),
+  Times/Segments/Onset default 'segment' (functionalTimes.cpp:75,
+  functionalSegments.cpp:66, functionalOnset.cpp:53),
+  Peaks2 default 'frames' (functionalPeaks2.cpp:118).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+__all__ = [
+    "f_means", "f_moments", "f_extremes", "f_percentiles", "f_regression",
+    "f_crossings", "f_times", "f_onset", "f_segments", "f_peaks2",
+    "f_samples", "f_dct", "f_lpc", "FAMILIES", "compute_all",
+]
+
+
+def _ratio_limit(x: float, limit1: float, excess: float) -> float:
+    """smileMath_ratioLimit (/root/reference/src/smileutil/smileUtil.c:602-614):
+    linear in [-limit1, limit1], tanh-compressed beyond."""
+    if x > limit1:
+        return math.tanh((math.sqrt(x - limit1 + 1.0) - 1.0) / (excess * 0.5)) * excess + limit1
+    if x < -limit1:
+        return math.tanh(-(math.sqrt(-(x + limit1) + 1.0) - 1.0) / (excess * 0.5)) * excess - limit1
+    return x
+
+
+# ---------------------------------------------------------------------------
+# cFunctionalMeans (functionalMeans.cpp:117-264)
+# ---------------------------------------------------------------------------
+
+def f_means(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0):
+    N = x.size
+    out = {}
+    absx = np.abs(x)
+    nz = x != 0.0
+    nnz = int(nz.sum())
+    pos = x > 0.0
+    neg = x < 0.0
+    npos = int(pos.sum())
+    nneg = int(neg.sum())
+
+    absmean = float(absx.sum() / N)
+    qmean = float((x * x).sum() / N)
+    if nnz > 0:
+        nzamean = float(x[nz].sum() / nnz)
+        nzabsmean = float(absx[nz].sum() / nnz)
+        nzqmean = float((x[nz] * x[nz]).sum() / nnz)
+        nzgmean = float(math.exp(np.log(absx[nz]).sum() / nnz))
+    else:
+        nzamean = nzabsmean = nzqmean = nzgmean = 0.0
+    posamean = float(x[pos].sum() / npos) if npos else 0.0
+    posqmean = float((x[pos] ** 2).sum() / npos) if npos else 0.0
+    negamean = float(x[neg].sum() / nneg) if nneg else 0.0
+    negqmean = float((x[neg] ** 2).sum() / nneg) if nneg else 0.0
+
+    out["amean"] = float(xmean)
+    out["absmean"] = absmean
+    out["qmean"] = qmean
+    out["nzamean"] = nzamean
+    out["nzabsmean"] = nzabsmean
+    out["nzqmean"] = nzqmean
+    out["nzgmean"] = nzgmean
+    # nnz normalisation (functionalMeans.cpp:216-222)
+    if timeNorm == "segment":
+        out["nnz"] = nnz / N
+    elif timeNorm == "second":
+        out["nnz"] = nnz / T
+    else:
+        out["nnz"] = float(nnz)
+    out["flatness"] = (nzgmean / absmean) if absmean != 0.0 else 1.0
+    out["posamean"] = posamean
+    out["negamean"] = negamean
+    out["posqmean"] = posqmean
+    out["posrqmean"] = math.sqrt(posqmean)
+    out["negqmean"] = negqmean
+    out["negrqmean"] = math.sqrt(negqmean)
+    out["rqmean"] = math.sqrt(qmean)
+    out["nzrqmean"] = math.sqrt(nzqmean)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# cFunctionalMoments (functionalMoments.cpp:89-166)
+# ---------------------------------------------------------------------------
+
+def f_moments(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0,
+              doRatioLimit=False):
+    N = x.size
+    d = x - xmean
+    m2 = float((d * d).sum() / N)          # population variance
+    m3 = float((d ** 3).sum())
+    m4 = float((d ** 4).sum())
+    out = {"variance": m2}
+    sqm2 = math.sqrt(m2) if m2 > 0 else 0.0
+    out["stddev"] = sqm2
+    out["skewness"] = (m3 / (N * m2 * sqm2)) if m2 > 0 else 0.0
+    out["kurtosis"] = (m4 / (N * m2 * m2)) if m2 > 0 else 0.0
+    out["amean"] = float(xmean)
+    if m2 > 0:
+        if doRatioLimit:
+            if xmean != 0.0:
+                out["stddevNorm"] = _ratio_limit(sqm2 / xmean, 10.0, 20.0)
+            else:
+                out["stddevNorm"] = 20.0
+        else:
+            mean1 = xmean if xmean != 0.0 else 1.0
+            out["stddevNorm"] = sqm2 / mean1
+    else:
+        out["stddevNorm"] = 0.0
+    return out
+
+
+# ---------------------------------------------------------------------------
+# cFunctionalExtremes (functionalExtremes.cpp:93-137)
+# ---------------------------------------------------------------------------
+
+def f_extremes(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0):
+    maxpos = float(np.argmax(x == xmax))
+    minpos = float(np.argmax(x == xmin))
+    if timeNorm == "segment":
+        maxpos /= x.size
+        minpos /= x.size
+    elif timeNorm == "second" and T != 0.0:
+        maxpos *= T
+        minpos *= T
+    return {
+        "max": float(xmax), "min": float(xmin), "range": float(xmax - xmin),
+        "maxPos": maxpos, "minPos": minpos, "amean": float(xmean),
+        "maxameandist": float(xmax - xmean), "minameandist": float(xmean - xmin),
+    }
+
+
+# ---------------------------------------------------------------------------
+# cFunctionalPercentiles (functionalPercentiles.cpp:288-413), interp=1
+# ---------------------------------------------------------------------------
+
+def _interp_pctl(p: float, s: np.ndarray) -> float:
+    """Linear-interpolated percentile, idx = p*(N-1)
+    (functionalPercentiles.cpp:297-315). Equals numpy 'linear' method."""
+    N = s.size
+    idx = p * (N - 1)
+    i1 = int(math.floor(idx))
+    i2 = int(math.ceil(idx))
+    i1 = min(max(i1, 0), N - 1)
+    i2 = min(max(i2, 0), N - 1)
+    if i1 != i2:
+        w1 = idx - i1
+        w2 = i2 - idx
+        return float(s[i1] * w2 + s[i2] * w1)
+    return float(s[i1])
+
+
+def f_percentiles(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0,
+                  percentiles=(0.20, 0.50, 0.80),
+                  pctlranges=((0, 2),)):
+    out = {}
+    q1 = _interp_pctl(0.25, xsorted)
+    q2 = _interp_pctl(0.50, xsorted)
+    q3 = _interp_pctl(0.75, xsorted)
+    out["quartile1"] = q1
+    out["quartile2"] = q2
+    out["quartile3"] = q3
+    out["iqr1-2"] = q2 - q1
+    out["iqr2-3"] = q3 - q2
+    out["iqr1-3"] = q3 - q1
+    vals = []
+    for p in percentiles:
+        v = _interp_pctl(p, xsorted)
+        out[f"percentile{p * 100:.1f}"] = v
+        vals.append(v)
+    for a, b in pctlranges:
+        out[f"pctlrange{a}-{b}"] = abs(vals[b] - vals[a])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# cFunctionalRegression (functionalRegression.cpp:140-432), linear part +
+# centroid; normRegCoeff=0 (frames), normInputs=0, oldBuggyQerr=0
+# ---------------------------------------------------------------------------
+
+def f_regression(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0,
+                 quadratic=True):
+    N = x.size
+    Nd = float(N)
+    ii = np.arange(N, dtype=np.float64)
+    asum = float(xmean) * Nd
+    num = float((x * ii).sum())
+    num2 = float((x * ii * ii).sum())
+
+    centroid = (num / asum) if asum != 0.0 else 0.0
+    if not math.isfinite(centroid):
+        centroid = 0.0
+
+    out = {}
+    if N > 1:
+        NNm1 = Nd * (Nd - 1.0)
+        S1 = NNm1 / 2.0
+        S2 = NNm1 * (2.0 * Nd - 1.0) / 6.0
+        S1dS2 = S1 / S2
+        tmp = Nd - S1 * S1dS2
+        t = (asum - num * S1dS2) / tmp if tmp != 0.0 else 0.0
+        m = (num - t * S1) / S2
+        S3 = S1 * S1
+        Nd1 = Nd - 1.0
+        S4 = S2 * (3.0 * (Nd1 * Nd1 + Nd1) - 1.0) / 5.0
+        if quadratic:
+            S3S3 = S3 * S3
+            S2S2 = S2 * S2
+            S1S2 = S1 * S2
+            S1S1 = S3
+            det = S4 * S2 * Nd + 2.0 * S3 * S1S2 - S2S2 * S2 - S3S3 * Nd - S1S1 * S4
+            if det != 0.0:
+                a = ((S2 * Nd - S1S1) * num2 + (S1S2 - S3 * Nd) * num
+                     + (S3 * S1 - S2S2) * asum) / det
+                b = ((S1S2 - S3 * Nd) * num2 + (S4 * Nd - S2S2) * num
+                     + (S3 * S2 - S4 * S1) * asum) / det
+                c = ((S3 * S1 - S2S2) * num2 + (S3 * S2 - S4 * S1) * num
+                     + (S4 * S2 - S3S3) * asum) / det
+            else:
+                a = b = c = 0.0
+        else:
+            a = b = c = 0.0
+    else:
+        m = 0.0
+        t = c = float(x[0])
+        a = b = 0.0
+
+    e = x - (m * ii + t)
+    lea = float(np.abs(e).sum())
+    leq = float((e * e).sum())
+
+    if quadratic:
+        eq = x - (a * ii * ii + b * ii + c)
+        qea = float(np.abs(eq).sum())
+        qeq = float((eq * eq).sum())
+    else:
+        qea = qeq = 0.0
+
+    def fin(v):
+        return v if math.isfinite(v) else 0.0
+
+    out["linregc1"] = fin(m)
+    out["linregc2"] = fin(t)
+    out["linregerrA"] = fin(lea / Nd)
+    out["linregerrQ"] = fin(leq / Nd)
+    if quadratic:
+        out["qregc1"] = fin(a)
+        out["qregc2"] = fin(b)
+        out["qregc3"] = fin(c)
+        out["qregerrA"] = fin(qea / Nd)
+        out["qregerrQ"] = fin(qeq / Nd)
+    out["centroid"] = centroid
+    return out
+
+
+# ---------------------------------------------------------------------------
+# cFunctionalCrossings (functionalCrossings.cpp:85-121)
+# ---------------------------------------------------------------------------
+
+def f_crossings(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0):
+    N = x.size
+    amean = float(xmean)
+    zcr = 0
+    mcr = 0
+    # loop i = 1 .. N-2 exactly as the reference (functionalCrossings.cpp:106)
+    for i in range(1, N - 1):
+        if (x[i - 1] * x[i + 1] <= 0.0 and x[i] == 0.0) or (x[i - 1] * x[i] < 0.0):
+            zcr += 1
+        a, b, c = x[i - 1] - amean, x[i] - amean, x[i + 1] - amean
+        if (a * c <= 0.0 and b == 0.0) or (a * b < 0.0):
+            mcr += 1
+    return {"zcr": zcr / N, "mcr": mcr / N, "amean": amean}
+
+
+# ---------------------------------------------------------------------------
+# cFunctionalTimes (functionalTimes.cpp:60-78 + process), norm=segment,
+# useRobustPercentileRange=0, buggySecNorm irrelevant for segment norm
+# ---------------------------------------------------------------------------
+
+def f_times(x, xsorted, xmin, xmax, xmean, timeNorm="segment", T=1.0):
+    N = x.size
+    Nd = float(N)
+    if timeNorm == "segment":
+        Norm, Norm1, Norm2 = Nd, Nd - 1.0, Nd - 2.0
+    elif timeNorm == "frames":
+        Norm, Norm1, Norm2 = 1.0, (Nd - 1.0) / Nd, (Nd - 2.0) / Nd
+    else:  # second, non-buggy (functionalTimes.cpp:89-93)
+        Norm = 1.0 / T
+        Norm1 = (Nd - 1.0) / (Nd * T)
+        Norm2 = (Nd - 2.0) / (Nd * T)
+    rng = xmax - xmin
+    l25, l50, l75, l90 = (0.25 * rng + xmin, 0.50 * rng + xmin,
+                          0.75 * rng + xmin, 0.90 * rng + xmin)
+    n25 = int((x <= l25).sum())
+    n50 = int((x <= l50).sum())
+    n75 = int((x <= l75).sum())
+    n90 = int((x <= l90).sum())
+    d = np.diff(x)
+    nR = int((d > 0).sum())
+    nF = int((d < 0).sum())
+    dd = d[1:] - d[:-1]  # a2 - a1
+    nRC = int((dd < 0).sum())
+    nLC = int((dd > 0).sum())
+    out = {
+        "upleveltime25": (N - n25) / Norm, "downleveltime25": n25 / Norm,
+        "upleveltime50": (N - n50) / Norm, "downleveltime50": n50 / Norm,
+        "upleveltime75": (N - n75) / Norm, "downleveltime75": n75 / Norm,
+        "upleveltime90": (N - n90) / Norm, "downleveltime90": n90 / Norm,
+        "risetime": nR / Norm1 if Norm1 != 0.0 else 0.0,
+        "falltime": nF / Norm1 if Norm1 != 0.0 else 0.0,
+        "leftctime": nLC / Norm2 if Norm2 != 0.0 else 0.0,
+        "rightctime": nRC / Norm2 if Norm2 != 0.0 else 0.0,
+        "duration": Nd * T if timeNorm == "second" else Nd,
+    }
+    return out
+
+
+# ---------------------------------------------------------------------------
+# cFunctionalOnset (functionalOnset.cpp:process), threshold=0, norm=segment
+# ---------------------------------------------------------------------------
+
+def f_onset(x, xsorted, xmin, xmax, xmean, timeNorm="segment", T=1.0,
+            thresholdOnset=0.0, thresholdOffset=0.0, useAbsVal=False):
+    N = x.size
+    onsetPos = -1
+    offsetPos = -1
+    nOnsets = 0
+    nOffsets = 0
+    oo = 1 if x[0] > thresholdOnset else 0
+    for i in range(1, N):
+        cur = abs(x[i]) if useAbsVal else x[i]
+        if cur > thresholdOnset and oo == 0:
+            nOnsets += 1
+            if onsetPos == -1:
+                onsetPos = i
+            oo = 1
+        if cur <= thresholdOffset and oo == 1:
+            nOffsets += 1
+            offsetPos = i
+            oo = 0
+    if offsetPos == -1:
+        offsetPos = N - 1
+    if onsetPos == -1:
+        onsetPos = 0
+    if timeNorm == "segment":
+        op, fp = onsetPos / N, offsetPos / N
+    elif timeNorm == "second":
+        op, fp = onsetPos * T, offsetPos * T
+    else:
+        op, fp = float(onsetPos), float(offsetPos)
+    return {
+        "onsetPos": op, "offsetPos": fp,
+        "numOnsets": float(nOnsets), "numOffsets": float(nOffsets),
+        "onsetRate": nOnsets / (N * T),
+    }
+
+
+# ---------------------------------------------------------------------------
+# cFunctionalSegments, algorithms nonX / eqX (non-buggy variants,
+# functionalSegments.cpp:656-725 & process_SegEqX), norm=segment
+# ---------------------------------------------------------------------------
+
+def _segment_runs(x, Xval, mode, segMinLng, pauseMinLng, maxNumSeg):
+    """State machine transcription of process_SegNonX / process_SegEqX."""
+    seg_lens = []
+
+    def add_segment(i, last):
+        if len(seg_lens) < maxNumSeg:
+            seg_lens.append(i - last)
+
+    segStartIndex = 0
+    inSegment = 0
+    segStart = 0
+    segEnd = 0
+    N = x.size
+    i = 0
+    for i in range(N):
+        in_match = (x[i] != Xval) if mode == "nonX" else (x[i] == Xval)
+        if in_match:
+            if inSegment == 1:
+                segEnd = 0
+                segStart += 1
+                if segStart >= segMinLng:
+                    segStart = 0
+                    inSegment = 2
+            elif inSegment == 0:
+                segStart += 1
+                segStartIndex = i
+                inSegment = 1
+            elif inSegment == 2:
+                segEnd = 0
+        else:
+            if inSegment == 2:
+                segStart = 0
+                segEnd += 1
+                if segEnd >= pauseMinLng:
+                    inSegment = 0
+                    add_segment(i - segEnd, segStartIndex)
+                    segEnd = 0
+            elif inSegment == 1:
+                segEnd += 1
+                if segEnd >= pauseMinLng:
+                    inSegment = 0
+                    segEnd = 0
+                    segStart = 0
+    i = N
+    if inSegment == 2:
+        segEnd += 1
+        add_segment(i - segEnd, segStartIndex)
+    return seg_lens
+
+
+def f_segments(x, xsorted, xmin, xmax, xmean, timeNorm="segment", T=1.0,
+               algorithm="nonX", X=0.0, XisRel=False,
+               segMinLng=3, pauseMinLng=2, maxNumSeg=20):
+    N = x.size
+    rng = xmax - xmin
+    Xval = (xmin + rng * X) if XisRel else X
+    seg_lens = _segment_runs(x, Xval, algorithm, segMinLng, pauseMinLng,
+                             maxNumSeg)
+    nSeg = len(seg_lens)
+    sumLen = float(sum(seg_lens))
+    maxLen = float(max(seg_lens)) if seg_lens else 0.0
+    minLen = float(min(seg_lens)) if seg_lens else 0.0
+    mean = sumLen / nSeg if nSeg > 1 else sumLen
+    lenDev = 0.0
+    for L in seg_lens:
+        lenDev += (L - mean) ** 2
+    if nSeg > 1:
+        lenDev = math.sqrt(lenDev / nSeg)
+    else:
+        lenDev = 0.0
+
+    out = {}
+    # numSegments normalisation (functionalSegments.cpp process tail)
+    if timeNorm == "second":
+        out["numSegments"] = nSeg / (N * T if T != 0.0 else N)
+    elif timeNorm == "segment":
+        out["numSegments"] = nSeg / maxNumSeg
+    else:
+        out["numSegments"] = float(nSeg)
+    if timeNorm == "segment":
+        out["meanSegLen"] = mean / N
+        out["maxSegLen"] = maxLen / N
+        out["minSegLen"] = minLen / N
+        out["segLenStddev"] = lenDev / N
+    elif timeNorm == "second":
+        Norm = T if T != 0.0 else 1.0
+        out["meanSegLen"] = mean * Norm
+        out["maxSegLen"] = maxLen * Norm
+        out["minSegLen"] = minLen * Norm
+        out["segLenStddev"] = lenDev * Norm
+    else:
+        out["meanSegLen"] = mean
+        out["maxSegLen"] = maxLen
+        out["minSegLen"] = minLen
+        out["segLenStddev"] = lenDev
+    return out
+
+
+# ---------------------------------------------------------------------------
+# cFunctionalPeaks2 (functionalPeaks2.cpp:314-919) — full automaton.
+# relThresh=0.1, dynRelThresh=0, doRatioLimit=0, norm=frames, T=1
+# ---------------------------------------------------------------------------
+
+def f_peaks2(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0,
+             relThresh=0.1, dynRelThresh=False, absThreshIn=None):
+    N = x.size
+    rng = float(xmax - xmin)
+    absThresh = absThreshIn if absThreshIn is not None else relThresh * rng
+
+    def below(diff, base):
+        # isBelowThresh (functionalPeaks2.cpp:291-312)
+        if dynRelThresh:
+            if base == 0.0:
+                return diff != 0.0
+            return abs(diff / base) < relThresh
+        return diff < absThresh
+
+    # step 1: all local extrema, i in [2, N-3] (functionalPeaks2.cpp:344-351)
+    ext = []  # dict(type: 1=max/0=min, x=idx, y=val, alive=True)
+    for i in range(2, N - 2):
+        if x[i] > x[i - 1] and x[i] > x[i + 1]:
+            ext.append({"t": 1, "x": i, "y": float(x[i]), "alive": True})
+        elif x[i] < x[i - 1] and x[i] < x[i + 1]:
+            ext.append({"t": 0, "x": i, "y": float(x[i]), "alive": True})
+
+    def alive():
+        return [e for e in ext if e["alive"]]
+
+    # step 2a: mutual min rise/fall constraint (functionalPeaks2.cpp:355-419)
+    lastVal = float(x[0])
+    lastMin = float(x[0])
+    lastMax = float(x[0])
+    maxFlag = minFlag = 0
+    lastMaxPtr = None
+    for e in alive():
+        if e["t"] == 1:
+            if below(abs(e["y"] - lastVal), min(e["y"], lastVal)):
+                if below(e["y"] - lastMin, lastMin):
+                    e["alive"] = False
+                else:
+                    if e["y"] > lastMax * 1.05:
+                        if lastMaxPtr is not None:
+                            lastMaxPtr["alive"] = False
+                        lastMax = e["y"]
+                        lastMaxPtr = e
+                    else:
+                        if minFlag:
+                            lastMax = e["y"]
+                            lastMaxPtr = e
+                        else:
+                            e["alive"] = False
+                    maxFlag, minFlag = 1, 0
+            else:
+                maxFlag, minFlag = 1, 0
+                lastMax = e["y"]
+                lastMaxPtr = e
+        else:
+            if not below(abs(e["y"] - lastVal), min(e["y"], lastVal)):
+                minFlag, maxFlag = 1, 0
+                lastMin = e["y"]
+        lastVal = e["y"]
+
+    # step 2b: eliminate small minima (functionalPeaks2.cpp:421-440)
+    lastMax = float(x[0])
+    for e in alive():
+        if e["t"] == 0:
+            if below(lastMax - e["y"], e["y"]):
+                e["alive"] = False
+        else:
+            lastMax = e["y"]
+
+    # step 3: enforce alternation (functionalPeaks2.cpp:442-510)
+    lastMax = float(x[0])
+    lastMin = float(x[0])
+    minFlag = 0
+    init = 1
+    lastMinPtr = None
+    lastMaxPtr = None
+    for e in alive():
+        if e["t"] == 0:
+            if not minFlag or init:
+                lastMin = e["y"]
+                lastMinPtr = e
+                minFlag = 1
+                init = 0
+            else:
+                if e["y"] >= lastMin:
+                    e["alive"] = False
+                else:
+                    if lastMinPtr is not e and lastMinPtr is not None:
+                        lastMinPtr["alive"] = False
+                    lastMinPtr = e
+                    lastMin = e["y"]
+        else:
+            if minFlag or init:
+                lastMax = e["y"]
+                lastMaxPtr = e
+                minFlag = 0
+                init = 0
+            else:
+                if e["y"] <= lastMax:
+                    e["alive"] = False
+                else:
+                    if lastMaxPtr is not e and lastMaxPtr is not None:
+                        lastMaxPtr["alive"] = False
+                    lastMaxPtr = e
+                    lastMax = e["y"]
+
+    final = alive()
+
+    # stats pass 1 (functionalPeaks2.cpp:512-585)
+    peakMax = peakMin = 0.0
+    peakDist = peakDiff = 0.0
+    nPeakDist = 0
+    peakMean = 0.0
+    nPeaks = 0
+    minMax = minMin = 0.0
+    minDist = minDiff = 0.0
+    nMinDist = 0
+    minMean = 0.0
+    nMins = 0
+    lastMaxPtr = None
+    lastMinPtr = None
+    for e in final:
+        if e["t"] == 0:
+            if lastMinPtr is None:
+                lastMinPtr = e
+                minMin = minMax = e["y"]
+            else:
+                nMinDist += 1
+                minDist += e["x"] - lastMinPtr["x"]
+                minDiff += abs(e["y"] - lastMinPtr["y"])
+                minMin = min(minMin, e["y"])
+                minMax = max(minMax, e["y"])
+                lastMinPtr = e
+            minMean += e["y"]
+            nMins += 1
+        else:
+            if lastMaxPtr is None:
+                lastMaxPtr = e
+                peakMin = peakMax = e["y"]
+            else:
+                nPeakDist += 1
+                peakDist += e["x"] - lastMaxPtr["x"]
+                peakDiff += abs(e["y"] - lastMaxPtr["y"])
+                peakMin = min(peakMin, e["y"])
+                peakMax = max(peakMax, e["y"])
+                lastMaxPtr = e
+            peakMean += e["y"]
+            nPeaks += 1
+
+    if nPeaks > 1:
+        peakMean /= nPeaks
+        if nPeakDist > 1:
+            peakDist /= nPeakDist
+            peakDiff /= nPeakDist
+    if nMins > 0:
+        minMean /= nMins
+        if nMinDist > 1:
+            minDist /= nMinDist
+            minDiff /= nMinDist
+
+    # stats pass 2: stddevs. NOTE the reference's max-branch uses lastMinPtr
+    # for both dist & diff (functionalPeaks2.cpp:592-601) — replicated.
+    peakStddevDist = peakStddevDiff = 0.0
+    minStddevDist = minStddevDiff = 0.0
+    lastMaxPtr = None
+    lastMinPtr = None
+    for e in final:
+        if e["t"] == 0:
+            if lastMinPtr is None:
+                lastMinPtr = e
+            else:
+                minStddevDist += (e["x"] - lastMinPtr["x"] - minDist) ** 2
+                minStddevDiff += (abs(e["y"] - lastMinPtr["y"]) - minDiff) ** 2
+                lastMinPtr = e
+        else:
+            if lastMaxPtr is None:
+                lastMaxPtr = e
+            else:
+                ref = lastMinPtr if lastMinPtr is not None else lastMaxPtr
+                peakStddevDist += (e["x"] - ref["x"] - peakDist) ** 2
+                peakStddevDiff += (abs(e["y"] - ref["y"]) - peakDiff) ** 2
+                lastMaxPtr = e
+    if nPeakDist > 1:
+        peakStddevDist /= nPeakDist
+        peakStddevDiff /= nPeakDist
+    peakStddevDist = math.sqrt(peakStddevDist) if peakStddevDist > 0 else 0.0
+    peakStddevDiff = math.sqrt(peakStddevDiff) if peakStddevDiff > 0 else 0.0
+    if nMinDist > 1:
+        minStddevDist /= nMinDist
+        minStddevDiff /= nMinDist
+    minStddevDist = math.sqrt(minStddevDist) if minStddevDist > 0 else 0.0
+    minStddevDiff = math.sqrt(minStddevDiff) if minStddevDiff > 0 else 0.0
+
+    # slopes (functionalPeaks2.cpp:631-760)
+    meanRS = meanFS = 0.0
+    nRising = nFalling = 0
+    minRS = maxRS = minFS = maxFS = 0.0
+    lastIsMax = -1
+    lastMaxV = float(x[0])
+    lastMaxPos = 0
+    lastMinV = float(x[0])
+    lastMinPos = 0
+    for e in final:
+        if e["t"] == 0:
+            lastMinV, lastMinPos = e["y"], e["x"]
+            if lastMinPos - lastMaxPos > 0:
+                slope = (lastMaxV - lastMinV) / ((lastMinPos - lastMaxPos) * T)
+                meanFS += slope
+                if nFalling == 0:
+                    minFS = maxFS = slope
+                else:
+                    minFS = min(minFS, slope)
+                    maxFS = max(maxFS, slope)
+                nFalling += 1
+                lastIsMax = 0
+        else:
+            lastMaxV, lastMaxPos = e["y"], e["x"]
+            if lastMaxPos - lastMinPos > 0:
+                slope = (lastMaxV - lastMinV) / ((lastMaxPos - lastMinPos) * T)
+                meanRS += slope
+                if nRising == 0:
+                    minRS = maxRS = slope
+                else:
+                    minRS = min(minRS, slope)
+                    maxRS = max(maxRS, slope)
+                nRising += 1
+                lastIsMax = 1
+
+    if lastIsMax == 1:
+        if N - 1 - lastMaxPos > 0:
+            slope = (x[N - 1] - lastMaxV) / ((N - 1 - lastMaxPos) * T)
+            meanFS += slope
+            if nFalling == 0:
+                minFS = maxFS = slope
+            else:
+                minFS = min(minFS, slope)
+                maxFS = max(maxFS, slope)
+            nFalling += 1
+    elif lastIsMax == 0:
+        if N - 1 - lastMinPos > 0:
+            slope = (x[N - 1] - lastMinV) / ((N - 1 - lastMinPos) * T)
+            meanRS += slope
+            if nRising == 0:
+                minRS = maxRS = slope
+            else:
+                minRS = min(minRS, slope)
+                maxRS = max(maxRS, slope)
+            nRising += 1
+    else:
+        slope = (x[N - 1] - x[0]) / N
+        if slope > 0:
+            meanRS = maxRS = minRS = slope
+            nRising = 1
+        elif slope < 0:
+            meanFS = maxFS = minFS = slope
+            nFalling = 1
+
+    if nRising > 1:
+        meanRS /= nRising
+    if nFalling > 1:
+        meanFS /= nFalling
+
+    stddevRS = stddevFS = 0.0
+    lastMaxV = float(x[0])
+    lastMaxPos = 0
+    lastMinV = float(x[0])
+    lastMinPos = 0
+    for e in final:
+        if e["t"] == 0:
+            lastMinV, lastMinPos = e["y"], e["x"]
+            if lastMinPos - lastMaxPos > 0:
+                slope = (lastMaxV - lastMinV) / ((lastMinPos - lastMaxPos) * T)
+                stddevFS += (slope - meanFS) ** 2
+        else:
+            lastMaxV, lastMaxPos = e["y"], e["x"]
+            if lastMaxPos - lastMinPos:
+                slope = (lastMaxV - lastMinV) / ((lastMaxPos - lastMinPos) * T)
+                stddevRS += (slope - meanRS) ** 2
+    if nRising > 1:
+        stddevRS /= nRising
+    if nFalling > 1:
+        stddevFS /= nFalling
+    stddevRS = math.sqrt(stddevRS) if stddevRS > 0 else 0.0
+    stddevFS = math.sqrt(stddevFS) if stddevFS > 0 else 0.0
+
+    # time normalisation of dists (functionalPeaks2.cpp:762-775)
+    if timeNorm == "second":
+        peakDist *= T
+        peakStddevDist *= T
+        minDist *= T
+        minStddevDist *= T
+    elif timeNorm == "segment":
+        peakDist /= N
+        peakStddevDist /= N
+        minDist /= N
+        minStddevDist /= N
+
+    numPeaks = (nPeaks / (N * T)) if timeNorm == "second" else float(nPeaks)
+
+    return {
+        "numPeaks": numPeaks,
+        "meanPeakDist": peakDist,
+        "peakDistStddev": peakStddevDist,
+        "peakRangeAbs": peakMax - peakMin,
+        "peakRangeRel": (abs((peakMax - peakMin) / rng) if rng != 0.0
+                         else peakMax - peakMin),
+        "peakMean": peakMean,
+        "peakMeanMeanDist": peakMean - float(xmean),
+        "ptpAmpMeanAbs": peakDiff,
+        "ptpAmpMeanRel": (peakDiff / rng) if rng != 0.0 else peakDiff,
+        "ptpAmpStddevAbs": peakStddevDiff,
+        "ptpAmpStddevRel": (peakStddevDiff / rng) if rng != 0.0 else peakStddevDiff,
+        "minRangeAbs": minMax - minMin,
+        "minRangeRel": (abs((minMax - minMin) / rng) if rng != 0.0
+                        else minMax - minMin),
+        "minMean": minMean,
+        "minMeanMeanDist": float(xmean) - minMean,
+        "mtmAmpMeanAbs": minDiff,
+        "mtmAmpMeanRel": (minDiff / rng) if rng != 0.0 else minDiff,
+        "mtmAmpStddevAbs": minStddevDiff,
+        "mtmAmpStddevRel": (minStddevDiff / rng) if rng != 0.0 else minStddevDiff,
+        "meanRisingSlope": meanRS,
+        "maxRisingSlope": maxRS,
+        "minRisingSlope": minRS,
+        "stddevRisingSlope": stddevRS,
+        "meanFallingSlope": meanFS,
+        "maxFallingSlope": maxFS,
+        "minFallingSlope": minFS,
+        "stddevFallingSlope": stddevFS,
+        "covFallingSlope": (stddevFS / meanFS) if meanFS > 0.0 else 0.0,
+        "covRisingSlope": (stddevRS / meanRS) if meanRS > 0.0 else 0.0,
+    }
+
+
+# ---------------------------------------------------------------------------
+# cFunctionalSamples (functionalSamples.cpp:42) — values at relative positions
+# ---------------------------------------------------------------------------
+
+def f_samples(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0,
+              positions=(0.0, 0.25, 0.5, 0.75, 1.0)):
+    N = x.size
+    out = {}
+    for p in positions:
+        idx = int(round(p * (N - 1)))
+        idx = min(max(idx, 0), N - 1)
+        out[f"samplepos{p:g}"] = float(x[idx])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# cFunctionalDCT (functionalDCT.cpp:38-40) — DCT-II coefficients of window
+# ---------------------------------------------------------------------------
+
+def f_dct(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0,
+          firstCoeff=1, lastCoeff=6):
+    N = x.size
+    out = {}
+    n = np.arange(N, dtype=np.float64)
+    factor = math.sqrt(2.0 / N)
+    for k in range(firstCoeff, lastCoeff + 1):
+        basis = np.cos(math.pi * k / N * (n + 0.5))
+        out[f"dct{k}"] = float(factor * (x * basis).sum())
+    return out
+
+
+# ---------------------------------------------------------------------------
+# cFunctionalLpc (functionalLpc.cpp:20-22) — LP coefficients via
+# autocorrelation + Levinson-Durbin (smileUtil smileDsp_calcLpcAcf analogue)
+# ---------------------------------------------------------------------------
+
+def f_lpc(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0, order=4):
+    N = x.size
+    out = {}
+    p = min(order, max(N - 1, 1))
+    r = np.zeros(order + 1)
+    for k in range(min(order, N - 1) + 1):
+        r[k] = float((x[: N - k] * x[k:]).sum())
+    if r[0] == 0.0:
+        out["lpgain"] = 0.0
+        for k in range(order):
+            out[f"lpc{k}"] = 0.0
+        return out
+    a = np.zeros(order + 1)
+    e = r[0]
+    for i in range(1, p + 1):
+        acc = r[i]
+        for j in range(1, i):
+            acc -= a[j] * r[i - j]
+        k_i = acc / e if e != 0.0 else 0.0
+        a_new = a.copy()
+        a_new[i] = k_i
+        for j in range(1, i):
+            a_new[j] = a[j] - k_i * a[i - j]
+        a = a_new
+        e *= (1.0 - k_i * k_i)
+    out["lpgain"] = float(e)
+    for k in range(order):
+        out[f"lpc{k}"] = float(a[k + 1]) if k + 1 <= p else 0.0
+    return out
+
+
+FAMILIES = {
+    "means": f_means,
+    "moments": f_moments,
+    "extremes": f_extremes,
+    "percentiles": f_percentiles,
+    "regression": f_regression,
+    "crossings": f_crossings,
+    "times": f_times,
+    "onset": f_onset,
+    "segments": f_segments,
+    "peaks2": f_peaks2,
+    "samples": f_samples,
+    "dct": f_dct,
+    "lpc": f_lpc,
+}
+
+
+def compute_all(x: np.ndarray, families=None, options=None) -> dict:
+    """Shared pre-pass + dispatch, mirroring cFunctionals::doProcessMatrix
+    (functionals.cpp:320-390): min/max/mean computed once (:355-365), one
+    sort shared by all order-statistics functionals (:349-353).
+
+    Returns {f"{family}.{name}": value}. N==0 windows return {} (the
+    reference emits nothing for empty segments, functionals.cpp:325-328).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    if x.size == 0:
+        return {}
+    families = families or list(FAMILIES)
+    options = options or {}
+    xsorted = np.sort(x)
+    xmin = float(x.min())
+    xmax = float(x.max())
+    xmean = float(x.sum() / x.size)
+    out = {}
+    for fam in families:
+        fn = FAMILIES[fam]
+        opts = options.get(fam, {})
+        for name, val in fn(x, xsorted, xmin, xmax, xmean, **opts).items():
+            out[f"{name}"] = float(val)
+    return out
