@@ -1,0 +1,102 @@
+"""As-of merge + point-in-time backfill: leakage property tests
+(FIXTURES.md case conv_late_anchor; north-star zero-leakage requirement)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from opensmile_spark.functionals.kernels import compute_all
+from opensmile_spark.operators import asof_join, backfill_functionals
+from tests.conftest import make_conv
+
+
+def _anchors(spark, conv_id, epochs):
+    df = spark.createDataFrame(
+        [(conv_id, float(e)) for e in epochs], "conv_id string, epoch double"
+    )
+    return df.withColumn("anchor_ts", F.timestamp_seconds("epoch")).drop("epoch")
+
+
+def test_asof_basic_and_ties(spark):
+    t0 = 1_704_067_200.0
+    lld = make_conv(spark, "c", [10.0, 20.0, 30.0], gap_s=10.0)  # ts at 0,10,20
+    anchors = _anchors(spark, "c", [t0 - 5, t0, t0 + 15, t0 + 100])
+    out = asof_join(anchors, lld.select("conv_id", "ts", "x"),
+                    value_cols=["x"])
+    vals = {r["anchor_ts"].timestamp() - t0: r["x"] for r in out.collect()}
+    assert vals[-5.0] is None          # before all turns
+    assert vals[0.0] == 10.0           # tie: turn AT anchor is visible
+    assert vals[15.0] == 20.0
+    assert vals[100.0] == 30.0
+
+
+def test_asof_strict(spark):
+    t0 = 1_704_067_200.0
+    lld = make_conv(spark, "c", [10.0, 20.0], gap_s=10.0)
+    anchors = _anchors(spark, "c", [t0, t0 + 10])
+    out = asof_join(anchors, lld.select("conv_id", "ts", "x"),
+                    value_cols=["x"], strict=True)
+    vals = {r["anchor_ts"].timestamp() - t0: r["x"] for r in out.collect()}
+    assert vals[0.0] is None           # strict: tie NOT visible
+    assert vals[10.0] == 10.0
+
+
+def test_backfill_leakage_property(spark):
+    """Perturbing any row with ts > anchor never changes anchor features."""
+    t0 = 1_704_067_200.0
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0]
+    lld = make_conv(spark, "c", vals, gap_s=10.0)
+    anchors = _anchors(spark, "c", [t0 + 25])   # sees turns 0,1,2
+    base = backfill_functionals(lld, anchors, ["x"], families=["means",
+                                                               "moments"])
+    b = base.collect()[0]
+    assert b["n_visible"] == 3
+    expected = compute_all(np.array(vals[:3]), ["means", "moments"])
+    assert abs(b["x_amean"] - expected["amean"]) < 1e-12
+    assert abs(b["x_stddev"] - expected["stddev"]) < 1e-12
+
+    # perturb the future
+    lld2 = lld.withColumn(
+        "x", F.when(F.col("turn_idx") >= 3, F.col("x") * 999 + 1).otherwise(F.col("x"))
+    )
+    p = backfill_functionals(lld2, anchors, ["x"],
+                             families=["means", "moments"]).collect()[0]
+    assert p["x_amean"] == b["x_amean"]
+    assert p["x_stddev"] == b["x_stddev"]
+
+
+def test_backfill_empty_window_and_grid_completeness(spark):
+    t0 = 1_704_067_200.0
+    lld = make_conv(spark, "c", [1.0, 2.0], gap_s=10.0)
+    anchors = _anchors(spark, "c", [t0 - 100, t0 + 5, t0 + 1000])
+    out = backfill_functionals(lld, anchors, ["x"], families=["means"])
+    rows = {r["anchor_ts"].timestamp() - t0: r for r in out.collect()}
+    assert len(rows) == 3                      # grid complete
+    assert rows[-100.0]["n_visible"] == 0
+    assert rows[-100.0]["x_amean"] is None or np.isnan(rows[-100.0]["x_amean"])
+    assert rows[5.0]["n_visible"] == 1
+    assert rows[1000.0]["n_visible"] == 2
+
+
+def test_backfill_bounded_trailing_window(spark):
+    t0 = 1_704_067_200.0
+    lld = make_conv(spark, "c", [1.0, 2.0, 4.0, 8.0], gap_s=10.0)
+    anchors = _anchors(spark, "c", [t0 + 30])
+    out = backfill_functionals(lld, anchors, ["x"], families=["means"],
+                               window_seconds=15.0)
+    r = out.collect()[0]
+    # window (anchor-15, anchor]: turns at t0+20, t0+30
+    assert r["n_visible"] == 2
+    assert r["x_amean"] == 6.0
+
+
+def test_asof_multi_conv_no_crosstalk(spark):
+    t0 = 1_704_067_200.0
+    a = make_conv(spark, "a", [1.0])
+    b = make_conv(spark, "b", [2.0])
+    lld = a.unionByName(b)
+    anchors = _anchors(spark, "a", [t0 + 1]).unionByName(
+        _anchors(spark, "b", [t0 + 1]))
+    out = asof_join(anchors, lld.select("conv_id", "ts", "x"),
+                    value_cols=["x"])
+    vals = {r["conv_id"]: r["x"] for r in out.collect()}
+    assert vals == {"a": 1.0, "b": 2.0}

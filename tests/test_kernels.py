@@ -1,0 +1,215 @@
+"""Closed-form validation of the functional kernels (no Spark).
+
+The kernels are the single source of truth shared by the engine and the
+oracle, so these tests pin them to independently derived values — hand
+computation, numpy built-ins, and the reference formulas' degenerate cases
+(FIXTURES.md cases: conv_const, conv_ramp, conv_wave, conv_single,
+conv_zeros)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from opensmile_spark.functionals.kernels import (
+    compute_all,
+    f_crossings,
+    f_means,
+    f_moments,
+    f_onset,
+    f_peaks2,
+    f_percentiles,
+    f_regression,
+    f_segments,
+    f_times,
+)
+
+
+def pre(x):
+    x = np.asarray(x, dtype=np.float64)
+    return x, np.sort(x), float(x.min()), float(x.max()), float(x.mean())
+
+
+def test_moments_match_numpy_population():
+    x, s, lo, hi, mu = pre([1, 4, 2, 8, 5, 7])
+    out = f_moments(x, s, lo, hi, mu)
+    assert out["variance"] == pytest.approx(np.var(x))          # population
+    assert out["stddev"] == pytest.approx(np.std(x))
+    d = x - mu
+    assert out["skewness"] == pytest.approx(
+        (d ** 3).sum() / (len(x) * np.var(x) * np.std(x)))
+    assert out["kurtosis"] == pytest.approx(
+        (d ** 4).sum() / (len(x) * np.var(x) ** 2))              # NOT excess
+    assert out["stddevNorm"] == pytest.approx(np.std(x) / np.mean(x))
+
+
+def test_moments_constant_guards():
+    # conv_const: stddev=0, skew/kurt guarded to 0 (functionalMoments.cpp:116-127)
+    x, s, lo, hi, mu = pre([3.0] * 20)
+    out = f_moments(x, s, lo, hi, mu)
+    assert out["variance"] == 0.0
+    assert out["stddev"] == 0.0
+    assert out["skewness"] == 0.0
+    assert out["kurtosis"] == 0.0
+    assert out["stddevNorm"] == 0.0
+
+
+def test_moments_zero_mean_stddevnorm():
+    # mean==0 -> divide by 1.0 (functionalMoments.cpp:155-158)
+    x, s, lo, hi, mu = pre([-1.0, 1.0])
+    out = f_moments(x, s, lo, hi, mu)
+    assert out["stddevNorm"] == pytest.approx(np.std(x))
+
+
+def test_percentiles_linear_interp_matches_numpy():
+    x, s, lo, hi, mu = pre([10, 2, 35, 7, 19, 3, 42])
+    out = f_percentiles(x, s, lo, hi, mu)
+    for p, name in [(25, "quartile1"), (50, "quartile2"), (75, "quartile3"),
+                    (20, "percentile20.0"), (80, "percentile80.0")]:
+        assert out[name] == pytest.approx(
+            np.percentile(x, p, method="linear")), name
+    assert out["pctlrange0-2"] == pytest.approx(
+        abs(np.percentile(x, 80) - np.percentile(x, 20)))
+
+
+def test_regression_ramp_closed_form():
+    # conv_ramp: x = 2i + 5 -> slope 2, offset 5, zero error
+    x, s, lo, hi, mu = pre([2 * i + 5 for i in range(12)])
+    out = f_regression(x, s, lo, hi, mu)
+    assert out["linregc1"] == pytest.approx(2.0)
+    assert out["linregc2"] == pytest.approx(5.0)
+    assert out["linregerrA"] == pytest.approx(0.0, abs=1e-9)
+    assert out["linregerrQ"] == pytest.approx(0.0, abs=1e-9)
+    # quadratic fit of a line: a=0, b=slope, c=offset
+    assert out["qregc1"] == pytest.approx(0.0, abs=1e-7)
+    assert out["qregc2"] == pytest.approx(2.0)
+    assert out["qregc3"] == pytest.approx(5.0)
+
+
+def test_regression_matches_polyfit():
+    rng = np.random.RandomState(42)
+    x, s, lo, hi, mu = pre(rng.rand(50) * 10)
+    out = f_regression(x, s, lo, hi, mu)
+    m, t = np.polyfit(np.arange(50), x, 1)
+    assert out["linregc1"] == pytest.approx(m)
+    assert out["linregc2"] == pytest.approx(t)
+    a, b, c = np.polyfit(np.arange(50), x, 2)
+    assert out["qregc1"] == pytest.approx(a)
+    assert out["qregc2"] == pytest.approx(b)
+    assert out["qregc3"] == pytest.approx(c)
+
+
+def test_regression_n1():
+    x, s, lo, hi, mu = pre([7.0])
+    out = f_regression(x, s, lo, hi, mu)
+    assert out["linregc1"] == 0.0
+    assert out["linregc2"] == 7.0
+
+
+def test_means_with_zeros():
+    # conv_zeros: nz* restricted to non-zero subset (functionalMeans.cpp)
+    x, s, lo, hi, mu = pre([0, 2, 0, 4, 0, 6])
+    out = f_means(x, s, lo, hi, mu)
+    assert out["amean"] == pytest.approx(2.0)
+    assert out["nzamean"] == pytest.approx(4.0)
+    assert out["nnz"] == 3.0                      # frames norm
+    assert out["nzgmean"] == pytest.approx((2 * 4 * 6) ** (1 / 3))
+    assert out["flatness"] == pytest.approx(out["nzgmean"] / out["absmean"])
+    assert out["rqmean"] == pytest.approx(math.sqrt(np.mean(x ** 2)))
+
+
+def test_means_all_zero():
+    x, s, lo, hi, mu = pre([0.0, 0.0, 0.0])
+    out = f_means(x, s, lo, hi, mu)
+    assert out["nzamean"] == 0.0
+    assert out["nnz"] == 0.0
+    assert out["flatness"] == 1.0                 # absmean==0 guard
+
+
+def test_crossings_sign_changes():
+    # +,-,+,-: reference counts pairs at i=1..N-2 (functionalCrossings.cpp:106)
+    x, s, lo, hi, mu = pre([1, -1, 1, -1, 1])
+    out = f_crossings(x, s, lo, hi, mu)
+    assert out["zcr"] == pytest.approx(3 / 5)     # pairs (0,1),(1,2),(2,3)
+    x, s, lo, hi, mu = pre([5, 5, 5, 5])
+    assert f_crossings(x, s, lo, hi, mu)["zcr"] == 0.0
+
+
+def test_times_ramp():
+    # strict ramp: risetime = (N-1)/(N-1) = 1 under segment norm
+    x, s, lo, hi, mu = pre(np.arange(10.0))
+    out = f_times(x, s, lo, hi, mu)
+    assert out["risetime"] == pytest.approx(1.0)
+    assert out["falltime"] == pytest.approx(0.0)
+    # downleveltime25: fraction of frames <= min + 0.25*range = 2.25 -> 3/10
+    assert out["downleveltime25"] == pytest.approx(0.3)
+    assert out["upleveltime90"] == pytest.approx(1 / 10)
+    assert out["duration"] == 10.0
+
+
+def test_onset_threshold_crossings():
+    x, s, lo, hi, mu = pre([0, 0, 1, 1, 0, 1, 0])
+    out = f_onset(x, s, lo, hi, mu)
+    assert out["numOnsets"] == 2.0
+    assert out["numOffsets"] == 2.0
+    assert out["onsetPos"] == pytest.approx(2 / 7)   # segment norm
+    assert out["offsetPos"] == pytest.approx(6 / 7)
+
+
+def test_segments_nonx_runs():
+    # runs of non-zero: [1 1 1] (len3 ok), pause [0 0], [2 2 2 2]
+    x, s, lo, hi, mu = pre([1, 1, 1, 0, 0, 2, 2, 2, 2])
+    out = f_segments(x, s, lo, hi, mu, segMinLng=2, pauseMinLng=2)
+    # literal transcription of process_SegNonX: first segment emitted at
+    # i=4 (segEnd=2): addNewSegment(4-2=2, 0) -> len 2; final flush:
+    # i=9, segEnd=1 -> addNewSegment(8, 5) -> len 3
+    assert out["numSegments"] == pytest.approx(2 / 20)   # segment norm /maxNumSeg
+    assert out["meanSegLen"] == pytest.approx((2 + 3) / 2 / 9)
+    assert out["maxSegLen"] == pytest.approx(3 / 9)
+    assert out["minSegLen"] == pytest.approx(2 / 9)
+
+
+def test_peaks2_triangle_wave():
+    # conv_wave: clean triangle — peaks at odd indices (interior only, i>=2)
+    x = np.array([0, 4, 0, 4, 0, 4, 0, 4, 0], dtype=np.float64)
+    out = f_peaks2(x, np.sort(x), 0.0, 4.0, x.mean())
+    # detection range i in [2, N-3]: maxima at 3, 5; minima at 2, 4, 6.
+    # Hand-trace of the reference automaton: step 2b drops min@2 (rise from
+    # the x[0] pseudo-extremum below absThresh=0.4); surviving list is
+    # max@3, min@4, max@5, min@6.
+    assert out["numPeaks"] == 2.0
+    assert out["meanPeakDist"] == pytest.approx(2.0)
+    assert out["peakMean"] == pytest.approx(4.0)
+    # rising: x[0]->max@3 = 4/3, min@4->max@5 = 4, min@6->x[8] tail = 0
+    assert out["meanRisingSlope"] == pytest.approx((4 / 3 + 4.0 + 0.0) / 3)
+    # falling (positive magnitudes in mid-segments, functionalPeaks2.cpp:659):
+    # max@3->min@4 = 4, max@5->min@6 = 4
+    assert out["meanFallingSlope"] == pytest.approx(4.0)
+
+
+def test_peaks2_constant_no_peaks():
+    x = np.full(10, 3.0)
+    out = f_peaks2(x, np.sort(x), 3.0, 3.0, 3.0)
+    assert out["numPeaks"] == 0.0
+    assert out["meanRisingSlope"] == 0.0
+    assert out["meanFallingSlope"] == 0.0
+
+
+def test_peaks2_monotonic_no_extrema_fallback():
+    # lastIsMax == -1 branch: slope = (x[N-1]-x[0])/N
+    x = np.arange(8.0)
+    out = f_peaks2(x, np.sort(x), 0.0, 7.0, x.mean())
+    assert out["numPeaks"] == 0.0
+    assert out["meanRisingSlope"] == pytest.approx(7.0 / 8.0)
+
+
+def test_compute_all_empty_and_single():
+    assert compute_all(np.array([])) == {}
+    out = compute_all(np.array([5.0]), families=["means", "moments",
+                                                 "extremes", "percentiles",
+                                                 "regression", "crossings",
+                                                 "times", "onset", "segments",
+                                                 "peaks2"])
+    assert out["amean"] == 5.0
+    assert out["stddev"] == 0.0
+    assert all(np.isfinite(v) for v in out.values())
