@@ -1,38 +1,1214 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -> flagship pipeline on sf0.001 (transcripts -> LLD -> sma ->
+                  sessionize -> per-session functional vectors).
+queries()      -> one callable per implemented operator (SURVEY.md §2).
+oracle_sql()   -> DuckDB-dialect twins over the same parquet views.
+
+Design for the correctness gate: every query derives its transcript input
+from the shared `events` table with logic expressed identically in Spark and
+DuckDB (opensmile_spark/transcripts.py), so both engines see identical rows.
+Floating-point outputs whose accumulation order differs between engines are
+explicitly ROUND()ed to 6 dp on BOTH sides; closed-form per-row arithmetic is
+left exact. Timestamps are emitted as fractional epoch seconds (DOUBLE).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_S = 43200.0  # 12 h; median inter-turn gap in events is ~7.3 h
+
+# ---------------------------------------------------------------------------
+# shared DuckDB CTE prefix: transcripts + lld twins of the Spark derivations
+# ---------------------------------------------------------------------------
+
+SQL_PREFIX = """
+WITH transcripts AS (
+  SELECT
+    'u' || CAST(user_id AS VARCHAR) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+         AS INTEGER) AS turn_idx,
+    CASE event_type WHEN 'click' THEN 'user' WHEN 'view' THEN 'assistant'
+         WHEN 'purchase' THEN 'tool' WHEN 'signup' THEN 'user'
+         ELSE 'system' END AS role,
+    repeat(event_type || ' ', 1 + CAST(event_id % 7 AS INTEGER)) || props
+        AS text,
+    CASE WHEN event_type = 'purchase' THEN 'checkout' END AS tool,
+    ts
+  FROM events
+),
+lld AS (
+  SELECT
+    conv_id, turn_idx, ts,
+    CAST(length(text) AS DOUBLE) AS char_len,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS token_cnt,
+    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+        / CAST(length(text) AS DOUBLE) AS punct_density,
+    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+        / CAST(length(text) AS DOUBLE) AS caps_ratio,
+    CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+        / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS ttr,
+    COALESCE(1e-6*epoch_us(ts) - 1e-6*epoch_us(lag(ts) OVER w), 0.0) AS reply_latency,
+    CASE WHEN role <> COALESCE(lag(role) OVER w, role) THEN 1.0
+         ELSE 0.0 END AS role_change,
+    CASE WHEN role = 'tool' THEN 1.0 ELSE 0.0 END AS is_tool
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+sessions AS (
+  SELECT *,
+    CAST(SUM(CASE WHEN gap IS NULL OR gap > {gap} THEN 1 ELSE 0 END)
+         OVER (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS UNBOUNDED PRECEDING) - 1 AS INTEGER) AS session_id
+  FROM (
+    SELECT *, 1e-6*epoch_us(ts) - 1e-6*epoch_us(lag(ts) OVER
+        (PARTITION BY conv_id ORDER BY turn_idx)) AS gap
+    FROM lld
+  )
+)
+""".replace("{gap}", str(SESSION_GAP_S))
+
+
+def _transcripts(spark, sf_dir):
+    from opensmile_spark.transcripts import transcripts_from_events
+
+    return transcripts_from_events(spark, sf_dir)
+
+
+def _lld(spark, sf_dir, keep_text=False):
+    from opensmile_spark.lld import compute_lld
+
+    return compute_lld(_transcripts(spark, sf_dir), keep_text=keep_text)
+
+
+def _lld_sessions(spark, sf_dir):
+    from opensmile_spark.operators import sessionize
+
+    return sessionize(_lld(spark, sf_dir), gap_seconds=SESSION_GAP_S)
+
+
+def _epoch(col):
+    from opensmile_spark.util import epoch_seconds
+
+    return epoch_seconds(col)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+def q_transcripts(spark, sf_dir):
+    t = _transcripts(spark, sf_dir)
+    return t.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        _epoch("ts").alias("ts_epoch"),
+    )
+
+
+def q_lld(spark, sf_dir):
+    d = _lld(spark, sf_dir)
+    return d.select(
+        "conv_id", "turn_idx", "char_len", "token_cnt", "punct_density",
+        "caps_ratio", "ttr", "reply_latency", "role_change", "is_tool",
+    )
+
+
+def q_sma3(spark, sf_dir):
+    from opensmile_spark.operators import sma
+
+    d = sma(_lld(spark, sf_dir), ["char_len"], 3)
+    d = sma(d, ["is_tool"], 3, no_zero_sma=True)
+    return d.select("conv_id", "turn_idx", "char_len_sma3", "is_tool_sma3nz")
+
+
+def q_delta2(spark, sf_dir):
+    from opensmile_spark.operators import delta_regression
+
+    d = delta_regression(_lld(spark, sf_dir), ["char_len"], 2)
+    return d.select("conv_id", "turn_idx", F.round("char_len_de", 6).alias("char_len_de"))
+
+
+def q_preemphasis(spark, sf_dir):
+    from opensmile_spark.operators import preemphasis
+
+    d = preemphasis(_lld(spark, sf_dir), ["char_len"], k=0.97)
+    return d.select("conv_id", "turn_idx", F.round("char_len_pe", 6).alias("char_len_pe"))
+
+
+def q_sessionize(spark, sf_dir):
+    d = _lld_sessions(spark, sf_dir)
+    return d.select("conv_id", "turn_idx", "session_id")
+
+
+def q_session_bounds(spark, sf_dir):
+    from opensmile_spark.operators import session_bounds
+
+    b = session_bounds(_lld_sessions(spark, sf_dir))
+    return b.select(
+        "conv_id", "session_id",
+        _epoch("session_start").alias("start_epoch"),
+        _epoch("session_end").alias("end_epoch"),
+        "n_turns",
+    )
+
+
+def q_functionals_sql(spark, sf_dir):
+    from opensmile_spark.functionals import functionals_sql
+
+    out = functionals_sql(_lld(spark, sf_dir), ["char_len", "reply_latency"])
+    keep = ["conv_id", "n_turns"] + [
+        c for c in out.columns if c not in ("conv_id", "n_turns")
+    ]
+    from opensmile_spark.util import round_sig
+
+    sel = [F.col("conv_id"), F.col("n_turns")] + [
+        round_sig(F.col(f"`{c}`")).alias(c) for c in keep[2:]
+    ]
+    return out.select(*sel)
+
+
+def q_functionals_session(spark, sf_dir):
+    """Per-(conv, session) functional vector via the kernel path — the
+    flagship grouping; oracle covers the SQL-expressible outputs."""
+    from opensmile_spark.functionals import functionals_kernel
+
+    out = functionals_kernel(
+        _lld_sessions(spark, sf_dir), ["char_len"],
+        ("conv_id", "session_id"),
+        families=["means", "moments", "percentiles", "regression"],
+    )
+    cols = [
+        "amean", "absmean", "qmean", "rqmean", "nnz",
+        "variance", "stddev", "stddevNorm",
+        "quartile1", "quartile2", "quartile3",
+        "percentile20.0", "percentile50.0", "percentile80.0", "pctlrange0-2",
+        "linregc1", "linregc2", "linregerrA", "linregerrQ",
+    ]
+    from opensmile_spark.util import round_sig
+
+    return out.select(
+        "conv_id", "session_id", "n_turns",
+        *[round_sig(F.col(f"`char_len_{c}`")).alias(f"char_len_{c}")
+          for c in cols],
+    )
+
+
+def q_functionals_kernel_extras(spark, sf_dir):
+    """Order/threshold functionals from the numpy kernel (extremes positions,
+    crossings, times) — oracle via window-SQL twins."""
+    from opensmile_spark.functionals import functionals_kernel
+
+    out = functionals_kernel(
+        _lld(spark, sf_dir), ["char_len"], ("conv_id",),
+        families=["extremes", "crossings", "times"],
+    )
+    cols = ["max", "min", "range", "maxPos", "minPos", "zcr", "mcr",
+            "upleveltime25", "downleveltime50", "upleveltime90",
+            "risetime", "falltime", "duration"]
+    from opensmile_spark.util import round_sig
+
+    return out.select(
+        "conv_id",
+        *[round_sig(F.col(f"`char_len_{c}`")).alias(f"char_len_{c}")
+          for c in cols],
+    )
+
+
+def _anchor_grid(spark, sf_dir):
+    """Deterministic anchors: every turn ts, midpoints between consecutive
+    turns, and one hour before each conv's first turn (pre-first case).
+    All arithmetic in integer MICROSECONDS (exact, associative) so the grid
+    is bit-identical across engines; epoch output = 1e-6 * micros."""
+    lld = _lld(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    turn_anchors = lld.select("conv_id", us.alias("anchor_us"))
+    mids = lld.select(
+        "conv_id",
+        F.shiftright(us + F.lag(us).over(w), 1).alias("anchor_us"),
+    ).filter(F.col("anchor_us").isNotNull())
+    first = lld.groupBy("conv_id").agg(
+        (F.min(us) - 3_600_000_000).alias("anchor_us"))
+    return turn_anchors.unionByName(mids).unionByName(first).distinct()
+
+
+def q_asof_join(spark, sf_dir):
+    from opensmile_spark.operators import asof_join
+
+    lld = _lld(spark, sf_dir)
+    anchors = _anchor_grid(spark, sf_dir).withColumn(
+        "anchor_ts", F.timestamp_micros("anchor_us")).drop("anchor_us")
+    out = asof_join(
+        anchors.select("conv_id", "anchor_ts"),
+        lld.select("conv_id", "ts", "char_len", "token_cnt"),
+        value_cols=["char_len", "token_cnt"],
+    )
+    return out.select(
+        "conv_id",
+        (F.unix_micros(F.col("anchor_ts").cast("timestamp"))
+         * F.lit(1e-6)).alias("anchor_epoch"),
+        "char_len", "token_cnt",
+    )
+
+
+def q_backfill_means(spark, sf_dir):
+    """Point-in-time expanding means at every anchor (leakage-guarded)."""
+    from opensmile_spark.operators import backfill_functionals
+
+    lld = _lld(spark, sf_dir)
+    anchors = _anchor_grid(spark, sf_dir).withColumn(
+        "anchor_ts", F.timestamp_micros("anchor_us")).drop("anchor_us")
+    out = backfill_functionals(
+        lld, anchors.select("conv_id", "anchor_ts"), ["char_len"],
+        families=["means"],
+    ).filter(F.col("n_visible") > 0)
+    return out.select(
+        "conv_id",
+        (F.unix_micros(F.col("anchor_ts").cast("timestamp"))
+         * F.lit(1e-6)).alias("anchor_epoch"),
+        "n_visible",
+        F.round("char_len_amean", 6).alias("char_len_amean"),
+        F.round("char_len_qmean", 6).alias("char_len_qmean"),
+        F.round("char_len_nnz", 6).alias("char_len_nnz"),
+    )
+
+
+def q_mvn(spark, sf_dir):
+    from opensmile_spark.operators import mvn
+
+    d = mvn(_lld(spark, sf_dir), ["char_len"], mode="full")
+    return d.select("conv_id", "turn_idx",
+                    F.round("char_len_mvn", 6).alias("char_len_mvn"))
+
+
+def q_mvn_expanding(spark, sf_dir):
+    from opensmile_spark.operators import mvn
+
+    d = mvn(_lld(spark, sf_dir), ["char_len"], mode="expanding")
+    return d.select("conv_id", "turn_idx",
+                    F.round("char_len_mvn", 6).alias("char_len_mvn"))
+
+
+def q_fullinput_mean(spark, sf_dir):
+    from opensmile_spark.operators import fullinput_mean
+
+    d = fullinput_mean(_lld(spark, sf_dir), ["char_len"])
+    return d.select("conv_id", "turn_idx",
+                    F.round("char_len_fim", 6).alias("char_len_fim"))
+
+
+def q_valbased_selector(spark, sf_dir):
+    from opensmile_spark.operators import valbased_selector
+
+    d = valbased_selector(_lld(spark, sf_dir), "token_cnt",
+                          threshold=6.0, op="gt")
+    return d.select("conv_id", "turn_idx", "char_len", "token_cnt")
+
+
+def q_valbased_zerovec(spark, sf_dir):
+    from opensmile_spark.operators import valbased_selector
+
+    d = valbased_selector(_lld(spark, sf_dir), "is_tool", threshold=0.5,
+                          op="gt", zero_cols=["char_len", "token_cnt"])
+    return d.select("conv_id", "turn_idx", "char_len", "token_cnt")
+
+
+def q_data_selector(spark, sf_dir):
+    from opensmile_spark.operators import data_selector
+
+    d = data_selector(_lld(spark, sf_dir), names=["char_len", "ttr"],
+                      new_names={"char_len": "energy", "ttr": "flatness"})
+    return d.select("conv_id", "turn_idx", "energy", "flatness")
+
+
+def q_vector_binary_op(spark, sf_dir):
+    from opensmile_spark.operators import vector_binary_op
+
+    d = vector_binary_op(_lld(spark, sf_dir), "char_len", "token_cnt", "div",
+                         div_zero_val=0.0, out_col="chars_per_token")
+    return d.select("conv_id", "turn_idx",
+                    F.round("chars_per_token", 6).alias("chars_per_token"))
+
+
+def q_vector_ops(spark, sf_dir):
+    from opensmile_spark.operators import vector_op
+
+    d = vector_op(_lld(spark, sf_dir), "char_len", "log", out_col="log_len")
+    d = vector_op(d, "char_len", "sqrt", out_col="sqrt_len")
+    d = vector_op(d, "char_len", "dBp", out_col="db_len")
+    return d.select(
+        "conv_id", "turn_idx",
+        F.round("log_len", 6).alias("log_len"),
+        F.round("sqrt_len", 6).alias("sqrt_len"),
+        F.round("db_len", 6).alias("db_len"),
+    )
+
+
+def q_trailing_window(spark, sf_dir):
+    from opensmile_spark.operators import trailing_agg
+
+    d = trailing_agg(_lld(spark, sf_dir), "char_len", "avg", frame_rows=5,
+                     anchor="right", out_col="char_len_ma5")
+    return d.select("conv_id", "turn_idx",
+                    F.round("char_len_ma5", 6).alias("char_len_ma5"))
+
+
+def q_max_index(spark, sf_dir):
+    from opensmile_spark.operators import max_index
+
+    d = _lld(spark, sf_dir).withColumn(
+        "vec", F.array("char_len", "token_cnt", "punct_density", "ttr"))
+    d = max_index(d, "vec", out_col="max_idx")
+    return d.select("conv_id", "turn_idx", "max_idx")
+
+
+def q_interval_join(spark, sf_dir):
+    """frameMode=list analogue: count turns inside per-conv day-1 interval."""
+    from opensmile_spark.operators import interval_join
+
+    lld = _lld(spark, sf_dir)
+    iv = lld.groupBy("conv_id").agg(
+        F.min("ts").alias("start_ts"),
+        F.timestamp_seconds(_epoch(F.min("ts")) + 86400.0 * 7).alias("end_ts"),
+    )
+    joined = interval_join(lld.select("conv_id", "ts", "char_len"), iv)
+    return joined.groupBy("conv_id").agg(
+        F.count("*").alias("n_in_interval"),
+        F.round(F.avg("char_len"), 6).alias("avg_len_in_interval"),
+    )
+
+
+def q_salted_stats(spark, sf_dir):
+    from opensmile_spark.operators import salted_partial_stats
+
+    out = salted_partial_stats(_lld(spark, sf_dir), ["char_len"],
+                               salt_buckets=8)
+    return out.select(
+        "conv_id", "n_turns",
+        *[F.round(F.col(f"`char_len_{c}`"), 6).alias(f"char_len_{c}")
+          for c in ["amean", "absmean", "qmean", "rqmean", "variance",
+                    "stddev", "min", "max", "range", "nnz"]],
+    )
+
+
+# ---- documents / embeddings: training-data pipeline ----------------------
+
+def q_token_count(spark, sf_dir):
+    from opensmile_spark.text import token_count
+
+    return token_count(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens_ws", "n_tokens_word", "n_chars_engine")
+
+
+def q_quality_score(spark, sf_dir):
+    from opensmile_spark.text import quality_score
+
+    return quality_score(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+        F.round("quality", 6).alias("quality"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    from opensmile_spark.text import lang_id
+
+    return lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+def q_fingerprint(spark, sf_dir):
+    from opensmile_spark.text import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir)).select(
+        "doc_id", "doc_md5", "shingle_fp")
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Prefix-key variant so the shared corpus (no verbatim dups) still
+    exercises the hash-groupBy dedup path with non-empty output."""
+    from opensmile_spark.dedup import exact_dedup
+
+    docs = _docs(spark, sf_dir)
+    return exact_dedup(docs, key=F.substring(F.col("text"), 1, 40))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from opensmile_spark.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir), n_hashes=8)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    from opensmile_spark.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), n_hashes=8, bands=4)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from opensmile_spark.dedup import minhash_lsh_pairs, ngram_jaccard
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, n_hashes=8, bands=4)
+    out = ngram_jaccard(docs, pairs)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash(spark, sf_dir):
+    from opensmile_spark.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir), bits=32)
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    from opensmile_spark.dedup import simhash_near_dups
+
+    return simhash_near_dups(_docs(spark, sf_dir), bits=32, max_hamming=2,
+                             blocks=4)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    from opensmile_spark.dedup import embedding_near_dups
+
+    out = embedding_near_dups(_emb(spark, sf_dir), threshold=0.25)
+    return out.select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
+
+
+def q_cosine_topk(spark, sf_dir):
+    from opensmile_spark.similarity import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk(emb, queries, k=10)
+    return out.select("query_id", "item_id", "rank",
+                      F.round("cosine", 5).alias("cosine"))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """ANN path — approximate by construction; rows-only driver check
+    (recall vs the exact path is asserted in tests/)."""
+    from opensmile_spark.similarity import lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = lsh_topk(emb, queries, dim=64, k=10, bits=6)
+    return out.select("query_id", "item_id", "rank",
+                      F.round("cosine", 5).alias("cosine"))
+
+
+def q_datagen(spark, sf_dir):
+    """Deterministic synthetic corpus (rows-only: xxhash64 has no DuckDB
+    twin). Demonstrates the generator the bench uses."""
+    from opensmile_spark.datagen import generate_transcripts
+
+    t = generate_transcripts(spark, n_convs=50, turns_per_conv=20,
+                             mega_conv_factor=5)
+    return t.select("conv_id", "turn_idx", "role", "text", "tool",
+                    _epoch("ts").alias("ts_epoch"))
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL twins (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+_ORACLES: dict[str, str] = {}
+
+_ORACLES["transcripts"] = SQL_PREFIX + """
+SELECT conv_id, turn_idx, role, text, tool, 1e-6*epoch_us(ts) AS ts_epoch
+FROM transcripts
+"""
+
+_ORACLES["lld"] = SQL_PREFIX + """
+SELECT conv_id, turn_idx, char_len, token_cnt, punct_density, caps_ratio,
+       ttr, reply_latency, role_change, is_tool
+FROM lld
+"""
+
+_ORACLES["sma3"] = SQL_PREFIX + """
+, sm AS (
+  SELECT conv_id, turn_idx,
+    (char_len
+     + COALESCE(lag(char_len) OVER w,
+                first_value(char_len) OVER wf)
+     + COALESCE(lead(char_len) OVER w,
+                last_value(char_len) OVER wf)) / 3.0 AS char_len_sma3,
+    CASE WHEN is_tool = 0.0 THEN 0.0 ELSE (
+      (is_tool
+       + CASE WHEN COALESCE(lag(is_tool) OVER w, first_value(is_tool) OVER wf)
+              <> 0.0 THEN COALESCE(lag(is_tool) OVER w,
+                                   first_value(is_tool) OVER wf) ELSE 0 END
+       + CASE WHEN COALESCE(lead(is_tool) OVER w, last_value(is_tool) OVER wf)
+              <> 0.0 THEN COALESCE(lead(is_tool) OVER w,
+                                   last_value(is_tool) OVER wf) ELSE 0 END)
+      / (1
+         + CASE WHEN COALESCE(lag(is_tool) OVER w,
+                              first_value(is_tool) OVER wf) <> 0.0
+                THEN 1 ELSE 0 END
+         + CASE WHEN COALESCE(lead(is_tool) OVER w,
+                              last_value(is_tool) OVER wf) <> 0.0
+                THEN 1 ELSE 0 END)
+    ) END AS is_tool_sma3nz
+  FROM lld
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx),
+         wf AS (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT * FROM sm
+"""
+
+_ORACLES["delta2"] = SQL_PREFIX + """
+SELECT conv_id, turn_idx,
+  ROUND((1.0 * (COALESCE(lead(char_len, 1) OVER w, last_value(char_len) OVER wf)
+              - COALESCE(lag(char_len, 1) OVER w, first_value(char_len) OVER wf))
+       + 2.0 * (COALESCE(lead(char_len, 2) OVER w, last_value(char_len) OVER wf)
+              - COALESCE(lag(char_len, 2) OVER w, first_value(char_len) OVER wf)))
+      / 10.0, 6) AS char_len_de
+FROM lld
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx),
+       wf AS (PARTITION BY conv_id ORDER BY turn_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+_ORACLES["preemphasis"] = SQL_PREFIX + """
+SELECT conv_id, turn_idx,
+  ROUND(char_len - 0.97 * COALESCE(lag(char_len) OVER w,
+                                   first_value(char_len) OVER wf), 6)
+      AS char_len_pe
+FROM lld
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx),
+       wf AS (PARTITION BY conv_id ORDER BY turn_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+_ORACLES["sessionize"] = SQL_PREFIX + """
+SELECT conv_id, turn_idx, session_id FROM sessions
+"""
+
+_ORACLES["session_bounds"] = SQL_PREFIX + """
+SELECT conv_id, session_id,
+       1e-6*epoch_us(MIN(ts)) AS start_epoch, 1e-6*epoch_us(MAX(ts)) AS end_epoch,
+       COUNT(*) AS n_turns
+FROM sessions GROUP BY conv_id, session_id
+"""
+
+
+
+def _rsig(s: str) -> str:
+    """DuckDB twin of opensmile_spark.util.round_sig (6 significant digits):
+    identical op sequence so both engines round identically."""
+    return (f"CASE WHEN ABS({s}) < 1e-9 THEN 0.0 ELSE "
+            f"ROUND(({s}) * POW(10, 5 - FLOOR(LOG10(ABS({s})))), 0) "
+            f"/ POW(10, 5 - FLOOR(LOG10(ABS({s})))) END")
+
+
+def _sql_linreg(x: str):
+    """Closed-form slope/offset strings over index __i per group
+    (functionalRegression.cpp:219-240)."""
+    N = "CAST(COUNT(*) AS DOUBLE)"
+    S1 = f"({N}*({N}-1)/2)"
+    S2 = f"({N}*({N}-1)*(2*{N}-1)/6)"
+    denom = f"({N} - {S1}*{S1}/{S2})"
+    t_off = (f"(CASE WHEN COUNT(*) > 1 THEN (CASE WHEN {denom} <> 0 THEN "
+             f"(SUM({x}) - SUM({x}*__i)*{S1}/{S2}) / {denom} ELSE 0.0 END) "
+             f"ELSE FIRST({x} ORDER BY __i) END)")
+    m = (f"(CASE WHEN COUNT(*) > 1 THEN "
+         f"(SUM({x}*__i) - {t_off}*{S1}) / {S2} ELSE 0.0 END)")
+    return m, t_off
+
+
+def _sql_functional_aggs(x: str, prefix: str) -> str:
+    """DuckDB aggregate expressions matching functionals_sql naming, all
+    sig-rounded to mirror the Spark side exactly."""
+    nnz = f"SUM(CASE WHEN {x} <> 0 THEN 1 ELSE 0 END)"
+    var = f"(AVG({x}*{x}) - AVG({x})*AVG({x}))"
+    sd = f"(CASE WHEN {var} > 0 THEN SQRT({var}) ELSE 0.0 END)"
+    m3c = f"(AVG({x}*{x}*{x}) - 3*AVG({x})*AVG({x}*{x}) + 2*POW(AVG({x}),3))"
+    m4c = (f"(AVG({x}*{x}*{x}*{x}) - 4*AVG({x})*AVG({x}*{x}*{x}) "
+           f"+ 6*AVG({x})*AVG({x})*AVG({x}*{x}) - 3*POW(AVG({x}),4))")
+    m, t_off = _sql_linreg(x)
+    exprs = {
+        "amean": f"AVG({x})",
+        "absmean": f"AVG(ABS({x}))",
+        "qmean": f"AVG({x}*{x})",
+        "rqmean": f"SQRT(AVG({x}*{x}))",
+        "nnz": f"CAST({nnz} AS DOUBLE)",
+        "nzamean": (f"CASE WHEN {nnz} > 0 THEN "
+                    f"SUM(CASE WHEN {x} <> 0 THEN {x} END)/{nnz} "
+                    f"ELSE 0.0 END"),
+        "nzabsmean": (f"CASE WHEN {nnz} > 0 THEN "
+                      f"SUM(CASE WHEN {x} <> 0 THEN ABS({x}) END)/{nnz} "
+                      f"ELSE 0.0 END"),
+        "nzqmean": (f"CASE WHEN {nnz} > 0 THEN "
+                    f"SUM(CASE WHEN {x} <> 0 THEN {x}*{x} END)/{nnz} "
+                    f"ELSE 0.0 END"),
+        "variance": var,
+        "stddev": sd,
+        "skewness": (f"CASE WHEN {var} > 0 THEN {m3c}/({var}*SQRT({var})) "
+                     f"ELSE 0.0 END"),
+        "kurtosis": f"CASE WHEN {var} > 0 THEN {m4c}/POW({var},2) ELSE 0.0 END",
+        "stddevNorm": (f"CASE WHEN {var} <= 0 THEN 0.0 "
+                       f"WHEN AVG({x}) <> 0 THEN {sd}/AVG({x}) "
+                       f"ELSE {sd} END"),
+        "max": f"MAX({x})",
+        "min": f"MIN({x})",
+        "range": f"MAX({x}) - MIN({x})",
+        "maxameandist": f"MAX({x}) - AVG({x})",
+        "minameandist": f"AVG({x}) - MIN({x})",
+        "quartile1": f"quantile_cont({x}, 0.25)",
+        "quartile2": f"quantile_cont({x}, 0.50)",
+        "quartile3": f"quantile_cont({x}, 0.75)",
+        "iqr1-3": f"quantile_cont({x}, 0.75) - quantile_cont({x}, 0.25)",
+        "percentile20.0": f"quantile_cont({x}, 0.20)",
+        "percentile50.0": f"quantile_cont({x}, 0.50)",
+        "percentile80.0": f"quantile_cont({x}, 0.80)",
+        "pctlrange0-2": f"ABS(quantile_cont({x}, 0.80) - quantile_cont({x}, 0.20))",
+        "linregc1": m,
+        "linregc2": t_off,
+    }
+    return ",\n".join(
+        f'{_rsig(e)} AS "{prefix}_{name}"' for name, e in exprs.items()
+    )
+
+
+_ORACLES["functionals_sql"] = SQL_PREFIX + """
+, idx AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1
+                 AS DOUBLE) AS __i
+  FROM lld
+)
+SELECT conv_id, COUNT(*) AS n_turns,
+""" + _sql_functional_aggs("char_len", "char_len") + ",\n" \
+    + _sql_functional_aggs("reply_latency", "reply_latency") + """
+FROM idx GROUP BY conv_id
+"""
+
+
+def _functionals_session_oracle() -> str:
+    m, t_off = _sql_linreg("char_len")
+    base_cols = _sql_functional_aggs("char_len", "char_len")
+    return SQL_PREFIX + f"""
+, idx AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, session_id
+                                    ORDER BY turn_idx) - 1 AS DOUBLE) AS __i
+  FROM sessions
+),
+base AS (
+  SELECT conv_id, session_id, COUNT(*) AS n_turns,
+  {base_cols}
+  FROM idx GROUP BY conv_id, session_id
+),
+coef AS (
+  SELECT conv_id, session_id, {t_off} AS t_off, {m} AS m_slope
+  FROM idx GROUP BY conv_id, session_id
+),
+err AS (
+  SELECT i.conv_id, i.session_id,
+    {_rsig("SUM(ABS(i.char_len - (c.m_slope*i.__i + c.t_off))) / COUNT(*)")}
+        AS "char_len_linregerrA",
+    {_rsig("SUM(POW(i.char_len - (c.m_slope*i.__i + c.t_off), 2)) / COUNT(*)")}
+        AS "char_len_linregerrQ"
+  FROM idx i JOIN coef c USING (conv_id, session_id)
+  GROUP BY i.conv_id, i.session_id
+)
+SELECT b.conv_id, b.session_id, b.n_turns,
+  b."char_len_amean", b."char_len_absmean", b."char_len_qmean",
+  b."char_len_rqmean", b."char_len_nnz", b."char_len_variance",
+  b."char_len_stddev", b."char_len_stddevNorm", b."char_len_quartile1",
+  b."char_len_quartile2", b."char_len_quartile3", b."char_len_percentile20.0",
+  b."char_len_percentile50.0", b."char_len_percentile80.0",
+  b."char_len_pctlrange0-2", b."char_len_linregc1", b."char_len_linregc2",
+  e."char_len_linregerrA", e."char_len_linregerrQ"
+FROM base b JOIN err e USING (conv_id, session_id)
+"""
+
+
+_ORACLES["functionals_session"] = _functionals_session_oracle()
+
+
+def _kernel_extras_oracle() -> str:
+    r = _rsig
+    return SQL_PREFIX + f"""
+, idx AS (
+  SELECT *,
+    CAST(ROW_NUMBER() OVER w - 1 AS DOUBLE) AS __i,
+    MAX(char_len) OVER wp AS __gmax,
+    MIN(char_len) OVER wp AS __gmin,
+    AVG(char_len) OVER wp AS __gmean,
+    lag(char_len) OVER w AS __xm1,
+    lead(char_len) OVER w AS __xp1,
+    COUNT(*) OVER wp AS __n
+  FROM lld
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx),
+         wp AS (PARTITION BY conv_id)
+)
+SELECT conv_id,
+  {r("MAX(char_len)")} AS "char_len_max",
+  {r("MIN(char_len)")} AS "char_len_min",
+  {r("MAX(char_len) - MIN(char_len)")} AS "char_len_range",
+  {r("MIN(CASE WHEN char_len = __gmax THEN __i END)")} AS "char_len_maxPos",
+  {r("MIN(CASE WHEN char_len = __gmin THEN __i END)")} AS "char_len_minPos",
+  {r("SUM(CASE WHEN __i >= 1 AND __i <= __n - 2 AND ((__xm1 * __xp1 <= 0 AND char_len = 0) OR (__xm1 * char_len < 0)) THEN 1 ELSE 0 END) * 1.0 / COUNT(*)")}
+      AS "char_len_zcr",
+  {r("SUM(CASE WHEN __i >= 1 AND __i <= __n - 2 AND (((__xm1-__gmean) * (__xp1-__gmean) <= 0 AND char_len-__gmean = 0) OR ((__xm1-__gmean) * (char_len-__gmean) < 0)) THEN 1 ELSE 0 END) * 1.0 / COUNT(*)")}
+      AS "char_len_mcr",
+  {r("(COUNT(*) - SUM(CASE WHEN char_len <= __gmin + 0.25*(__gmax-__gmin) THEN 1 ELSE 0 END)) * 1.0 / COUNT(*)")}
+      AS "char_len_upleveltime25",
+  {r("SUM(CASE WHEN char_len <= __gmin + 0.50*(__gmax-__gmin) THEN 1 ELSE 0 END) * 1.0 / COUNT(*)")}
+      AS "char_len_downleveltime50",
+  {r("(COUNT(*) - SUM(CASE WHEN char_len <= __gmin + 0.90*(__gmax-__gmin) THEN 1 ELSE 0 END)) * 1.0 / COUNT(*)")}
+      AS "char_len_upleveltime90",
+  {r("CASE WHEN COUNT(*) > 1 THEN SUM(CASE WHEN __xm1 < char_len THEN 1 ELSE 0 END) * 1.0 / (COUNT(*) - 1) ELSE 0.0 END")}
+      AS "char_len_risetime",
+  {r("CASE WHEN COUNT(*) > 1 THEN SUM(CASE WHEN __xm1 > char_len THEN 1 ELSE 0 END) * 1.0 / (COUNT(*) - 1) ELSE 0.0 END")}
+      AS "char_len_falltime",
+  {r("COUNT(*) * 1.0")} AS "char_len_duration"
+FROM idx GROUP BY conv_id
+"""
+
+
+_ORACLES["functionals_kernel_extras"] = _kernel_extras_oracle()
+
+_ORACLES["asof_join"] = SQL_PREFIX + """
+, anchors AS (
+  SELECT conv_id, epoch_us(ts) AS anchor_us FROM lld
+  UNION
+  SELECT conv_id, (epoch_us(ts) + epoch_us(lag(ts) OVER
+      (PARTITION BY conv_id ORDER BY turn_idx))) >> 1
+  FROM lld QUALIFY lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+      IS NOT NULL
+  UNION
+  SELECT conv_id, MIN(epoch_us(ts)) - 3600000000 FROM lld GROUP BY conv_id
+)
+SELECT a.conv_id, 1e-6*a.anchor_us AS anchor_epoch, l.char_len, l.token_cnt
+FROM anchors a
+ASOF LEFT JOIN lld l
+  ON a.conv_id = l.conv_id AND epoch_us(l.ts) <= a.anchor_us
+"""
+
+_ORACLES["backfill_means"] = SQL_PREFIX + """
+, anchors AS (
+  SELECT conv_id, epoch_us(ts) AS anchor_us FROM lld
+  UNION
+  SELECT conv_id, (epoch_us(ts) + epoch_us(lag(ts) OVER
+      (PARTITION BY conv_id ORDER BY turn_idx))) >> 1
+  FROM lld QUALIFY lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+      IS NOT NULL
+  UNION
+  SELECT conv_id, MIN(epoch_us(ts)) - 3600000000 FROM lld GROUP BY conv_id
+)
+SELECT a.conv_id, 1e-6*a.anchor_us AS anchor_epoch,
+  COUNT(l.char_len) AS n_visible,
+  ROUND(AVG(l.char_len), 6) AS char_len_amean,
+  ROUND(AVG(l.char_len * l.char_len), 6) AS char_len_qmean,
+  ROUND(CAST(SUM(CASE WHEN l.char_len <> 0 THEN 1 ELSE 0 END) AS DOUBLE), 6)
+      AS char_len_nnz
+FROM anchors a
+JOIN lld l ON a.conv_id = l.conv_id AND epoch_us(l.ts) <= a.anchor_us
+GROUP BY a.conv_id, a.anchor_us
+HAVING COUNT(l.char_len) > 0
+"""
+
+_ORACLES["mvn"] = SQL_PREFIX + """
+, st AS (
+  SELECT conv_id, AVG(char_len) AS mu,
+         SQRT(AVG(char_len*char_len) - AVG(char_len)*AVG(char_len)) AS sd
+  FROM lld GROUP BY conv_id
+)
+SELECT l.conv_id, l.turn_idx,
+  ROUND(CASE WHEN st.sd > 0 THEN (l.char_len - st.mu) / st.sd
+       ELSE 0.0 END, 6) AS char_len_mvn
+FROM lld l JOIN st USING (conv_id)
+"""
+
+_ORACLES["mvn_expanding"] = SQL_PREFIX + """
+SELECT conv_id, turn_idx,
+  ROUND(CASE WHEN SQRT(AVG(char_len*char_len) OVER w
+                       - (AVG(char_len) OVER w)*(AVG(char_len) OVER w)) > 0
+       THEN (char_len - AVG(char_len) OVER w)
+            / SQRT(AVG(char_len*char_len) OVER w
+                   - (AVG(char_len) OVER w)*(AVG(char_len) OVER w))
+       ELSE 0.0 END, 6) AS char_len_mvn
+FROM lld
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+_ORACLES["fullinput_mean"] = SQL_PREFIX + """
+SELECT conv_id, turn_idx,
+  ROUND(char_len - AVG(char_len) OVER (PARTITION BY conv_id), 6)
+      AS char_len_fim
+FROM lld
+"""
+
+_ORACLES["valbased_selector"] = SQL_PREFIX + """
+SELECT conv_id, turn_idx, char_len, token_cnt FROM lld WHERE token_cnt > 6.0
+"""
+
+_ORACLES["valbased_zerovec"] = SQL_PREFIX + """
+SELECT conv_id, turn_idx,
+  CASE WHEN is_tool > 0.5 THEN char_len ELSE 0.0 END AS char_len,
+  CASE WHEN is_tool > 0.5 THEN token_cnt ELSE 0.0 END AS token_cnt
+FROM lld
+"""
+
+_ORACLES["data_selector"] = SQL_PREFIX + """
+SELECT conv_id, turn_idx, char_len AS energy, ttr AS flatness FROM lld
+"""
+
+_ORACLES["vector_binary_op"] = SQL_PREFIX + """
+SELECT conv_id, turn_idx,
+  ROUND(CASE WHEN token_cnt <> 0 THEN char_len / token_cnt ELSE 0.0 END, 6)
+      AS chars_per_token
+FROM lld
+"""
+
+_ORACLES["vector_ops"] = SQL_PREFIX + """
+SELECT conv_id, turn_idx,
+  ROUND(CASE WHEN char_len > 0 THEN LN(char_len) ELSE 0.0 END, 6) AS log_len,
+  ROUND(SQRT(ABS(char_len)), 6) AS sqrt_len,
+  ROUND(10.0 * CASE WHEN char_len > 0 THEN LOG10(char_len) ELSE 0.0 END, 6)
+      AS db_len
+FROM lld
+"""
+
+_ORACLES["trailing_window"] = SQL_PREFIX + """
+SELECT conv_id, turn_idx,
+  ROUND(AVG(char_len) OVER (PARTITION BY conv_id ORDER BY turn_idx
+        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS char_len_ma5
+FROM lld
+"""
+
+_ORACLES["max_index"] = SQL_PREFIX + """
+SELECT conv_id, turn_idx,
+  CAST(list_position([char_len, token_cnt, punct_density, ttr],
+       list_max([char_len, token_cnt, punct_density, ttr])) - 1 AS INTEGER)
+      AS max_idx
+FROM lld
+"""
+
+_ORACLES["interval_join"] = SQL_PREFIX + """
+, iv AS (
+  SELECT conv_id, MIN(ts) AS start_ts,
+         to_timestamp(1e-6*epoch_us(MIN(ts)) + 86400.0 * 7) AS end_ts
+  FROM lld GROUP BY conv_id
+)
+SELECT l.conv_id, COUNT(*) AS n_in_interval,
+       ROUND(AVG(l.char_len), 6) AS avg_len_in_interval
+FROM lld l JOIN iv ON l.conv_id = iv.conv_id
+  AND 1e-6*epoch_us(l.ts) >= 1e-6*epoch_us(iv.start_ts) AND 1e-6*epoch_us(l.ts) <= 1e-6*epoch_us(iv.end_ts)
+GROUP BY l.conv_id
+"""
+
+_ORACLES["salted_stats"] = SQL_PREFIX + """
+SELECT conv_id, COUNT(*) AS n_turns,
+  ROUND(AVG(char_len), 6) AS char_len_amean,
+  ROUND(AVG(ABS(char_len)), 6) AS char_len_absmean,
+  ROUND(AVG(char_len*char_len), 6) AS char_len_qmean,
+  ROUND(SQRT(AVG(char_len*char_len)), 6) AS char_len_rqmean,
+  ROUND(AVG(char_len*char_len) - AVG(char_len)*AVG(char_len), 6)
+      AS char_len_variance,
+  ROUND(CASE WHEN AVG(char_len*char_len) - AVG(char_len)*AVG(char_len) > 0
+       THEN SQRT(AVG(char_len*char_len) - AVG(char_len)*AVG(char_len))
+       ELSE 0.0 END, 6) AS char_len_stddev,
+  ROUND(MIN(char_len), 6) AS char_len_min,
+  ROUND(MAX(char_len), 6) AS char_len_max,
+  ROUND(MAX(char_len) - MIN(char_len), 6) AS char_len_range,
+  ROUND(CAST(SUM(CASE WHEN char_len <> 0 THEN 1 ELSE 0 END) AS DOUBLE), 6)
+      AS char_len_nnz
+FROM lld GROUP BY conv_id
+"""
+
+# ---- documents / embeddings ----------------------------------------------
+
+_DOC_TOKENS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+_ORACLES["token_count"] = """
+SELECT doc_id,
+  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens_ws,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_tokens_word,
+  CAST(length(text) AS BIGINT) AS n_chars_engine
+FROM documents
+"""
+
+_STOP_EN = "['the','and','of','to','a','in','is','that','it','for']"
+
+_ORACLES["quality_score"] = f"""
+WITH t AS (
+  SELECT doc_id, text, {_DOC_TOKENS} AS toks,
+    CAST(len({_DOC_TOKENS}) AS DOUBLE) AS n_tok,
+    CAST(length(text) AS DOUBLE) AS n_chr
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / n_chr
+        AS punct_ratio,
+    CAST(len(list_intersect(toks, {_STOP_EN})) AS DOUBLE) / 10.0
+        AS stopword_ratio,
+    n_chr / n_tok AS mean_token_len,
+    n_tok, n_chr
+  FROM t
+)
+SELECT doc_id,
+  ROUND(punct_ratio, 6) AS punct_ratio,
+  ROUND(stopword_ratio, 6) AS stopword_ratio,
+  ROUND(mean_token_len, 6) AS mean_token_len,
+  ROUND(LEAST(n_tok / 100.0, 1.0) * 0.4
+      + LEAST(stopword_ratio * 2.0, 1.0) * 0.3
+      + CASE WHEN mean_token_len >= 3 AND mean_token_len <= 12
+             THEN 0.2 ELSE 0.0 END
+      + CASE WHEN punct_ratio <= 0.1 THEN 0.1 ELSE 0.0 END, 6) AS quality
+FROM s
+"""
+
+_STOPS_SQL = {
+    "en": _STOP_EN,
+    "de": "['der','die','das','und','ist','nicht','ein','mit','auf']",
+    "fr": "['le','la','les','et','est','un','une','dans','pour']",
+    "es": "['el','la','los','las','es','un','una','en','por']",
+}
+
+_ORACLES["lang_id"] = f"""
+WITH t AS (
+  SELECT doc_id, {_DOC_TOKENS} AS toks FROM documents
+), r AS (
+  SELECT doc_id,
+    CAST(len(list_intersect(toks, {_STOPS_SQL['en']})) AS DOUBLE) / 10.0 AS s_en,
+    CAST(len(list_intersect(toks, {_STOPS_SQL['de']})) AS DOUBLE) / 9.0 AS s_de,
+    CAST(len(list_intersect(toks, {_STOPS_SQL['fr']})) AS DOUBLE) / 9.0 AS s_fr,
+    CAST(len(list_intersect(toks, {_STOPS_SQL['es']})) AS DOUBLE) / 9.0 AS s_es
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) < 0.1 THEN 'unknown'
+       WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+       WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+       WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+       ELSE 'es' END AS lang_pred
+FROM r
+"""
+
+_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(0, greatest(len({T}) - 3, 0) + 1), "
+    "i -> array_to_string(list_slice({T}, i + 1, i + 3), ' ')))"
+).format(T=_DOC_TOKENS)
+
+_ORACLES["fingerprint"] = f"""
+SELECT doc_id, md5(text) AS doc_md5,
+  list_min(list_transform({_SHINGLES}, s -> md5(s))) AS shingle_fp
+FROM documents
+"""
+
+_ORACLES["exact_dedup"] = """
+SELECT md5(substr(text, 1, 40)) AS content_md5, MIN(doc_id) AS survivor_id,
+       COUNT(*) AS n_dups
+FROM documents GROUP BY md5(substr(text, 1, 40)) HAVING COUNT(*) > 1
+"""
+
+_MH_COLS = ", ".join(
+    f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS mh{i}"
+    for i in range(8)
+)
+
+_ORACLES["minhash_signatures"] = f"""
+WITH t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents)
+SELECT doc_id, {_MH_COLS} FROM t
+"""
+
+_BANDS_SQL = ", ".join(
+    f"md5('{b}' || '|' || mh{b * 2} || '|' || mh{b * 2 + 1}) AS band{b}"
+    for b in range(4)
+)
+
+_ORACLES["minhash_lsh_pairs"] = f"""
+WITH t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+sig AS (SELECT doc_id, {_MH_COLS} FROM t),
+banded AS (SELECT doc_id, {_BANDS_SQL} FROM sig),
+stacked AS (
+  SELECT doc_id, 0 AS band_no, band0 AS band_key FROM banded
+  UNION ALL SELECT doc_id, 1, band1 FROM banded
+  UNION ALL SELECT doc_id, 2, band2 FROM banded
+  UNION ALL SELECT doc_id, 3, band3 FROM banded
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM stacked a JOIN stacked b
+  ON a.band_no = b.band_no AND a.band_key = b.band_key
+  AND a.doc_id < b.doc_id
+"""
+
+_ORACLES["ngram_jaccard"] = f"""
+WITH t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+sig AS (SELECT doc_id, {_MH_COLS} FROM t),
+banded AS (SELECT doc_id, {_BANDS_SQL} FROM sig),
+stacked AS (
+  SELECT doc_id, 0 AS band_no, band0 AS band_key FROM banded
+  UNION ALL SELECT doc_id, 1, band1 FROM banded
+  UNION ALL SELECT doc_id, 2, band2 FROM banded
+  UNION ALL SELECT doc_id, 3, band3 FROM banded
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM stacked a JOIN stacked b
+    ON a.band_no = b.band_no AND a.band_key = b.band_key
+    AND a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b,
+  ROUND(CASE WHEN len(list_distinct(list_concat(ta.sh, tb.sh))) > 0
+       THEN CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(ta.sh, tb.sh)))
+       ELSE 0.0 END, 6) AS jaccard
+FROM pairs p
+JOIN t ta ON ta.doc_id = p.id_a
+JOIN t tb ON tb.doc_id = p.id_b
+"""
+
+_SIMHASH_BITS = " + ".join(
+    f"""(CASE WHEN (SELECT SUM(CASE WHEN (CAST(('0x' || substr(md5(tok), 1, 8))
+       AS BIGINT) >> {b}) % 2 = 1 THEN 1 ELSE -1 END)
+       FROM unnest(toks) AS u(tok)) > 0 THEN {1 << b} ELSE 0 END)"""
+    for b in range(32)
+)
+
+_ORACLES["simhash"] = f"""
+WITH t AS (
+  SELECT doc_id, list_distinct({_DOC_TOKENS}) AS toks FROM documents
+)
+SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM t
+"""
+
+
+_ORACLES["simhash_near_dups"] = f'''
+WITH t AS (
+  SELECT doc_id, list_distinct({_DOC_TOKENS}) AS toks FROM documents
+),
+sig AS (SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM t)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+'''
+
+_ORACLES["embedding_near_dups"] = """
+WITH n AS (
+  SELECT vec_id, embedding,
+    sqrt(list_sum(list_transform(embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND(list_sum(list_transform(range(1, 65),
+       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      / (a.nrm * b.nrm), 5) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, 65),
+       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      / (a.nrm * b.nrm) >= 0.25
+"""
+
+_ORACLES["cosine_topk"] = """
+WITH n AS (
+  SELECT vec_id, embedding,
+    sqrt(list_sum(list_transform(embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, i.vec_id AS item_id,
+    list_sum(list_transform(range(1, 65),
+         k -> CAST(q.embedding[k] AS DOUBLE) * CAST(i.embedding[k] AS DOUBLE)))
+        / (q.nrm * i.nrm) AS cosine
+  FROM n q JOIN n i ON q.vec_id < 5 AND i.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, item_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, item_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, item_id, CAST(rank AS INTEGER) AS rank,
+       ROUND(cosine, 5) AS cosine
+FROM ranked WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "transcripts": q_transcripts,
+    "lld": q_lld,
+    "sma3": q_sma3,
+    "delta2": q_delta2,
+    "preemphasis": q_preemphasis,
+    "sessionize": q_sessionize,
+    "session_bounds": q_session_bounds,
+    "functionals_sql": q_functionals_sql,
+    "functionals_session": q_functionals_session,
+    "functionals_kernel_extras": q_functionals_kernel_extras,
+    "asof_join": q_asof_join,
+    "backfill_means": q_backfill_means,
+    "mvn": q_mvn,
+    "mvn_expanding": q_mvn_expanding,
+    "fullinput_mean": q_fullinput_mean,
+    "valbased_selector": q_valbased_selector,
+    "valbased_zerovec": q_valbased_zerovec,
+    "data_selector": q_data_selector,
+    "vector_binary_op": q_vector_binary_op,
+    "vector_ops": q_vector_ops,
+    "trailing_window": q_trailing_window,
+    "max_index": q_max_index,
+    "interval_join": q_interval_join,
+    "salted_stats": q_salted_stats,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "exact_dedup": q_exact_dedup,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash": q_simhash,
+    "simhash_near_dups": q_simhash_near_dups,
+    "embedding_near_dups": q_embedding_near_dups,
+    "cosine_topk": q_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,       # rows-only (approximate ANN)
+    "datagen": q_datagen,                 # rows-only (xxhash64 has no twin)
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-(conv, session) eGeMAPS-style functional vector over the
+    smoothed turn-length LLD at sf0.001 (SURVEY.md §7.2 minimum slice)."""
+    from opensmile_spark.functionals import functionals_kernel
+    from opensmile_spark.operators import sessionize, sma
+
+    sf_dir = "/root/testdata/sf0.001"
+    lld = _lld(spark, sf_dir)
+    lld = sma(lld, ["char_len"], 3)
+    lld = sessionize(lld, gap_seconds=SESSION_GAP_S)
+    return functionals_kernel(
+        lld, ["char_len_sma3"], ("conv_id", "session_id"),
+        families=["means", "moments", "percentiles", "regression", "peaks2"],
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -1,0 +1,214 @@
+"""Deduplication suite for training-data pipelines over `documents`.
+
+Scale design notes (the point of each variant at 100 TB):
+  exact        one hash-groupBy; map-side partial agg, no pairs ever formed.
+  minhash LSH  shingle -> k md5-salted minhashes -> b bands; candidate pairs
+               only *within* a band bucket (the classic banding bound), so
+               pair formation is output-bounded, never O(n^2). Portable
+               hashing: md5 (same function in Spark and DuckDB -> oracle-able).
+  simhash      64-bit sign-aggregated token hashes; near-dup = small Hamming
+               distance; bucket by 16-bit blocks for candidate generation.
+  ngram-jaccard exact verification on LSH candidates (pair-bounded).
+  embedding    cosine near-dup over `embeddings` via exact threshold join on
+               LSH-bucketed candidates (see similarity.py for ANN).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col):
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def _shingles(text_col, k: int):
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", key=None) -> DataFrame:
+    """Exact duplicate groups by content hash: one row per duplicated key
+    with the survivor (min id) and the duplicate count. `key` defaults to
+    the full text; pass e.g. F.substring(text, 1, 40) for prefix dedup."""
+    key = key if key is not None else F.col(text_col)
+    return (
+        df.groupBy(F.md5(key).alias("content_md5"))
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count("*").alias("n_dups"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k_shingle: int = 3,
+                       n_hashes: int = 16) -> DataFrame:
+    """Per-doc minhash signature: h_i = min over shingles of
+    md5(i || '|' || shingle). md5 is available verbatim in DuckDB, so the
+    signature is oracle-checkable; min over hex strings == min over the
+    128-bit values (fixed-width lowercase hex)."""
+    sh = _shingles(text_col, k_shingle)
+    cols = [
+        F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+        ).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return df.select(F.col(id_col), *cols)
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k_shingle: int = 3,
+                      n_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: docs sharing any band key
+    become a pair (id_a < id_b). Self-join is per-bucket — bounded by bucket
+    sizes, shuffles on the band key only."""
+    sig = minhash_signatures(df, id_col, text_col, k_shingle, n_hashes)
+    rows_per_band = n_hashes // bands
+    band_keys = [
+        F.md5(F.concat_ws("|", F.lit(b), *[
+            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+        ])).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(id_col, *band_keys)
+    stacked = banded.selectExpr(
+        id_col,
+        "stack({n}, {args}) as (band_no, band_key)".format(
+            n=bands,
+            args=", ".join(f"'{b}', band{b}" for b in range(bands)),
+        ),
+    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    pairs = (
+        a.join(b, ["band_no", "band_key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k_shingle: int = 3,
+                  threshold: float = 0.0) -> DataFrame:
+    """Exact Jaccard over k-shingle sets for given candidate pairs (the
+    verify stage after LSH). Join is pair-bounded."""
+    sh = df.select(F.col(id_col), _shingles(text_col, k_shingle).alias("sh"))
+    out = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a")
+                   .withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b")
+              .withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.when(F.col("uni") > 0,
+                   F.col("inter").cast("double") / F.col("uni"))
+            .otherwise(0.0),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 32) -> DataFrame:
+    """SimHash over tokens: bit b of the signature = sign of
+    sum over distinct tokens of (+1 if bit b of md5(token) set else -1).
+    Uses the first 8 hex chars of md5 (32 bits) — portable to DuckDB."""
+    toks = F.array_distinct(_tokens(text_col))
+    h = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+    bit_cols = []
+    for b in range(bits):
+        vote = F.aggregate(
+            h, F.lit(0),
+            lambda acc, v: acc + F.when(
+                F.shiftright(v, b) % 2 == 1, 1).otherwise(-1),
+        )
+        bit_cols.append(F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    sig = bit_cols[0]
+    for c in bit_cols[1:]:
+        sig = sig + c
+    return df.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", bits: int = 32,
+                      max_hamming: int = 3, blocks: int = 4) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming. Candidate
+    generation: split the signature into `blocks` blocks — any pair within
+    Hamming d < blocks shares at least one exact block (pigeonhole), so we
+    bucket-join per block, then verify exactly with bit_count(xor)."""
+    sig = simhash(df, id_col, text_col, bits)
+    bw = bits // blocks
+    mask = (1 << bw) - 1
+    stacked = sig.selectExpr(
+        id_col, "simhash",
+        "stack({n}, {args}) as (blk_no, blk)".format(
+            n=blocks,
+            args=", ".join(
+                f"'{b}', shiftright(simhash, {b * bw}) & {mask}"
+                for b in range(blocks)),
+        ),
+    )
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(b, ["blk_no", "blk"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        threshold: float = 0.95) -> DataFrame:
+    """Exact cosine near-dup pairs above threshold. Brute pair join — meant
+    for verification/small sides; the scale path buckets candidates first
+    (similarity.lsh_bucket_candidates) and verifies with the same cosine."""
+    def norm(df, suffix):
+        v = F.col(vec_col)
+        n = F.sqrt(F.aggregate(v, F.lit(0.0),
+                               lambda a, x: a + x.cast("double") * x))
+        return df.select(
+            F.col(id_col).alias(f"id_{suffix}"),
+            v.alias(f"v_{suffix}"),
+            n.alias(f"n_{suffix}"),
+        )
+
+    a = norm(emb, "a")
+    b = norm(emb, "b")
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (F.col("n_a") * F.col("n_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

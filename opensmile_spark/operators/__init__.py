@@ -8,3 +8,21 @@ from opensmile_spark.operators.windows import (  # noqa: F401
 )
 from opensmile_spark.operators.sessionize import sessionize, session_bounds  # noqa: F401
 from opensmile_spark.operators.asof import asof_join, backfill_functionals  # noqa: F401
+from opensmile_spark.operators.select import (  # noqa: F401
+    data_selector,
+    max_index,
+    valbased_selector,
+)
+from opensmile_spark.operators.vector_ops import (  # noqa: F401
+    mono_mixdown,
+    vector_binary_op,
+    vector_op,
+    vector_reduce,
+)
+from opensmile_spark.operators.normalize import fullinput_mean, mvn  # noqa: F401
+from opensmile_spark.operators.framing import (  # noqa: F401
+    frame_vector,
+    interval_join,
+    tumbling_frames,
+)
+from opensmile_spark.operators.salt import overlap_salt, salted_partial_stats  # noqa: F401

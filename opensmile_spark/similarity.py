@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: exact brute-force cosine top-k — broadcast the (small) query set,
+score with built-in zip_with/aggregate expressions (no Python), window top-k.
+Scale path: random-hyperplane LSH bucketing — candidates only within shared
+buckets, exact re-scoring after; recall tunable via tables/bits.
+
+The hyperplanes are generated deterministically from a seed via md5-based
+uniforms so query & index sides always agree without shipping state.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+
+
+def _norm(v):
+    return F.sqrt(F.aggregate(v, F.lit(0.0),
+                              lambda a, x: a + x.cast("double") * x))
+
+
+def cosine_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact brute-force top-k: for each query vector the k nearest index
+    vectors by cosine. Query side is broadcast (it is the small side);
+    the big index side streams — one pass, no shuffle of the index."""
+    query_id_col = query_id_col or id_col
+    q = F.broadcast(queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+    ))
+    scored = (
+        index.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("i_vec"))
+        .crossJoin(q)
+        .filter(F.col("item_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("q_vec"), F.col("i_vec"))
+            / (_norm(F.col("q_vec")) * _norm(F.col("i_vec"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("item_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "item_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-gaussian hyperplanes from md5 counters
+    (Box-Muller over md5-derived uniforms — stdlib only, cluster-stable)."""
+    planes = []
+    for b in range(bits):
+        vec = []
+        i = 0
+        while len(vec) < dim:
+            h = hashlib.md5(f"{seed}|{b}|{i}".encode()).hexdigest()
+            u1 = (int(h[:8], 16) + 1) / 0x100000001
+            u2 = (int(h[8:16], 16) + 1) / 0x100000001
+            r = math.sqrt(-2.0 * math.log(u1))
+            vec.append(r * math.cos(2 * math.pi * u2))
+            if len(vec) < dim:
+                vec.append(r * math.sin(2 * math.pi * u2))
+            i += 1
+        planes.append(vec[:dim])
+    return planes
+
+
+def lsh_bucket(df: DataFrame, dim: int, bits: int = 12, seed: int = 42,
+               vec_col: str = "embedding",
+               out_col: str = "lsh_bucket") -> DataFrame:
+    """Random-hyperplane signature: bit b = sign(<v, plane_b>)."""
+    planes = _hyperplanes(dim, bits, seed)
+    sig = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        sig = sig + F.when(_dot(F.col(vec_col), p) > 0,
+                           F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return df.withColumn(out_col, sig)
+
+
+def lsh_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: equi-join on the LSH bucket, exact cosine within bucket.
+    Approximate (recall < 1) by construction — candidates limited to the
+    query's bucket; multiply tables by varying seed for higher recall."""
+    qi = lsh_bucket(queries, dim, bits, seed, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        F.col("lsh_bucket"),
+    )
+    ii = lsh_bucket(index, dim, bits, seed, vec_col).select(
+        F.col(id_col).alias("item_id"), F.col(vec_col).alias("i_vec"),
+        F.col("lsh_bucket"),
+    )
+    scored = (
+        ii.join(F.broadcast(qi), "lsh_bucket")
+        .filter(F.col("item_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("q_vec"), F.col("i_vec"))
+            / (_norm(F.col("q_vec")) * _norm(F.col("i_vec"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("item_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "item_id", "cosine", "rank")
+    )

@@ -1,0 +1,93 @@
+"""Text analysis for training-data pipelines over the `documents` table.
+
+Beyond the reference's numeric-only data plane, a 100 TB corpus pipeline
+needs text quality/diagnostic signals. All pure built-in expressions
+(codegen'd, zero Python), each mirrored by ANSI SQL for the oracle gate:
+
+  token_count      whitespace + word-regex token counts
+  quality_score    length/punct/stopword-ratio composite
+  lang_id          n-gram/stopword-hit heuristic (en/de/fr/es/unknown)
+  fingerprint      md5 document fingerprint + rolling-shingle fingerprint
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "en", "por"],
+}
+
+
+def _hit_ratio(tokens_col, words: list[str]):
+    arr = F.array(*[F.lit(w) for w in words])
+    hits = F.size(F.array_intersect(tokens_col, arr))
+    # ratio of distinct stopwords present (stable under doc length)
+    return hits.cast("double") / float(len(words))
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]+"))
+    return (
+        df.withColumn("n_tokens_ws", F.size(toks).cast("long"))
+        .withColumn("n_tokens_word", words.cast("long"))
+        .withColumn("n_chars_engine", F.length(text_col).cast("long"))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punctuation/stopword composite in [0,1]-ish; deterministic."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n_tok = F.size(toks).cast("double")
+    n_chr = F.length(text_col).cast("double")
+    punct_ratio = (F.length(F.regexp_replace(text_col, r"[^.,!?;:]", ""))
+                   .cast("double") / n_chr)
+    stop_ratio = _hit_ratio(toks, STOPWORDS["en"])
+    mean_tok_len = n_chr / n_tok
+    score = (
+        F.least(n_tok / 100.0, F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 2.0, F.lit(1.0)) * 0.3
+        + F.when((mean_tok_len >= 3) & (mean_tok_len <= 12), 0.2).otherwise(0.0)
+        + F.when(punct_ratio <= 0.1, 0.1).otherwise(0.0)
+    )
+    return (
+        df.withColumn("punct_ratio", punct_ratio)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("mean_token_len", mean_tok_len)
+        .withColumn("quality", score)
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit heuristic language ID (argmax over per-language distinct
+    stopword hit ratios; 'unknown' when the best ratio is < 0.1)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    scores = [(_hit_ratio(toks, ws), lang) for lang, ws in STOPWORDS.items()]
+    best = F.greatest(*[s for s, _ in scores])
+    expr = F.lit("unknown")
+    # reverse order so ties resolve to the FIRST language in STOPWORDS order
+    for s, lang in reversed(scores):
+        expr = F.when((best >= 0.1) & (s == best), F.lit(lang)).otherwise(expr)
+    return df.withColumn("lang_pred", expr)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                shingle_k: int = 3) -> DataFrame:
+    """md5 doc fingerprint + min-of-shingle-hash rolling fingerprint
+    (order-sensitive content signature; shingles of k consecutive tokens)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - shingle_k, F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, shingle_k), " ")
+    )
+    min_shingle = F.array_min(F.transform(shingles, F.md5))
+    return (
+        df.withColumn("doc_md5", F.md5(F.col(text_col)))
+        .withColumn("shingle_fp", min_shingle)
+    )

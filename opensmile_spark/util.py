@@ -16,4 +16,21 @@ def epoch_seconds(col) -> Column:
     """
     if isinstance(col, str):
         col = F.col(col)
-    return col.cast("timestamp").cast("double")
+    # micros -> double -> * 1e-6: exactly the op sequence the DuckDB oracle
+    # uses (0.000001 * epoch_us(ts)), so epochs are bit-identical across
+    # engines (micros < 2^53 are exact in double; one shared multiply).
+    return F.unix_micros(col.cast("timestamp")).cast("double") * F.lit(0.000001)
+
+
+def round_sig(col, sig: int = 6):
+    """Round to `sig` significant digits with the exact op sequence
+    ROUND(x * 10^e) / 10^e, e = (sig-1) - FLOOR(LOG10(ABS(x))) — mirrored
+    verbatim in the DuckDB oracles so both engines round identically at any
+    magnitude (fixed-decimal ROUND(x, 6) is sub-ulp for |x| > ~1e10)."""
+    if isinstance(col, str):
+        col = F.col(col)
+    e = F.lit(float(sig - 1)) - F.floor(F.log10(F.abs(col)))
+    p = F.pow(F.lit(10.0), e)
+    # |x| < 1e-9 flushes to 0: sig-rounding would otherwise preserve pure
+    # FP noise (e.g. a residual of 7e-15 where the other engine got 0.0)
+    return F.when(F.abs(col) < 1e-9, F.lit(0.0)).otherwise(F.round(col * p, 0) / p)
