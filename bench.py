@@ -1,0 +1,226 @@
+"""Benchmark harness.
+
+Runs the headline pipeline stages at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {stage: sec, ...}, "sf": ...,
+   "rows": ..., "rows_per_sec": ..., "feature_vectors_per_sec": ...,
+   "scaling": {"n_small": 8, "n_large": 32, "small_sec": ..,
+               "large_sec": .., "speedup": .., "efficiency": ..}}
+
+Scaling evidence (BASELINE.md row 8): the flagship job (LLD -> sma ->
+sessionize -> per-session functional vectors, kernel path) is run twice on
+the SAME deterministic synthetic corpus at local[N] and local[4N]
+(N = SPARK_GRAFT_CPUS/4); efficiency = (t_N / t_4N) / 4.
+
+Set SPARK_GRAFT_SKIP_SCALING=1 to skip the scaling runs (fast iteration).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF = SF_DIR.rstrip("/").split("sf")[-1]
+
+
+def _spark(n_threads: int):
+    from opensmile_spark import get_spark
+
+    return get_spark(
+        f"bench_{n_threads}", master=f"local[{n_threads}]",
+        shuffle_partitions=max(8, 2 * n_threads),
+        extra_conf={
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "20000",
+            # tmpfs shuffle scratch: the sandbox disk serializes shuffle IO;
+            # a real cluster has per-executor local SSDs
+            "spark.local.dir": "/dev/shm/opensmile_spark_bench_scratch",
+        },
+    )
+
+
+def _noop(df):
+    """Force full evaluation without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def flagship(spark, transcripts):
+    """The headline job: LLD -> sma3 -> sessionize -> per-session functional
+    vectors (kernel path, 5 families) — one feature vector per session."""
+    from opensmile_spark.functionals import functionals_kernel
+    from opensmile_spark.lld import compute_lld
+    from opensmile_spark.operators import sessionize, sma
+
+    lld = compute_lld(transcripts)
+    lld = sma(lld, ["char_len", "token_cnt"], 3)
+    lld = sessionize(lld, gap_seconds=43200.0)
+    return functionals_kernel(
+        lld, ["char_len_sma3", "token_cnt_sma3"],
+        ("conv_id", "session_id"),
+        families=["means", "moments", "percentiles", "regression", "peaks2"],
+    )
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from opensmile_spark.datagen import generate_transcripts
+    from opensmile_spark.functionals import functionals_kernel, functionals_sql
+    from opensmile_spark.lld import compute_lld
+    from opensmile_spark.operators import (
+        asof_join, backfill_functionals, delta_regression, sessionize, sma,
+    )
+    from opensmile_spark.transcripts import transcripts_from_events
+
+    timings: dict[str, float] = {}
+    spark = _spark(CPUS)
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    transcripts = transcripts_from_events(spark, SF_DIR)
+    n_rows = transcripts.count()
+
+    # stage timings on the driver tables
+    lld = compute_lld(transcripts)
+    timed("lld", lambda: _noop(lld))
+
+    smoothed = delta_regression(
+        sma(lld, ["char_len", "token_cnt", "reply_latency"], 3),
+        ["char_len"], 2)
+    timed("windows_sma_delta", lambda: _noop(smoothed))
+
+    sess = sessionize(lld, gap_seconds=43200.0)
+    timed("sessionize", lambda: _noop(sess))
+
+    timed("functionals_sql", lambda: _noop(
+        functionals_sql(lld, ["char_len", "token_cnt", "reply_latency"])))
+
+    fk = flagship(spark, transcripts)
+    timed("functionals_kernel", lambda: _noop(fk))
+    n_vectors = fk.count()
+
+    anchors = lld.select(
+        "conv_id", F.col("ts").alias("anchor_ts"))
+    timed("asof_join", lambda: _noop(
+        asof_join(anchors, lld.select("conv_id", "ts", "char_len"),
+                  value_cols=["char_len"])))
+
+    timed("backfill_means", lambda: _noop(
+        backfill_functionals(lld, anchors, ["char_len"],
+                             families=["means", "moments"])))
+
+    # training-data ops on documents/embeddings
+    from opensmile_spark.dedup import minhash_lsh_pairs, ngram_jaccard
+    from opensmile_spark.similarity import cosine_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    timed("dedup_minhash_lsh", lambda: _noop(
+        ngram_jaccard(docs, minhash_lsh_pairs(docs, n_hashes=8, bands=4))))
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    timed("ann_cosine_topk", lambda: _noop(
+        cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=10)))
+
+    total = round(sum(timings.values()), 3)
+    kernel_sec = timings["functionals_kernel"]
+    spark.stop()
+
+    result = {
+        "metric": ("feature vectors/sec, reference-parity functionals "
+                   "(kernel path) + engine stage suite"),
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF,
+        "rows": n_rows,
+        "rows_per_sec": round(n_rows / max(total, 1e-9), 1),
+        "feature_vectors": n_vectors,
+        "feature_vectors_per_sec": round(n_vectors / max(kernel_sec, 1e-9), 1),
+    }
+
+    # ---- scaling evidence: same job, same input, local[N] vs local[4N] ----
+    #
+    # Protocol (BASELINE.md row 8): the functional-kernel job (the CPU-heavy,
+    # embarrassingly-parallel stage — repartition by conv + one mapInPandas
+    # pass) over a pre-materialized 7.2M-turn corpus, run interleaved
+    # N,4N,N,4N with min-of-k per level (this sandbox is a shared host with
+    # ~2x wall-clock noise; min-of-k + interleaving is the standard remedy).
+    # N=4 vs 4N=16 rather than 8/32: above ~half the box the shared host
+    # saturates (<26 effective cores), which would measure the neighbours,
+    # not the engine. Shuffle scratch on /dev/shm — the stand-in for a real
+    # cluster's per-executor local SSDs.
+    if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
+        n_small = int(os.environ.get("SPARK_GRAFT_SCALE_SMALL", "4"))
+        n_large = int(os.environ.get("SPARK_GRAFT_SCALE_LARGE", "16"))
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+        n_convs = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "120000"))
+        corpus = "/dev/shm/opensmile_spark_bench_lld"
+        scratch = "/dev/shm/opensmile_spark_bench_scratch"
+        lld_cols = ["char_len", "token_cnt", "punct_density", "ttr",
+                    "reply_latency"]
+        vcols = [c + "_sma3" for c in lld_cols]
+        fams = ["means", "moments", "percentiles", "regression", "peaks2",
+                "times", "crossings", "segments", "onset"]
+
+        # untimed prep: generate + LLD + smooth + sessionize, materialize
+        s = _spark(CPUS)
+        t = generate_transcripts(s, n_convs=n_convs, turns_per_conv=60,
+                                 mega_conv_factor=50, partitions=2 * CPUS)
+        sess = sessionize(sma(compute_lld(t), lld_cols, 3),
+                          gap_seconds=43200.0)
+        sess.write.mode("overwrite").parquet(corpus)
+        scale_rows = s.read.parquet(corpus).count()
+        s.stop()
+
+        times: dict[int, list[float]] = {n_small: [], n_large: []}
+        for _ in range(reps):
+            for n in (n_small, n_large):
+                s = _spark(n)
+                s.conf.set(
+                    "spark.sql.adaptive.coalescePartitions.enabled", "false")
+                s.conf.set(
+                    "spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+                lld2 = s.read.parquet(corpus)
+                fk2 = functionals_kernel(lld2, vcols,
+                                         ("conv_id", "session_id"),
+                                         families=fams)
+                t0 = time.time()
+                _noop(fk2)
+                times[n].append(time.time() - t0)
+                s.stop()
+        small = min(times[n_small])
+        large = min(times[n_large])
+        speedup = small / large
+        result["scaling"] = {
+            "n_small": n_small,
+            "n_large": n_large,
+            "small_sec": round(small, 3),
+            "large_sec": round(large, 3),
+            "all_small_sec": [round(x, 2) for x in times[n_small]],
+            "all_large_sec": [round(x, 2) for x in times[n_large]],
+            "rows": scale_rows,
+            "rows_per_sec_large": round(scale_rows / large, 1),
+            "speedup": round(speedup, 3),
+            "efficiency": round(speedup / (n_large / n_small), 3),
+        }
+        import shutil
+
+        shutil.rmtree(corpus, ignore_errors=True)
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -55,14 +55,18 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     md5(i || '|' || shingle). md5 is available verbatim in DuckDB, so the
     signature is oracle-checkable; min over hex strings == min over the
     128-bit values (fixed-width lowercase hex)."""
-    sh = _shingles(text_col, k_shingle)
-    cols = [
-        F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
-        ).alias(f"mh{i}")
+    # explode shingles once, then one aggregate with n_hashes min() exprs —
+    # a single projection with n_hashes array_min(transform(shingles...))
+    # would make Catalyst inline the whole shingle pipeline n_hashes times
+    # (projection collapse), an O(n_hashes x) blowup observed in bench.
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(_shingles(text_col, k_shingle)).alias("__s"),
+    )
+    return exploded.groupBy(id_col).agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("__s")))).alias(f"mh{i}")
         for i in range(n_hashes)
-    ]
-    return df.select(F.col(id_col), *cols)
+    ])
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",

@@ -50,10 +50,21 @@ def functionals_kernel(
     families: list[str] | None = None,
     options: dict | None = None,
 ) -> DataFrame:
-    """One output row per group; columns <value>_<functional>."""
+    """One output row per group; columns <value>_<functional>.
+
+    Physical strategy: repartition by the group key, sort within partitions
+    by (key, order), then ONE mapInPandas pass that processes every group in
+    each Arrow batch (carrying the possibly-split trailing group over to the
+    next batch). This amortizes the Python/Arrow round trip over thousands of
+    groups per call — per-group applyInPandas costs ~5-20 ms of pandas
+    overhead for millisecond kernels, which at 10^9 sessions is the
+    difference between hours and weeks. The blockwise execution mirrors the
+    reference's blocksizeWriter/Reader batching discipline
+    (dataMemoryLevel.hpp:239-241)."""
     families = families or DEFAULT_FAMILIES
     group_cols = list(group_cols)
     feats = feature_names(value_cols, families, options)
+    probe_keys = list(compute_all(np.arange(1.0, 9.0), families, options))
 
     key_schema = ", ".join(
         f"`{c}` {df.schema[c].dataType.simpleString()}" for c in group_cols
@@ -61,20 +72,59 @@ def functionals_kernel(
     schema = key_schema + ", n_turns long, " + ", ".join(
         f"`{n}` double" for n in feats
     )
+    out_cols = group_cols + ["n_turns"] + feats
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col, kind="mergesort")
-        row = {c: pdf[c].iloc[0] for c in group_cols}
-        row["n_turns"] = len(pdf)
-        for c in value_cols:
-            x = pdf[c].to_numpy(dtype=np.float64)
-            out = compute_all(x, families, options)
-            for k, v in out.items():
-                row[f"{c}_{k}"] = v
-        return pd.DataFrame([row])
+    def process_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        """All groups in pdf are complete; rows already sorted."""
+        # group boundary detection on the (pre-sorted) key columns
+        n = len(pdf)
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for c in group_cols:
+            v = pdf[c].to_numpy()
+            change[1:] |= v[1:] != v[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        cols = {c: [] for c in out_cols}
+        vals = {c: pdf[c].to_numpy(dtype=np.float64) for c in value_cols}
+        keys = {c: pdf[c].to_numpy() for c in group_cols}
+        for s, e in zip(starts, ends):
+            for c in group_cols:
+                cols[c].append(keys[c][s])
+            cols["n_turns"].append(e - s)
+            for c in value_cols:
+                out = compute_all(vals[c][s:e], families, options)
+                for k in probe_keys:
+                    cols[f"{c}_{k}"].append(out[k])
+        return pd.DataFrame(cols)
 
-    proj = df.select(*group_cols, order_col, *value_cols)
-    return proj.groupBy(*group_cols).applyInPandas(kernel, schema=schema)
+    def run(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            # hold back the trailing group — it may continue in the next batch
+            last_key = tuple(pdf[c].iloc[-1] for c in group_cols)
+            mask = np.ones(len(pdf), dtype=bool)
+            for c, kv in zip(group_cols, last_key):
+                mask &= (pdf[c] == kv).to_numpy()
+            # rows of the trailing group are contiguous (sorted input)
+            tail_start = int(np.argmax(mask))
+            carry = pdf.iloc[tail_start:]
+            head = pdf.iloc[:tail_start]
+            if len(head):
+                yield process_block(head)
+        if carry is not None and len(carry):
+            yield process_block(carry)
+
+    proj = (
+        df.select(*group_cols, order_col, *value_cols)
+        .repartition(*group_cols)
+        .sortWithinPartitions(*group_cols, order_col)
+    )
+    return proj.mapInPandas(run, schema=schema)
 
 
 def functionals_sql(

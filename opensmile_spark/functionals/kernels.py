@@ -279,15 +279,16 @@ def f_regression(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0,
 def f_crossings(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0):
     N = x.size
     amean = float(xmean)
-    zcr = 0
-    mcr = 0
-    # loop i = 1 .. N-2 exactly as the reference (functionalCrossings.cpp:106)
-    for i in range(1, N - 1):
-        if (x[i - 1] * x[i + 1] <= 0.0 and x[i] == 0.0) or (x[i - 1] * x[i] < 0.0):
-            zcr += 1
-        a, b, c = x[i - 1] - amean, x[i] - amean, x[i + 1] - amean
-        if (a * c <= 0.0 and b == 0.0) or (a * b < 0.0):
-            mcr += 1
+    # vectorized transcription of the i = 1..N-2 loop
+    # (functionalCrossings.cpp:106-110)
+    if N >= 3:
+        xm1, xc, xp1 = x[:-2], x[1:-1], x[2:]
+        zcr = int((((xm1 * xp1 <= 0.0) & (xc == 0.0))
+                   | (xm1 * xc < 0.0)).sum())
+        a, b, c = xm1 - amean, xc - amean, xp1 - amean
+        mcr = int((((a * c <= 0.0) & (b == 0.0)) | (a * b < 0.0)).sum())
+    else:
+        zcr = mcr = 0
     return {"zcr": zcr / N, "mcr": mcr / N, "amean": amean}
 
 
@@ -497,12 +498,18 @@ def f_peaks2(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0,
         return diff < absThresh
 
     # step 1: all local extrema, i in [2, N-3] (functionalPeaks2.cpp:344-351)
+    # — vectorized detection, then the (short) extrema list drives the
+    # sequential filter passes
     ext = []  # dict(type: 1=max/0=min, x=idx, y=val, alive=True)
-    for i in range(2, N - 2):
-        if x[i] > x[i - 1] and x[i] > x[i + 1]:
-            ext.append({"t": 1, "x": i, "y": float(x[i]), "alive": True})
-        elif x[i] < x[i - 1] and x[i] < x[i + 1]:
-            ext.append({"t": 0, "x": i, "y": float(x[i]), "alive": True})
+    if N >= 5:
+        idx = np.arange(2, N - 2)
+        xc = x[2:-2]
+        is_max = (xc > x[1:-3]) & (xc > x[3:-1])
+        is_min = (xc < x[1:-3]) & (xc < x[3:-1])
+        which = is_max | is_min
+        for i, t_is_max, v in zip(idx[which], is_max[which], xc[which]):
+            ext.append({"t": 1 if t_is_max else 0, "x": int(i),
+                        "y": float(v), "alive": True})
 
     def alive():
         return [e for e in ext if e["alive"]]

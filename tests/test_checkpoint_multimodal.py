@@ -1,0 +1,86 @@
+"""Resumable checkpointed runs + multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_resumable_run_and_resume(spark, tmp_path):
+    from opensmile_spark.checkpoint import (
+        completed_buckets, metrics_table, read_output, run_resumable,
+    )
+    from opensmile_spark.datagen import generate_transcripts
+
+    base = str(tmp_path / "ckpt")
+
+    def build(s):
+        return generate_transcripts(s, n_convs=40, turns_per_conv=5)
+
+    m1 = run_resumable(spark, build, base, n_buckets=4,
+                       lineage={"query": "datagen", "sf": "test"})
+    assert m1["buckets_done"] == 4 and m1["buckets_skipped"] == 0
+    total = read_output(spark, base).count()
+    assert total == 200
+
+    # resume: everything already done -> all skipped, output unchanged
+    m2 = run_resumable(spark, build, base, n_buckets=4)
+    assert m2["buckets_done"] == 0 and m2["buckets_skipped"] == 4
+    assert read_output(spark, base).count() == 200
+    assert completed_buckets(spark, base) == {0, 1, 2, 3}
+
+    mt = metrics_table(spark, base).toPandas()
+    assert (mt.rows_out.sum()) == 200
+    assert (mt.rows_per_sec > 0).all()
+    assert mt.lineage.str.contains("datagen").any()
+
+
+def test_partial_resume_skips_done_buckets(spark, tmp_path):
+    from opensmile_spark.checkpoint import completed_buckets, run_resumable
+    from opensmile_spark.datagen import generate_transcripts
+
+    base = str(tmp_path / "ckpt2")
+
+    calls = {"n": 0}
+
+    def build(s):
+        calls["n"] += 1
+        return generate_transcripts(s, n_convs=10, turns_per_conv=3)
+
+    run_resumable(spark, build, base, n_buckets=3)
+    assert completed_buckets(spark, base) == {0, 1, 2}
+    before = calls["n"]
+    run_resumable(spark, build, base, n_buckets=3)
+    assert calls["n"] == before      # no bucket re-executed
+
+
+def test_multimodal_plumbing(spark):
+    from opensmile_spark.multimodal import (
+        extract_media_features, frame_sample_plan, synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=30)
+    assert media.count() == 30
+
+    feats = extract_media_features(media, n_features=4, fake=True).toPandas()
+    assert len(feats) == 30
+    fcols = [c for c in feats.columns if c.startswith("feat_")]
+    assert len(fcols) == 4
+    assert feats[fcols].notna().all().all()
+    assert ((feats[fcols] >= 0) & (feats[fcols] <= 1)).all().all()
+    assert (feats["n_bytes"] == 16).all()          # md5 payloads
+
+    # determinism: same payload -> same features
+    feats2 = extract_media_features(media, n_features=4, fake=True).toPandas()
+    a = feats.sort_values("media_id").reset_index(drop=True)
+    b = feats2.sort_values("media_id").reset_index(drop=True)
+    assert np.allclose(a[fcols], b[fcols])
+
+    # real decode path is an explicit stub
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        extract_media_features(media, fake=False).collect()
+
+    plan = frame_sample_plan(media, fps=1.0).toPandas()
+    assert (plan.frame_no >= 0).all()
+    vids = media.filter(F.col("kind") == "video").toPandas()
+    want = int(vids.duration_s.apply(lambda d: max(int(d * 1.0), 1)).sum())
+    assert len(plan) == want

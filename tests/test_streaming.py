@@ -1,0 +1,77 @@
+"""Structured Streaming: session windows, stateless LLD, stateful expanding
+stats — driven to completion with availableNow over a file source (the
+EOI-flush analogue, componentManager.cpp:1485-1502)."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    from opensmile_spark.datagen import generate_transcripts
+
+    d = str(tmp_path_factory.mktemp("stream_src"))
+    generate_transcripts(spark, n_convs=10, turns_per_conv=20,
+                         session_gap_prob=0.3, session_gap_s=1200.0) \
+        .write.mode("overwrite").parquet(d)
+    return d
+
+
+def _read_stream(spark, d):
+    batch = spark.read.parquet(d)
+    return spark.readStream.schema(batch.schema).parquet(d)
+
+
+def test_streaming_lld_matches_batch(spark, stream_dir):
+    from opensmile_spark.streaming import run_stream_to_memory, streaming_lld
+
+    s = streaming_lld(_read_stream(spark, stream_dir))
+    run_stream_to_memory(s, "lld_out")
+    got = spark.sql("SELECT * FROM lld_out").toPandas() \
+        .set_index(["conv_id", "turn_idx"]).sort_index()
+    want = streaming_lld(spark.read.parquet(stream_dir)).toPandas() \
+        .set_index(["conv_id", "turn_idx"]).sort_index()
+    assert got["char_len"].equals(want["char_len"])
+    assert np.allclose(got["ttr"], want["ttr"])
+
+
+def test_streaming_session_functionals(spark, stream_dir):
+    from opensmile_spark.streaming import (
+        run_stream_to_memory, streaming_lld, streaming_session_functionals,
+    )
+
+    s = streaming_session_functionals(
+        streaming_lld(_read_stream(spark, stream_dir)),
+        gap="10 minutes", watermark="0 seconds")
+    run_stream_to_memory(s, "sess_out")
+    got = spark.sql("SELECT * FROM sess_out").toPandas()
+    assert len(got) > 10                       # multiple sessions detected
+    assert (got["n_turns"] >= 1).all()
+    # per-session amean must equal the batch mean over the same window
+    batch = streaming_lld(spark.read.parquet(stream_dir)).toPandas()
+    row = got.iloc[0]
+    sub = batch[(batch.conv_id == row.conv_id)
+                & (batch.ts >= row.session_start)
+                & (batch.ts < row.session_end)]
+    assert np.isclose(sub.char_len.mean(), row.char_len_amean)
+
+
+def test_stateful_expanding_stats(spark, stream_dir):
+    from opensmile_spark.streaming import (
+        run_stream_to_memory, stateful_expanding_stats, streaming_lld,
+    )
+
+    s = stateful_expanding_stats(streaming_lld(_read_stream(spark, stream_dir)))
+    run_stream_to_memory(s, "state_out", output_mode="update")
+    got = spark.sql("SELECT * FROM state_out").toPandas()
+    assert len(got) == 200
+    one = got[got.conv_id == got.conv_id.iloc[0]].sort_values("turn_idx")
+    xs = one.char_len.to_numpy()
+    # Welford expanding mean equals numpy cumulative mean
+    cum_mean = np.cumsum(xs) / np.arange(1, len(xs) + 1)
+    assert np.allclose(one.run_mean.to_numpy(), cum_mean)
+    # expanding population std at the last row
+    assert np.isclose(one.run_std.iloc[-1], np.std(xs))
