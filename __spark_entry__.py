@@ -597,6 +597,33 @@ def q_ann_lsh_topk(spark, sf_dir):
                       F.round("cosine", 5).alias("cosine"))
 
 
+def q_token_spectrum(spark, sf_dir):
+    """cMelspec/cSpectral analogue: hash-bucketed token spectrum +
+    distribution statistics, all built-in array exprs."""
+    from opensmile_spark.spectral import spectral_stats, token_spectrum
+
+    out = spectral_stats(token_spectrum(_docs(spark, sf_dir)))
+    return out.select(
+        "doc_id",
+        F.round("spec_entropy", 6).alias("spec_entropy"),
+        F.round("spec_centroid", 6).alias("spec_centroid"),
+        F.round("spec_flatness", 6).alias("spec_flatness"),
+        "spec_rolloff",
+        F.round("spec_energy", 6).alias("spec_energy"),
+    )
+
+
+def q_viterbi_smooth(spark, sf_dir):
+    """cPitchSmootherViterbi analogue — sequential per-conv DP; not
+    SQL-expressible (rows-only driver check; DP pinned by pytest)."""
+    from opensmile_spark.operators.viterbi import viterbi_smooth_df
+
+    out = viterbi_smooth_df(_lld(spark, sf_dir), "char_len", n_levels=8,
+                            jump_cost=2.0)
+    return out.select("conv_id", "turn_idx",
+                      F.round("char_len_vit", 6).alias("char_len_vit"))
+
+
 def q_datagen(spark, sf_dir):
     """Deterministic synthetic corpus (rows-only: xxhash64 has no DuckDB
     twin). Demonstrates the generator the bench uses."""
@@ -1320,6 +1347,59 @@ FROM ranked WHERE rank <= 10
 """
 
 
+_ORACLES["token_spectrum"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 16 AS bucket,
+    COUNT(*) AS cnt
+  FROM toks GROUP BY 1, 2
+),
+grid AS (
+  SELECT d.doc_id, g.bucket, COALESCE(c.cnt, 0)::DOUBLE AS cnt
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN (SELECT unnest(range(0, 16)) AS bucket) g
+  LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bucket = g.bucket
+),
+stats AS (
+  SELECT doc_id,
+    SUM(cnt) AS total,
+    SUM(cnt * cnt) AS energy,
+    SUM(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS npos,
+    SUM(CASE WHEN cnt > 0 THEN LN(cnt) ELSE 0 END) AS logsum
+  FROM grid GROUP BY doc_id
+),
+ent AS (
+  SELECT g.doc_id,
+    -SUM(CASE WHEN g.cnt > 0 THEN (g.cnt / s.total) * LOG2(g.cnt / s.total)
+         ELSE 0 END) AS entropy,
+    SUM((g.cnt / s.total) * g.bucket) AS centroid
+  FROM grid g JOIN stats s USING (doc_id) GROUP BY g.doc_id
+),
+roll AS (
+  SELECT doc_id, MIN(bucket) AS rolloff FROM (
+    SELECT g.doc_id, g.bucket,
+      SUM(g.cnt) OVER (PARTITION BY g.doc_id ORDER BY g.bucket
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+      s.total
+    FROM grid g JOIN stats s USING (doc_id)
+  ) WHERE cum >= 0.9 * total GROUP BY doc_id
+)
+SELECT s.doc_id,
+  ROUND(e.entropy, 6) AS spec_entropy,
+  ROUND(e.centroid, 6) AS spec_centroid,
+  ROUND(CASE WHEN s.npos > 0 AND s.total / s.npos > 0
+       THEN EXP(s.logsum / s.npos) / (s.total / s.npos)
+       ELSE 0.0 END, 6) AS spec_flatness,
+  CAST(r.rolloff AS INTEGER) AS spec_rolloff,
+  ROUND(s.energy, 6) AS spec_energy
+FROM stats s JOIN ent e USING (doc_id) JOIN roll r USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1369,6 +1449,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dups": q_simhash_near_dups,
     "embedding_near_dups": q_embedding_near_dups,
     "cosine_topk": q_cosine_topk,
+    "token_spectrum": q_token_spectrum,
+    "viterbi_smooth": q_viterbi_smooth,   # rows-only (sequential DP)
     "ann_lsh_topk": q_ann_lsh_topk,       # rows-only (approximate ANN)
     "datagen": q_datagen,                 # rows-only (xxhash64 has no twin)
 }

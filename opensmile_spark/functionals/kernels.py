@@ -380,8 +380,67 @@ def f_onset(x, xsorted, xmin, xmax, xmean, timeNorm="segment", T=1.0,
 # functionalSegments.cpp:656-725 & process_SegEqX), norm=segment
 # ---------------------------------------------------------------------------
 
+def _segment_runs_chx(x, Xval, segMinLng, maxNumSeg):
+    """process_SegChX (functionalSegments.cpp, non-buggy variant): both X
+    and non-X runs are segments; boundaries at changes between them."""
+    seg_lens = []
+
+    def add_segment(i, last):
+        if len(seg_lens) < maxNumSeg:
+            seg_lens.append(i - last)
+
+    segStartIndex = 0
+    segEndIndex = 0
+    inSegment = 0
+    segStart = 0
+    segEnd = 0
+    N = x.size
+    for i in range(N):
+        if x[i] != Xval:
+            if inSegment == 1:
+                segEnd = 0
+                segStart += 1
+                if segStart >= segMinLng:
+                    inSegment = 2
+                    add_segment(segStartIndex - 1, segEndIndex)
+                    segStart = 0
+            elif inSegment == 0:
+                segStart += 1
+                segStartIndex = i
+                inSegment = 1
+            elif inSegment == 2:
+                segEnd = 0
+            elif inSegment == 3:
+                segStart += 1
+                if segStart >= segMinLng:
+                    inSegment = 2
+                    segEnd = 0
+                    segStart = 0
+        else:
+            if inSegment == 3:
+                segStart = 0
+                segEnd += 1
+                if segEnd >= segMinLng:
+                    inSegment = 0
+                    add_segment(segEndIndex - 1, segStartIndex)
+                    segEnd = 0
+            elif inSegment == 2:
+                segEnd += 1
+                segEndIndex = i
+                inSegment = 3
+            elif inSegment == 1:
+                segEnd += 1
+                if segEnd >= segMinLng:
+                    inSegment = 0
+                    segEnd = 0
+                    segStart = 0
+    return seg_lens
+
+
 def _segment_runs(x, Xval, mode, segMinLng, pauseMinLng, maxNumSeg):
     """State machine transcription of process_SegNonX / process_SegEqX."""
+    if mode == "chX":
+        return _segment_runs_chx(x, Xval, segMinLng, maxNumSeg)
     seg_lens = []
 
     def add_segment(i, last):
@@ -889,6 +948,68 @@ def f_lpc(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0, order=4):
     return out
 
 
+# ---------------------------------------------------------------------------
+# cFunctionalModulation (functionalModulation.cpp:42-74) — modulation
+# spectrum of the contour. The reference computes an STFT-averaged magnitude
+# spectrum over fftWinSize windows with Hann weighting and interpolates to
+# modSpecNumBins between modSpecMinFreq..modSpecMaxFreq; for the per-segment
+# batch case (frameMode=full, zeroPad short segments) this reduces to one
+# windowed FFT of the zero-padded contour — implemented exactly so here.
+# ---------------------------------------------------------------------------
+
+def f_modulation(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0,
+                 fft_win: int = 64, n_bins: int = 6,
+                 min_freq: float = 0.01, max_freq: float = 0.4):
+    N = x.size
+    xc = x - xmean                       # remove DC (contour modulation only)
+    if N < fft_win:
+        xc = np.concatenate([xc, np.zeros(fft_win - N)])   # zeroPad policy
+    else:
+        xc = xc[:fft_win]
+    win = 0.5 - 0.5 * np.cos(2 * math.pi * np.arange(fft_win) / fft_win)  # han
+    mag = np.abs(np.fft.rfft(xc * win)) / fft_win
+    freqs = np.fft.rfftfreq(fft_win, d=T)   # cycles per frame (T=1)
+    out = {}
+    centers = np.linspace(min_freq, max_freq, n_bins)
+    for i, f in enumerate(centers):
+        out[f"modSpec{i}"] = float(np.interp(f, freqs, mag))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# cPitchSmootherViterbi analogue (src/lld/pitchSmootherViterbi.cpp) — the
+# sequential per-group DP that can never be a window expression: smooth a
+# noisy contour by choosing, per frame, one of `n_levels` quantized
+# candidates minimizing |obs - cand| + jump_cost * |cand_t - cand_{t-1}|.
+# Returns the smoothed contour (same length as input) — used by
+# bank-external per-conv kernels and applyInPandas (SURVEY.md §2.7).
+# ---------------------------------------------------------------------------
+
+def viterbi_smooth(x: np.ndarray, n_levels: int = 16,
+                   jump_cost: float = 1.0) -> np.ndarray:
+    x = np.asarray(x, dtype=np.float64)
+    N = x.size
+    if N == 0:
+        return x
+    lo, hi = float(x.min()), float(x.max())
+    if hi == lo:
+        return x.copy()
+    levels = np.linspace(lo, hi, n_levels)
+    # emission cost |obs - level|; transition cost jump_cost * |dl|
+    trans = jump_cost * np.abs(levels[:, None] - levels[None, :])
+    cost = np.abs(x[0] - levels)
+    back = np.zeros((N, n_levels), dtype=np.int32)
+    for t in range(1, N):
+        total = cost[None, :] + trans          # [to, from] -> from axis=1
+        back[t] = np.argmin(total, axis=1)
+        cost = total[np.arange(n_levels), back[t]] + np.abs(x[t] - levels)
+    path = np.empty(N, dtype=np.int32)
+    path[-1] = int(np.argmin(cost))
+    for t in range(N - 1, 0, -1):
+        path[t - 1] = back[t][path[t]]
+    return levels[path]
+
+
 FAMILIES = {
     "means": f_means,
     "moments": f_moments,
@@ -903,6 +1024,7 @@ FAMILIES = {
     "samples": f_samples,
     "dct": f_dct,
     "lpc": f_lpc,
+    "modulation": f_modulation,
 }
 
 
