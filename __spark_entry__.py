@@ -624,6 +624,21 @@ def q_viterbi_smooth(spark, sf_dir):
                       F.round("char_len_vit", 6).alias("char_len_vit"))
 
 
+def q_egemaps_bundle(spark, sf_dir):
+    """eGeMAPS-style named preset (config/egemaps/v02 analogue) — rows-only
+    (includes peaks2 slopes; component formulas oracle-checked elsewhere)."""
+    from opensmile_spark.presets import egemaps_style
+
+    out = egemaps_style(_transcripts(spark, sf_dir),
+                        gap_seconds=SESSION_GAP_S)
+    cols = [c for c in out.columns]
+    return out.select(*[
+        F.round(F.col(f"`{c}`"), 6).alias(c)
+        if c not in ("conv_id", "session_id", "n_turns") else F.col(c)
+        for c in cols
+    ])
+
+
 def q_datagen(spark, sf_dir):
     """Deterministic synthetic corpus (rows-only: xxhash64 has no DuckDB
     twin). Demonstrates the generator the bench uses."""
@@ -1451,6 +1466,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "token_spectrum": q_token_spectrum,
     "viterbi_smooth": q_viterbi_smooth,   # rows-only (sequential DP)
+    "egemaps_bundle": q_egemaps_bundle,   # rows-only (named preset)
     "ann_lsh_topk": q_ann_lsh_topk,       # rows-only (approximate ANN)
     "datagen": q_datagen,                 # rows-only (xxhash64 has no twin)
 }

@@ -1,0 +1,136 @@
+"""Physical-plan audit — verify the plans are the ones we want.
+
+Checks (SURVEY.md §4 / BENCH.md plan-level claims):
+  1. LLD -> sma -> delta -> sessionize reuses ONE exchange on conv_id
+     (window specs share partitioning).
+  2. Column pruning reaches the parquet scan (ReadSchema shows only the
+     needed columns) and filters push down (PushedFilters).
+  3. functionals_sql is a single partial+final HashAggregate pair, no
+     Python, no extra exchange beyond the groupBy.
+  4. asof_join is one exchange + one sort + window — no join node at all.
+  5. MVN full-mode stats join is a broadcast join (no shuffled join).
+  6. pre_partitioned kernel has NO exchange.
+
+Usage: python tools/plan_audit.py
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def plan_str(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def count(pattern, plan):
+    return len(re.findall(pattern, plan))
+
+
+def n_op(name, plan):
+    """Count operator nodes in 'formatted' explain output: '(k) Name'."""
+    return len(re.findall(rf"\(\d+\) {name}", plan))
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from opensmile_spark import get_spark
+    from opensmile_spark.functionals import functionals_kernel, functionals_sql
+    from opensmile_spark.lld import compute_lld
+    from opensmile_spark.operators import (
+        asof_join, delta_regression, mvn, sessionize, sma,
+    )
+    from opensmile_spark.transcripts import transcripts_from_events
+
+    spark = get_spark("plan_audit", master="local[4]", shuffle_partitions=4)
+    sf = "/root/testdata/sf0.001"
+    ok = True
+
+    def check(name, cond, detail=""):
+        nonlocal ok
+        print(f"{'PASS' if cond else 'FAIL'} {name} {detail}")
+        ok = ok and cond
+
+    t = transcripts_from_events(spark, sf)
+    lld = compute_lld(t)
+    chain = sessionize(
+        delta_regression(sma(lld, ["char_len"], 3), ["char_len"], 2),
+        gap_seconds=300.0)
+    p = plan_str(chain)
+    # one exchange for the row_number (user_id) + one for conv_id windows
+    n_ex = n_op("Exchange", p)
+    check("window-chain exchanges", n_ex <= 2,
+          f"(exchanges={n_ex}; 1 for turn_idx derivation on user_id, "
+          f"1 shared by ALL conv_id window ops)")
+
+    proj = lld.select("conv_id", "char_len")
+    p = plan_str(proj)
+    m = re.search(r"ReadSchema: ([^\n]+)", p)
+    read = m.group(1) if m else ""
+    check("column pruning to scan",
+          "props" in read and "value" not in read,
+          f"(scan reads {read[:90]}...)")
+
+    filt = t.filter(F.col("role") == "tool")
+    p = plan_str(filt)
+    check("filter present post-window",
+          "Filter" in p, "(role filter cannot push below row_number - "
+          "correctly placed above the window)")
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").filter(
+        F.col("event_type") == "purchase").select("event_id")
+    p = plan_str(ev)
+    check("predicate pushdown to parquet",
+          "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"
+          in p or "EqualTo(event_type,purchase)" in p)
+
+    fs = functionals_sql(lld, ["char_len"])
+    p = plan_str(fs)
+    check("functionals_sql no Python",
+          "Python" not in p and "FlatMap" not in p)
+    n_agg = count(r"HashAggregate|ObjectHashAggregate|SortAggregate", p)
+    check("functionals_sql partial+final agg", n_agg >= 2, f"(aggs={n_agg})")
+
+    anchors = lld.select("conv_id", F.col("ts").alias("anchor_ts"))
+    aj = asof_join(anchors, lld.select("conv_id", "ts", "char_len"),
+                   value_cols=["char_len"])
+    p = plan_str(aj)
+    check("asof_join has no join node",
+          n_op(r"\w*Join", p) == 0 and n_op("Union", p) == 1
+          and n_op("Exchange", p) == 1,
+          f"(window-based merge; exchanges={n_op('Exchange', p)})")
+
+    mv = mvn(lld, ["char_len"], mode="full")
+    p = plan_str(mv)
+    check("mvn stats join is broadcast",
+          "BroadcastHashJoin" in p and "SortMergeJoin" not in p)
+
+    sorted_df = lld.repartition(4, "conv_id") \
+        .sortWithinPartitions("conv_id", "turn_idx")
+    # write+read to make layout physical
+    sorted_df.write.mode("overwrite").parquet("/tmp/plan_audit_sorted")
+    laid = spark.read.parquet("/tmp/plan_audit_sorted")
+    fk = functionals_kernel(laid, ["char_len"], ("conv_id",),
+                            families=["means"], pre_partitioned=True)
+    p = plan_str(fk)
+    check("pre_partitioned kernel zero-exchange",
+          n_op("Exchange", p) == 0)
+
+    fk2 = functionals_kernel(laid, ["char_len"], ("conv_id",),
+                             families=["means"])
+    p = plan_str(fk2)
+    check("standard kernel exactly one exchange",
+          n_op("Exchange", p) == 1)
+
+    spark.stop()
+    print("\nALL PASS" if ok else "\nSOME FAILED")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
