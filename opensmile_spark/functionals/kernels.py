@@ -112,8 +112,13 @@ def f_moments(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0,
     out = {"variance": m2}
     sqm2 = math.sqrt(m2) if m2 > 0 else 0.0
     out["stddev"] = sqm2
-    out["skewness"] = (m3 / (N * m2 * sqm2)) if m2 > 0 else 0.0
-    out["kurtosis"] = (m4 / (N * m2 * m2)) if m2 > 0 else 0.0
+    # guard the composite denominators, not just m2: for subnormal variance
+    # (~1e-310) N*m2*sqm2 underflows to exactly 0.0 — the C++ float division
+    # would emit inf; we emit 0 (found by hypothesis, test_properties.py)
+    d3 = N * m2 * sqm2
+    d4 = N * m2 * m2
+    out["skewness"] = (m3 / d3) if d3 > 0 else 0.0
+    out["kurtosis"] = (m4 / d4) if d4 > 0 else 0.0
     out["amean"] = float(xmean)
     if m2 > 0:
         if doRatioLimit:
