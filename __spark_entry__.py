@@ -592,7 +592,7 @@ def q_ann_lsh_topk(spark, sf_dir):
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
-    out = lsh_topk(emb, queries, dim=64, k=10, bits=6)
+    out = lsh_topk(emb, queries, dim=64, k=10, bits=4, tables=8)
     return out.select("query_id", "item_id", "rank",
                       F.round("cosine", 5).alias("cosine"))
 

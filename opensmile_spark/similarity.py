@@ -104,29 +104,48 @@ def lsh_topk(
     dim: int,
     k: int = 10,
     bits: int = 8,
+    tables: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k: equi-join on the LSH bucket, exact cosine within bucket.
-    Approximate (recall < 1) by construction — candidates limited to the
-    query's bucket; multiply tables by varying seed for higher recall."""
-    qi = lsh_bucket(queries, dim, bits, seed, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
-        F.col("lsh_bucket"),
-    )
-    ii = lsh_bucket(index, dim, bits, seed, vec_col).select(
-        F.col(id_col).alias("item_id"), F.col(vec_col).alias("i_vec"),
-        F.col("lsh_bucket"),
-    )
-    scored = (
-        ii.join(F.broadcast(qi), "lsh_bucket")
+    """ANN top-k: candidates = union over `tables` independent LSH tables
+    (OR-amplification — one table's recall for vectors at angle θ is
+    (1-θ/π)^bits, so T tables give 1-(1-p)^T), exact cosine re-scoring on
+    the candidate set. Recall/bucket-size tunable via bits (AND) and tables
+    (OR); the index side is scanned once per table with a broadcast of the
+    (small) query buckets — no index self-join ever forms."""
+    tagged_q = []
+    tagged_i = []
+    for t in range(tables):
+        s = seed + 1000 * t
+        tagged_q.append(
+            lsh_bucket(queries, dim, bits, s, vec_col).select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("q_vec"),
+                F.concat(F.lit(f"{t}_"), F.col("lsh_bucket")).alias("bkt"),
+            ))
+        tagged_i.append(
+            lsh_bucket(index, dim, bits, s, vec_col).select(
+                F.col(id_col).alias("item_id"),
+                F.col(vec_col).alias("i_vec"),
+                F.concat(F.lit(f"{t}_"), F.col("lsh_bucket")).alias("bkt"),
+            ))
+    qi = tagged_q[0]
+    ii = tagged_i[0]
+    for t in range(1, tables):
+        qi = qi.unionByName(tagged_q[t])
+        ii = ii.unionByName(tagged_i[t])
+    cand = (
+        ii.join(F.broadcast(qi), "bkt")
         .filter(F.col("item_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            _dot(F.col("q_vec"), F.col("i_vec"))
-            / (_norm(F.col("q_vec")) * _norm(F.col("i_vec"))),
-        )
+        .select("query_id", "item_id", "q_vec", "i_vec")
+        .dropDuplicates(["query_id", "item_id"])
+    )
+    scored = cand.withColumn(
+        "cosine",
+        _dot(F.col("q_vec"), F.col("i_vec"))
+        / (_norm(F.col("q_vec")) * _norm(F.col("i_vec"))),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("item_id").asc())
