@@ -1,0 +1,60 @@
+"""Config-driven runner + overlap-add resynthesis."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import make_conv
+
+
+def test_run_config_matches_manual_pipeline(spark):
+    from opensmile_spark.config import run_config
+    from opensmile_spark.functionals import functionals_kernel
+    from opensmile_spark.lld import compute_lld
+    from opensmile_spark.operators import sessionize, sma
+    from opensmile_spark.transcripts import transcripts_from_events
+
+    t = transcripts_from_events(spark, "/root/testdata/sf0.001")
+    cfg = {"stages": [
+        {"type": "lld"},
+        {"type": "sma", "cols": ["char_len"], "win": 3},
+        {"type": "sessionize", "gap_seconds": 43200.0},
+        {"type": "functionals", "value_cols": ["char_len_sma3"],
+         "families": ["means", "moments"],
+         "group_cols": ["conv_id", "session_id"]},
+    ]}
+    got = run_config(t, cfg).toPandas() \
+        .set_index(["conv_id", "session_id"]).sort_index()
+
+    manual = functionals_kernel(
+        sessionize(sma(compute_lld(t), ["char_len"], 3), gap_seconds=43200.0),
+        ["char_len_sma3"], ("conv_id", "session_id"),
+        families=["means", "moments"],
+    ).toPandas().set_index(["conv_id", "session_id"]).sort_index()
+    assert got.equals(manual)
+
+
+def test_run_config_unknown_stage(spark):
+    from opensmile_spark.config import run_config
+
+    with pytest.raises(ValueError, match="unknown stage"):
+        run_config(make_conv(spark, "c", [1.0]),
+                   {"stages": [{"type": "frobnicate"}]})
+
+
+def test_overlap_add_reconstructs_frames(spark):
+    from opensmile_spark.operators.vec_to_win import overlap_add
+
+    # frames of length 3, hop 2, over series [1,2,3,4,5]:
+    # f0@0=[1,2,3], f1@2=[3,4,5] -> position 2 receives 3 twice
+    rows = [("c", 0, [1.0, 2.0, 3.0]), ("c", 2, [3.0, 4.0, 5.0])]
+    df = spark.createDataFrame(
+        rows, "conv_id string, frame_start int, frame array<double>")
+    out = overlap_add(df, "frame", "frame_start", step=2)
+    got = {r["pos"]: r["value"] for r in out.collect()}
+    assert got == {0: 1.0, 1: 2.0, 2: 3.0, 3: 4.0, 4: 5.0}
+
+    # un-normalised: overlapping position sums
+    raw = overlap_add(df, "frame", "frame_start", step=2, normalize=False)
+    got = {r["pos"]: r["value"] for r in raw.collect()}
+    assert got[2] == 6.0 and got[0] == 1.0
