@@ -86,6 +86,24 @@ def functionals_kernel(
     )
     out_cols = group_cols + ["n_turns"] + feats
 
+    # families vectorizable ACROSS groups (batched.py); custom options force
+    # the per-group reference path for that family (conservative gate)
+    from opensmile_spark.functionals.batched import (
+        BATCHED_FAMILIES, compute_batched,
+    )
+
+    opt = options or {}
+    batched_fams = [f for f in families
+                    if f in BATCHED_FAMILIES and f not in opt]
+    loop_fams = [f for f in families if f not in batched_fams]
+    # which probe keys come from which path (first-writer wins like
+    # compute_all's dict: iterate families in order, keep first producer)
+    key_src: dict[str, str] = {}
+    for fam in families:
+        sample = compute_all(np.arange(1.0, 9.0), [fam], options)
+        for k in sample:
+            key_src.setdefault(k, "batched" if fam in batched_fams else "loop")
+
     def process_block(pdf: pd.DataFrame) -> pd.DataFrame:
         """All groups in pdf are complete; rows already sorted."""
         # group boundary detection on the (pre-sorted) key columns
@@ -97,17 +115,27 @@ def functionals_kernel(
             change[1:] |= v[1:] != v[:-1]
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], n)
-        cols = {c: [] for c in out_cols}
-        vals = {c: pdf[c].to_numpy(dtype=np.float64) for c in value_cols}
-        keys = {c: pdf[c].to_numpy() for c in group_cols}
-        for s, e in zip(starts, ends):
-            for c in group_cols:
-                cols[c].append(keys[c][s])
-            cols["n_turns"].append(e - s)
-            for c in value_cols:
-                out = compute_all(vals[c][s:e], families, options)
-                for k in probe_keys:
-                    cols[f"{c}_{k}"].append(out[k])
+        cols: dict = {c: pdf[c].to_numpy()[starts] for c in group_cols}
+        cols["n_turns"] = (ends - starts).astype(np.int64)
+        for c in value_cols:
+            xs = pdf[c].to_numpy(dtype=np.float64)
+            if batched_fams:
+                bat = compute_batched(xs, starts, ends, batched_fams, opt)
+            else:
+                bat = {}
+            loop_rows = None
+            if loop_fams:
+                loop_rows = {k: np.empty(starts.size) for k in probe_keys
+                             if key_src[k] == "loop"}
+                for gi, (s, e) in enumerate(zip(starts, ends)):
+                    got = compute_all(xs[s:e], loop_fams, options)
+                    for k in loop_rows:
+                        loop_rows[k][gi] = got[k]
+            for k in probe_keys:
+                if key_src[k] == "batched":
+                    cols[f"{c}_{k}"] = bat[k]
+                else:
+                    cols[f"{c}_{k}"] = loop_rows[k]
         return pd.DataFrame(cols)
 
     def run(batches):

@@ -1,0 +1,313 @@
+"""Cross-group vectorized functional computation.
+
+The per-group kernels (kernels.py) are the semantic source of truth; this
+module computes the SAME formulas for the array-expressible families across
+ALL groups of a batch at once with numpy reduceat — removing the per-group
+Python dispatch that dominates when groups are small (the common case:
+tens of turns per session). Families with sequential automatons (peaks2,
+segments, onset) and per-group transforms (samples, dct, lpc, modulation)
+stay on the per-group path.
+
+Numerical discipline: central moments are computed exactly as kernels.py
+does (sum((x-mean)^k)), NOT via raw-moment expansion (which catastrophically
+cancels for large means like reply-latency epochs). Equality with the
+per-group path is pinned by tests/test_batched_kernels.py at rtol 1e-12.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BATCHED_FAMILIES = {
+    "means", "moments", "extremes", "percentiles", "regression", "crossings",
+    "times",
+}
+
+_BIG = np.iinfo(np.int64).max
+
+
+def _seg_sum(v, starts):
+    return np.add.reduceat(v, starts)
+
+
+def compute_batched(x: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                    families, options=None) -> dict[str, np.ndarray]:
+    """x: concatenated values; [starts[i], ends[i]) are group slices (must
+    tile x). Returns {functional_name: per-group array} for the requested
+    subset of BATCHED_FAMILIES, names identical to kernels.py outputs."""
+    options = options or {}
+    n_groups = starts.size
+    sizes = (ends - starts).astype(np.float64)
+    N = sizes
+    rep_starts = np.repeat(starts, (ends - starts))
+    ii = np.arange(x.size, dtype=np.float64) - rep_starts  # 0..N-1 per group
+
+    out: dict[str, np.ndarray] = {}
+
+    s1 = _seg_sum(x, starts)
+    mean = s1 / N
+    mean_rep = np.repeat(mean, (ends - starts))
+
+    gmax = np.maximum.reduceat(x, starts)
+    gmin = np.minimum.reduceat(x, starts)
+
+    need_sorted = "percentiles" in families
+    if need_sorted:
+        xs = x.copy()
+        for s, e in zip(starts, ends):
+            xs[s:e].sort()
+
+    if "means" in families:
+        absx = np.abs(x)
+        nz = x != 0.0
+        pos = x > 0.0
+        neg = x < 0.0
+        nnz = _seg_sum(nz.astype(np.float64), starts)
+        npos = _seg_sum(pos.astype(np.float64), starts)
+        nneg = _seg_sum(neg.astype(np.float64), starts)
+        absmean = _seg_sum(absx, starts) / N
+        qsum = _seg_sum(x * x, starts)
+        qmean = qsum / N
+        with np.errstate(divide="ignore", invalid="ignore"):
+            logabs = np.where(nz, np.log(np.where(nz, absx, 1.0)), 0.0)
+        nz_s = _seg_sum(np.where(nz, x, 0.0), starts)
+        nzabs_s = _seg_sum(np.where(nz, absx, 0.0), starts)
+        nzq_s = _seg_sum(np.where(nz, x * x, 0.0), starts)
+        nzlog_s = _seg_sum(logabs, starts)
+        pos_s = _seg_sum(np.where(pos, x, 0.0), starts)
+        posq_s = _seg_sum(np.where(pos, x * x, 0.0), starts)
+        neg_s = _seg_sum(np.where(neg, x, 0.0), starts)
+        negq_s = _seg_sum(np.where(neg, x * x, 0.0), starts)
+
+        safe_nnz = np.where(nnz > 0, nnz, 1.0)
+        safe_np = np.where(npos > 0, npos, 1.0)
+        safe_nn = np.where(nneg > 0, nneg, 1.0)
+        out["amean"] = mean
+        out["absmean"] = absmean
+        out["qmean"] = qmean
+        out["nzamean"] = np.where(nnz > 0, nz_s / safe_nnz, 0.0)
+        out["nzabsmean"] = np.where(nnz > 0, nzabs_s / safe_nnz, 0.0)
+        out["nzqmean"] = np.where(nnz > 0, nzq_s / safe_nnz, 0.0)
+        nzgmean = np.where(nnz > 0, np.exp(nzlog_s / safe_nnz), 0.0)
+        out["nzgmean"] = nzgmean
+        tn = options.get("means", {}).get("timeNorm", "frames")
+        if tn == "segment":
+            out["nnz"] = nnz / N
+        elif tn == "second":
+            out["nnz"] = nnz / options.get("means", {}).get("T", 1.0)
+        else:
+            out["nnz"] = nnz
+        out["flatness"] = np.where(absmean != 0.0, nzgmean
+                                   / np.where(absmean != 0, absmean, 1.0), 1.0)
+        posamean = np.where(npos > 0, pos_s / safe_np, 0.0)
+        posqmean = np.where(npos > 0, posq_s / safe_np, 0.0)
+        negamean = np.where(nneg > 0, neg_s / safe_nn, 0.0)
+        negqmean = np.where(nneg > 0, negq_s / safe_nn, 0.0)
+        out["posamean"] = posamean
+        out["negamean"] = negamean
+        out["posqmean"] = posqmean
+        out["posrqmean"] = np.sqrt(posqmean)
+        out["negqmean"] = negqmean
+        out["negrqmean"] = np.sqrt(negqmean)
+        out["rqmean"] = np.sqrt(qmean)
+        out["nzrqmean"] = np.sqrt(out["nzqmean"])
+
+    if "moments" in families:
+        d = x - mean_rep
+        d2 = d * d
+        m2 = _seg_sum(d2, starts) / N
+        m3 = _seg_sum(d2 * d, starts)
+        m4 = _seg_sum(d2 * d2, starts)
+        sqm2 = np.where(m2 > 0, np.sqrt(np.where(m2 > 0, m2, 1.0)), 0.0)
+        out["variance"] = m2
+        out["stddev"] = sqm2
+        d3 = N * m2 * sqm2
+        d4 = N * m2 * m2
+        out["skewness"] = np.where(d3 > 0, m3 / np.where(d3 > 0, d3, 1.0), 0.0)
+        out["kurtosis"] = np.where(d4 > 0, m4 / np.where(d4 > 0, d4, 1.0), 0.0)
+        if "amean" not in out:
+            out["amean"] = mean
+        mean1 = np.where(mean != 0.0, mean, 1.0)
+        out["stddevNorm"] = np.where(m2 > 0, sqm2 / mean1, 0.0)
+
+    if "extremes" in families:
+        idx = np.arange(x.size, dtype=np.int64)
+        maxpos = (np.minimum.reduceat(
+            np.where(x == np.repeat(gmax, (ends - starts)), idx, _BIG), starts)
+            - starts).astype(np.float64)
+        minpos = (np.minimum.reduceat(
+            np.where(x == np.repeat(gmin, (ends - starts)), idx, _BIG), starts)
+            - starts).astype(np.float64)
+        tn = options.get("extremes", {}).get("timeNorm", "frames")
+        if tn == "segment":
+            maxpos = maxpos / N
+            minpos = minpos / N
+        out["max"] = gmax
+        out["min"] = gmin
+        out["range"] = gmax - gmin
+        out["maxPos"] = maxpos
+        out["minPos"] = minpos
+        if "amean" not in out:
+            out["amean"] = mean
+        out["maxameandist"] = gmax - mean
+        out["minameandist"] = mean - gmin
+
+    if "percentiles" in families:
+        popts = options.get("percentiles", {})
+        plist = list(popts.get("percentiles", (0.20, 0.50, 0.80)))
+        pranges = list(popts.get("pctlranges", ((0, 2),)))
+
+        def interp(p):
+            idxf = p * (N - 1.0)
+            i1 = np.floor(idxf).astype(np.int64)
+            i2 = np.ceil(idxf).astype(np.int64)
+            np.clip(i1, 0, (N - 1).astype(np.int64), out=i1)
+            np.clip(i2, 0, (N - 1).astype(np.int64), out=i2)
+            v1 = xs[starts + i1]
+            v2 = xs[starts + i2]
+            w1 = idxf - i1
+            w2 = i2 - idxf
+            return np.where(i1 != i2, v1 * w2 + v2 * w1, v1)
+
+        q1, q2, q3 = interp(0.25), interp(0.50), interp(0.75)
+        out["quartile1"] = q1
+        out["quartile2"] = q2
+        out["quartile3"] = q3
+        out["iqr1-2"] = q2 - q1
+        out["iqr2-3"] = q3 - q2
+        out["iqr1-3"] = q3 - q1
+        pvals = []
+        for p in plist:
+            v = interp(p)
+            out[f"percentile{p * 100:.1f}"] = v
+            pvals.append(v)
+        for a, b in pranges:
+            out[f"pctlrange{a}-{b}"] = np.abs(pvals[b] - pvals[a])
+
+    if "regression" in families:
+        num = _seg_sum(x * ii, starts)
+        num2 = _seg_sum(x * ii * ii, starts)
+        asum = mean * N
+        with np.errstate(divide="ignore", invalid="ignore"):
+            centroid = np.where(asum != 0.0, num / np.where(asum != 0, asum, 1), 0.0)
+        centroid = np.where(np.isfinite(centroid), centroid, 0.0)
+        NNm1 = N * (N - 1.0)
+        S1 = NNm1 / 2.0
+        S2 = NNm1 * (2.0 * N - 1.0) / 6.0
+        safeS2 = np.where(S2 != 0, S2, 1.0)
+        S1dS2 = S1 / safeS2
+        tmp = N - S1 * S1dS2
+        first_vals = x[starts]
+        t_off = np.where(
+            N > 1,
+            np.where(tmp != 0, (asum - num * S1dS2) / np.where(tmp != 0, tmp, 1), 0.0),
+            first_vals)
+        m = np.where(N > 1, (num - t_off * S1) / safeS2, 0.0)
+        S3 = S1 * S1
+        N1 = N - 1.0
+        S4 = S2 * (3.0 * (N1 * N1 + N1) - 1.0) / 5.0
+        S3S3 = S3 * S3
+        S2S2 = S2 * S2
+        S1S2 = S1 * S2
+        det = S4 * S2 * N + 2.0 * S3 * S1S2 - S2S2 * S2 - S3S3 * N - S3 * S4
+        safed = np.where(det != 0, det, 1.0)
+        a = np.where((N > 1) & (det != 0),
+                     ((S2 * N - S3) * num2 + (S1S2 - S3 * N) * num
+                      + (S3 * S1 - S2S2) * asum) / safed, 0.0)
+        b = np.where((N > 1) & (det != 0),
+                     ((S1S2 - S3 * N) * num2 + (S4 * N - S2S2) * num
+                      + (S3 * S2 - S4 * S1) * asum) / safed, 0.0)
+        c = np.where(N > 1,
+                     np.where(det != 0,
+                              ((S3 * S1 - S2S2) * num2 + (S3 * S2 - S4 * S1) * num
+                               + (S4 * S2 - S3S3) * asum) / safed, 0.0),
+                     first_vals)
+        m_rep = np.repeat(m, (ends - starts))
+        t_rep = np.repeat(t_off, (ends - starts))
+        e = x - (m_rep * ii + t_rep)
+        lea = _seg_sum(np.abs(e), starts) / N
+        leq = _seg_sum(e * e, starts) / N
+        a_rep = np.repeat(a, (ends - starts))
+        b_rep = np.repeat(b, (ends - starts))
+        c_rep = np.repeat(c, (ends - starts))
+        eq = x - (a_rep * ii * ii + b_rep * ii + c_rep)
+        qea = _seg_sum(np.abs(eq), starts) / N
+        qeq = _seg_sum(eq * eq, starts) / N
+
+        def fin(v):
+            return np.where(np.isfinite(v), v, 0.0)
+
+        out["linregc1"] = fin(m)
+        out["linregc2"] = fin(t_off)
+        out["linregerrA"] = fin(lea)
+        out["linregerrQ"] = fin(leq)
+        out["qregc1"] = fin(a)
+        out["qregc2"] = fin(b)
+        out["qregc3"] = fin(c)
+        out["qregerrA"] = fin(qea)
+        out["qregerrQ"] = fin(qeq)
+        out["centroid"] = centroid
+
+    if "crossings" in families or "times" in families:
+        # interior masks: position-within-group helpers
+        pos_in = ii
+        size_rep = np.repeat(sizes, (ends - starts))
+
+    if "crossings" in families:
+        # i in [1, N-2]: x[i-1], x[i], x[i+1] with group-interior mask
+        xm1 = np.empty_like(x)
+        xp1 = np.empty_like(x)
+        xm1[1:] = x[:-1]
+        xm1[0] = 0.0
+        xp1[:-1] = x[1:]
+        xp1[-1] = 0.0
+        interior = (pos_in >= 1) & (pos_in <= size_rep - 2)
+        zc = interior & (((xm1 * xp1 <= 0.0) & (x == 0.0)) | (xm1 * x < 0.0))
+        am1 = xm1 - mean_rep
+        a0 = x - mean_rep
+        ap1 = xp1 - mean_rep
+        mc = interior & (((am1 * ap1 <= 0.0) & (a0 == 0.0)) | (am1 * a0 < 0.0))
+        out["zcr"] = _seg_sum(zc.astype(np.float64), starts) / N
+        out["mcr"] = _seg_sum(mc.astype(np.float64), starts) / N
+        if "amean" not in out:
+            out["amean"] = mean
+
+    if "times" in families:
+        tn = options.get("times", {}).get("timeNorm", "segment")
+        if tn == "segment":
+            Norm, Norm1, Norm2 = N, N - 1.0, N - 2.0
+        else:  # frames
+            Norm = np.ones_like(N)
+            Norm1 = (N - 1.0) / N
+            Norm2 = (N - 2.0) / N
+        rng = gmax - gmin
+        for frac, nm in ((0.25, "25"), (0.50, "50"), (0.75, "75"),
+                         (0.90, "90")):
+            lvl = np.repeat(frac * rng + gmin, (ends - starts))
+            nle = _seg_sum((x <= lvl).astype(np.float64), starts)
+            out[f"upleveltime{nm}"] = (N - nle) / Norm
+            out[f"downleveltime{nm}"] = nle / Norm
+        xm1 = np.empty_like(x)
+        xm1[1:] = x[:-1]
+        xm1[0] = 0.0
+        not_first = pos_in >= 1
+        rise = not_first & (xm1 < x)
+        fall = not_first & (xm1 > x)
+        nR = _seg_sum(rise.astype(np.float64), starts)
+        nF = _seg_sum(fall.astype(np.float64), starts)
+        safe1 = np.where(Norm1 != 0, Norm1, 1.0)
+        out["risetime"] = np.where(Norm1 != 0, nR / safe1, 0.0)
+        out["falltime"] = np.where(Norm1 != 0, nF / safe1, 0.0)
+        xp1 = np.empty_like(x)
+        xp1[:-1] = x[1:]
+        xp1[-1] = 0.0
+        interior = (pos_in >= 1) & (pos_in <= np.repeat(sizes, (ends - starts)) - 2)
+        dd = (xp1 - x) - (x - xm1)
+        nRC = _seg_sum((interior & (dd < 0)).astype(np.float64), starts)
+        nLC = _seg_sum((interior & (dd > 0)).astype(np.float64), starts)
+        safe2 = np.where(Norm2 != 0, Norm2, 1.0)
+        out["leftctime"] = np.where(Norm2 != 0, nLC / safe2, 0.0)
+        out["rightctime"] = np.where(Norm2 != 0, nRC / safe2, 0.0)
+        out["duration"] = N
+
+    return out
