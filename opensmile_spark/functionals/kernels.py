@@ -547,8 +547,9 @@ def f_segments(x, xsorted, xmin, xmax, xmean, timeNorm="segment", T=1.0,
 # relThresh=0.1, dynRelThresh=0, doRatioLimit=0, norm=frames, T=1
 # ---------------------------------------------------------------------------
 
-def f_peaks2(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0,
-             relThresh=0.1, dynRelThresh=False, absThreshIn=None):
+def f_peaks2_dictref(x, xsorted, xmin, xmax, xmean, timeNorm="frames",
+                     T=1.0, relThresh=0.1, dynRelThresh=False,
+                     absThreshIn=None):
     N = x.size
     rng = float(xmax - xmin)
     absThresh = absThreshIn if absThreshIn is not None else relThresh * rng
@@ -886,6 +887,398 @@ def f_peaks2(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0,
     }
 
 
+
+def f_peaks2(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0,
+             relThresh=0.1, dynRelThresh=False, absThreshIn=None):
+    """Optimized transcription of f_peaks2_dictref (same automaton, parallel
+    lists + branch min/max instead of dict elements — the per-group Python
+    passes dominated kernel CPU). Equality with the dict reference is pinned
+    by tests/test_peaks2_fast.py over randomized inputs."""
+    N = x.size
+    rng = float(xmax - xmin)
+    absThresh = absThreshIn if absThreshIn is not None else relThresh * rng
+
+    if dynRelThresh:
+        def below(diff, base):
+            if base == 0.0:
+                return diff != 0.0
+            return abs(diff / base) < relThresh
+    else:
+        def below(diff, base):
+            return diff < absThresh
+
+    # step 1 (vectorized): local extrema, i in [2, N-3]
+    if N >= 5:
+        xc = x[2:-2]
+        is_max = (xc > x[1:-3]) & (xc > x[3:-1])
+        is_min = (xc < x[1:-3]) & (xc < x[3:-1])
+        which = np.flatnonzero(is_max | is_min)
+        et = is_max[which]                       # bool array: True = max
+        epos = (which + 2).tolist()
+        eval_ = xc[which].tolist()
+        et = et.tolist()
+    else:
+        et, epos, eval_ = [], [], []
+    M = len(et)
+    alive = [True] * M
+
+    # step 2a
+    x0 = float(x[0])
+    lastVal = x0
+    lastMin = x0
+    lastMax = x0
+    minFlag = 0
+    last_max_i = -1
+    for i in range(M):
+        y = eval_[i]
+        if et[i]:
+            base = y if y < lastVal else lastVal
+            d = y - lastVal
+            if d < 0.0:
+                d = -d
+            if below(d, base):
+                if below(y - lastMin, lastMin):
+                    alive[i] = False
+                else:
+                    if y > lastMax * 1.05:
+                        if last_max_i >= 0:
+                            alive[last_max_i] = False
+                        lastMax = y
+                        last_max_i = i
+                    else:
+                        if minFlag:
+                            lastMax = y
+                            last_max_i = i
+                        else:
+                            alive[i] = False
+                    minFlag = 0
+            else:
+                minFlag = 0
+                lastMax = y
+                last_max_i = i
+        else:
+            base = y if y < lastVal else lastVal
+            d = y - lastVal
+            if d < 0.0:
+                d = -d
+            if not below(d, base):
+                minFlag = 1
+                lastMin = y
+        lastVal = y
+
+    # step 2b
+    lastMax = x0
+    for i in range(M):
+        if not alive[i]:
+            continue
+        if not et[i]:
+            if below(lastMax - eval_[i], eval_[i]):
+                alive[i] = False
+        else:
+            lastMax = eval_[i]
+
+    # step 3: alternation
+    lastMax = x0
+    lastMin = x0
+    minFlag = 0
+    init = 1
+    last_min_i = -1
+    last_max_i = -1
+    for i in range(M):
+        if not alive[i]:
+            continue
+        y = eval_[i]
+        if not et[i]:
+            if not minFlag or init:
+                lastMin = y
+                last_min_i = i
+                minFlag = 1
+                init = 0
+            else:
+                if y >= lastMin:
+                    alive[i] = False
+                else:
+                    if last_min_i != i and last_min_i >= 0:
+                        alive[last_min_i] = False
+                    last_min_i = i
+                    lastMin = y
+        else:
+            if minFlag or init:
+                lastMax = y
+                last_max_i = i
+                minFlag = 0
+                init = 0
+            else:
+                if y <= lastMax:
+                    alive[i] = False
+                else:
+                    if last_max_i != i and last_max_i >= 0:
+                        alive[last_max_i] = False
+                    last_max_i = i
+                    lastMax = y
+
+    ft = []
+    fx = []
+    fy = []
+    for i in range(M):
+        if alive[i]:
+            ft.append(et[i])
+            fx.append(epos[i])
+            fy.append(eval_[i])
+    F = len(ft)
+
+    # stats pass 1
+    peakMax = peakMin = 0.0
+    peakDist = peakDiff = 0.0
+    nPeakDist = 0
+    peakMean = 0.0
+    nPeaks = 0
+    minMax = minMin = 0.0
+    minDist = minDiff = 0.0
+    nMinDist = 0
+    minMean = 0.0
+    nMins = 0
+    lmx = lmy = None
+    lnx = lny = None
+    for i in range(F):
+        y = fy[i]
+        if not ft[i]:
+            if lnx is None:
+                minMin = minMax = y
+            else:
+                nMinDist += 1
+                minDist += fx[i] - lnx
+                d = y - lny
+                minDiff += d if d >= 0 else -d
+                if minMin > y:
+                    minMin = y
+                if minMax < y:
+                    minMax = y
+            lnx, lny = fx[i], y
+            minMean += y
+            nMins += 1
+        else:
+            if lmx is None:
+                peakMin = peakMax = y
+            else:
+                nPeakDist += 1
+                peakDist += fx[i] - lmx
+                d = y - lmy
+                peakDiff += d if d >= 0 else -d
+                if peakMin > y:
+                    peakMin = y
+                if peakMax < y:
+                    peakMax = y
+            lmx, lmy = fx[i], y
+            peakMean += y
+            nPeaks += 1
+
+    if nPeaks > 1:
+        peakMean /= nPeaks
+        if nPeakDist > 1:
+            peakDist /= nPeakDist
+            peakDiff /= nPeakDist
+    if nMins > 0:
+        minMean /= nMins
+        if nMinDist > 1:
+            minDist /= nMinDist
+            minDiff /= nMinDist
+
+    # stats pass 2 (reference quirk: max branch refs the last MIN — kept)
+    peakStddevDist = peakStddevDiff = 0.0
+    minStddevDist = minStddevDiff = 0.0
+    lmx = None
+    lnx = lny = None
+    for i in range(F):
+        y = fy[i]
+        if not ft[i]:
+            if lnx is not None:
+                dd = fx[i] - lnx - minDist
+                minStddevDist += dd * dd
+                d = y - lny
+                if d < 0:
+                    d = -d
+                dd = d - minDiff
+                minStddevDiff += dd * dd
+            lnx, lny = fx[i], y
+        else:
+            if lmx is not None:
+                rx, ry = (lnx, lny) if lnx is not None else (lmx, lmy)
+                dd = fx[i] - rx - peakDist
+                peakStddevDist += dd * dd
+                d = y - ry
+                if d < 0:
+                    d = -d
+                dd = d - peakDiff
+                peakStddevDiff += dd * dd
+            lmx, lmy = fx[i], y
+    if nPeakDist > 1:
+        peakStddevDist /= nPeakDist
+        peakStddevDiff /= nPeakDist
+    peakStddevDist = math.sqrt(peakStddevDist) if peakStddevDist > 0 else 0.0
+    peakStddevDiff = math.sqrt(peakStddevDiff) if peakStddevDiff > 0 else 0.0
+    if nMinDist > 1:
+        minStddevDist /= nMinDist
+        minStddevDiff /= nMinDist
+    minStddevDist = math.sqrt(minStddevDist) if minStddevDist > 0 else 0.0
+    minStddevDiff = math.sqrt(minStddevDiff) if minStddevDiff > 0 else 0.0
+
+    # slopes
+    meanRS = meanFS = 0.0
+    nRising = nFalling = 0
+    minRS = maxRS = minFS = maxFS = 0.0
+    lastIsMax = -1
+    lastMaxV = x0
+    lastMaxPos = 0
+    lastMinV = x0
+    lastMinPos = 0
+    for i in range(F):
+        if not ft[i]:
+            lastMinV, lastMinPos = fy[i], fx[i]
+            dpos = lastMinPos - lastMaxPos
+            if dpos > 0:
+                slope = (lastMaxV - lastMinV) / (dpos * T)
+                meanFS += slope
+                if nFalling == 0:
+                    minFS = maxFS = slope
+                else:
+                    if slope < minFS:
+                        minFS = slope
+                    if slope > maxFS:
+                        maxFS = slope
+                nFalling += 1
+                lastIsMax = 0
+        else:
+            lastMaxV, lastMaxPos = fy[i], fx[i]
+            dpos = lastMaxPos - lastMinPos
+            if dpos > 0:
+                slope = (lastMaxV - lastMinV) / (dpos * T)
+                meanRS += slope
+                if nRising == 0:
+                    minRS = maxRS = slope
+                else:
+                    if slope < minRS:
+                        minRS = slope
+                    if slope > maxRS:
+                        maxRS = slope
+                nRising += 1
+                lastIsMax = 1
+
+    xl = float(x[N - 1])
+    if lastIsMax == 1:
+        if N - 1 - lastMaxPos > 0:
+            slope = (xl - lastMaxV) / ((N - 1 - lastMaxPos) * T)
+            meanFS += slope
+            if nFalling == 0:
+                minFS = maxFS = slope
+            else:
+                if slope < minFS:
+                    minFS = slope
+                if slope > maxFS:
+                    maxFS = slope
+            nFalling += 1
+    elif lastIsMax == 0:
+        if N - 1 - lastMinPos > 0:
+            slope = (xl - lastMinV) / ((N - 1 - lastMinPos) * T)
+            meanRS += slope
+            if nRising == 0:
+                minRS = maxRS = slope
+            else:
+                if slope < minRS:
+                    minRS = slope
+                if slope > maxRS:
+                    maxRS = slope
+            nRising += 1
+    else:
+        slope = (xl - x0) / N
+        if slope > 0:
+            meanRS = maxRS = minRS = slope
+            nRising = 1
+        elif slope < 0:
+            meanFS = maxFS = minFS = slope
+            nFalling = 1
+
+    if nRising > 1:
+        meanRS /= nRising
+    if nFalling > 1:
+        meanFS /= nFalling
+
+    stddevRS = stddevFS = 0.0
+    lastMaxV = x0
+    lastMaxPos = 0
+    lastMinV = x0
+    lastMinPos = 0
+    for i in range(F):
+        if not ft[i]:
+            lastMinV, lastMinPos = fy[i], fx[i]
+            dpos = lastMinPos - lastMaxPos
+            if dpos > 0:
+                slope = (lastMaxV - lastMinV) / (dpos * T)
+                dd = slope - meanFS
+                stddevFS += dd * dd
+        else:
+            lastMaxV, lastMaxPos = fy[i], fx[i]
+            dpos = lastMaxPos - lastMinPos
+            if dpos:
+                slope = (lastMaxV - lastMinV) / (dpos * T)
+                dd = slope - meanRS
+                stddevRS += dd * dd
+    if nRising > 1:
+        stddevRS /= nRising
+    if nFalling > 1:
+        stddevFS /= nFalling
+    stddevRS = math.sqrt(stddevRS) if stddevRS > 0 else 0.0
+    stddevFS = math.sqrt(stddevFS) if stddevFS > 0 else 0.0
+
+    if timeNorm == "second":
+        peakDist *= T
+        peakStddevDist *= T
+        minDist *= T
+        minStddevDist *= T
+    elif timeNorm == "segment":
+        peakDist /= N
+        peakStddevDist /= N
+        minDist /= N
+        minStddevDist /= N
+
+    numPeaks = (nPeaks / (N * T)) if timeNorm == "second" else float(nPeaks)
+
+    return {
+        "numPeaks": numPeaks,
+        "meanPeakDist": float(peakDist),
+        "peakDistStddev": peakStddevDist,
+        "peakRangeAbs": peakMax - peakMin,
+        "peakRangeRel": (abs((peakMax - peakMin) / rng) if rng != 0.0
+                         else peakMax - peakMin),
+        "peakMean": peakMean,
+        "peakMeanMeanDist": peakMean - float(xmean),
+        "ptpAmpMeanAbs": peakDiff,
+        "ptpAmpMeanRel": (peakDiff / rng) if rng != 0.0 else peakDiff,
+        "ptpAmpStddevAbs": peakStddevDiff,
+        "ptpAmpStddevRel": (peakStddevDiff / rng) if rng != 0.0
+        else peakStddevDiff,
+        "minRangeAbs": minMax - minMin,
+        "minRangeRel": (abs((minMax - minMin) / rng) if rng != 0.0
+                        else minMax - minMin),
+        "minMean": minMean,
+        "minMeanMeanDist": float(xmean) - minMean,
+        "mtmAmpMeanAbs": minDiff,
+        "mtmAmpMeanRel": (minDiff / rng) if rng != 0.0 else minDiff,
+        "mtmAmpStddevAbs": minStddevDiff,
+        "mtmAmpStddevRel": (minStddevDiff / rng) if rng != 0.0 else minStddevDiff,
+        "meanRisingSlope": meanRS,
+        "maxRisingSlope": maxRS,
+        "minRisingSlope": minRS,
+        "stddevRisingSlope": stddevRS,
+        "meanFallingSlope": meanFS,
+        "maxFallingSlope": maxFS,
+        "minFallingSlope": minFS,
+        "stddevFallingSlope": stddevFS,
+        "covFallingSlope": (stddevFS / meanFS) if meanFS > 0.0 else 0.0,
+        "covRisingSlope": (stddevRS / meanRS) if meanRS > 0.0 else 0.0,
+    }
+
+
 # ---------------------------------------------------------------------------
 # cFunctionalSamples (functionalSamples.cpp:42) — values at relative positions
 # ---------------------------------------------------------------------------
@@ -1046,7 +1439,9 @@ def compute_all(x: np.ndarray, families=None, options=None) -> dict:
         return {}
     families = families or list(FAMILIES)
     options = options or {}
-    xsorted = np.sort(x)
+    # sort once ONLY if an order-statistics family is enabled, mirroring the
+    # reference's conditional shared sort (functionals.cpp:349-353)
+    xsorted = np.sort(x) if "percentiles" in families else x
     xmin = float(x.min())
     xmax = float(x.max())
     xmean = float(x.sum() / x.size)
