@@ -164,7 +164,7 @@ def main():
         n_small = int(os.environ.get("SPARK_GRAFT_SCALE_SMALL", "4"))
         n_large = int(os.environ.get("SPARK_GRAFT_SCALE_LARGE", "16"))
         reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
-        n_convs = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "120000"))
+        n_convs = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "360000"))
         corpus = "/dev/shm/opensmile_spark_bench_lld"
         scratch = "/dev/shm/opensmile_spark_bench_scratch"
         lld_cols = ["char_len", "token_cnt", "punct_density", "ttr",
