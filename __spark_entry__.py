@@ -569,9 +569,26 @@ def q_simhash_near_dups(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
+    """Pins the exact cosine VERIFIER (method='brute', the test oracle)
+    against DuckDB; the production path is LSH candidates + this same
+    verifier (q_embedding_near_dups_lsh, rows-only — approximate recall by
+    construction, >=0.95 on planted near-dups pinned in
+    tests/test_similarity.py)."""
     from opensmile_spark.dedup import embedding_near_dups
 
-    out = embedding_near_dups(_emb(spark, sf_dir), threshold=0.25)
+    out = embedding_near_dups(_emb(spark, sf_dir), threshold=0.25,
+                              method="brute")
+    return out.select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
+
+
+def q_embedding_near_dups_lsh(spark, sf_dir):
+    """Production near-dup path: single-scan multi-table LSH candidates +
+    exact cosine verify — no crossJoin in the plan (rows-only: recall < 1
+    by construction at this low threshold)."""
+    from opensmile_spark.dedup import embedding_near_dups
+
+    out = embedding_near_dups(_emb(spark, sf_dir), threshold=0.25,
+                              method="lsh", dim=64, bits=6, tables=16)
     return out.select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
 
 
@@ -637,6 +654,137 @@ def q_egemaps_bundle(spark, sf_dir):
         if c not in ("conv_id", "session_id", "n_turns") else F.col(c)
         for c in cols
     ])
+
+
+def q_functionals_onset(spark, sf_dir):
+    """cFunctionalOnset on the binary is_tool contour (thresholds 0,
+    norm=segment) — full SQL twin via lag flags."""
+    from opensmile_spark.functionals import functionals_kernel
+
+    out = functionals_kernel(
+        _lld(spark, sf_dir), ["is_tool"], ("conv_id",), families=["onset"],
+    )
+    cols = ["onsetPos", "offsetPos", "numOnsets", "numOffsets", "onsetRate"]
+    return out.select(
+        "conv_id", "n_turns",
+        *[F.col(f"`is_tool_{c}`").alias(f"is_tool_{c}") for c in cols],
+    )
+
+
+def q_functionals_segments(spark, sf_dir):
+    """cFunctionalSegments eqX(X=0) on is_tool (zero-runs with gaps <
+    pauseMinLng tolerated, segMinLng filter, maxNumSeg cap, EOF-closure
+    off-by-one) — SQL twin via gap-sessionized match runs."""
+    from opensmile_spark.functionals import functionals_kernel
+    from opensmile_spark.util import round_sig
+
+    out = functionals_kernel(
+        _lld(spark, sf_dir), ["is_tool"], ("conv_id",),
+        families=["segments"],
+        options={"segments": {"algorithm": "eqX", "X": 0.0}},
+    )
+    cols = ["numSegments", "meanSegLen", "maxSegLen", "minSegLen",
+            "segLenStddev"]
+    return out.select(
+        "conv_id", "n_turns",
+        *[round_sig(F.col(f"`is_tool_{c}`")).alias(f"is_tool_{c}")
+          for c in cols],
+    )
+
+
+def q_functionals_samples(spark, sf_dir):
+    """cFunctionalSamples: values at relative positions (C-cast truncation
+    index si=(int)((N-1)*p), functionalSamples.cpp:107) — exact values, no
+    rounding needed."""
+    from opensmile_spark.functionals import functionals_kernel
+
+    out = functionals_kernel(
+        _lld(spark, sf_dir), ["char_len"], ("conv_id",),
+        families=["samples"],
+    )
+    cols = ["samplepos0", "samplepos0.25", "samplepos0.5", "samplepos0.75",
+            "samplepos1"]
+    return out.select(
+        "conv_id", "n_turns",
+        *[F.col(f"`char_len_{c}`").alias(f"char_len_{c}") for c in cols],
+    )
+
+
+def q_functionals_dct(spark, sf_dir):
+    """cFunctionalDCT coefficients 1..6 (closed-form cos sums,
+    functionalDCT.cpp:38-40) — SQL twin via SUM(x*COS(...))."""
+    from opensmile_spark.functionals import functionals_kernel
+    from opensmile_spark.util import round_sig
+
+    out = functionals_kernel(
+        _lld(spark, sf_dir), ["char_len"], ("conv_id",), families=["dct"],
+    )
+    return out.select(
+        "conv_id", "n_turns",
+        *[round_sig(F.col(f"char_len_dct{k}")).alias(f"char_len_dct{k}")
+          for k in range(1, 7)],
+    )
+
+
+def q_peaks2_restricted(spark, sf_dir):
+    """cFunctionalPeaks2 with absThresh pinned to -1e18 (every isBelowThresh
+    false): the automaton reduces to strict local extrema + same-type-run
+    collapse (argmax/argmin, first-on-ties) — fully SQL-expressible incl.
+    the reference's pass-2 stddev quirk and EOF slopes. Exercises the
+    peaks2 automaton + stats/slope passes end-to-end in the gate."""
+    from opensmile_spark.functionals import functionals_kernel
+    from opensmile_spark.util import round_sig
+
+    out = functionals_kernel(
+        _lld(spark, sf_dir), ["char_len"], ("conv_id",),
+        families=["peaks2"],
+        options={"peaks2": {"absThreshIn": -1e18}},
+    )
+    cols = ["numPeaks", "meanPeakDist", "peakDistStddev", "peakRangeAbs",
+            "peakRangeRel", "peakMean", "peakMeanMeanDist", "ptpAmpMeanAbs",
+            "ptpAmpStddevAbs", "minRangeAbs", "minMean", "minMeanMeanDist",
+            "mtmAmpMeanAbs", "mtmAmpStddevAbs",
+            "meanRisingSlope", "maxRisingSlope", "minRisingSlope",
+            "stddevRisingSlope", "meanFallingSlope", "maxFallingSlope",
+            "minFallingSlope", "stddevFallingSlope",
+            "covRisingSlope", "covFallingSlope"]
+    return out.select(
+        "conv_id", "n_turns",
+        *[round_sig(F.col(f"`char_len_{c}`")).alias(f"char_len_{c}")
+          for c in cols],
+    )
+
+
+def q_peaks_legacy(spark, sf_dir):
+    """Legacy cFunctionalPeaks (functionalPeaks.cpp:103-215, hysteresis
+    0.11/0.09*range) — sequential hysteresis automaton, rows-only gate;
+    parity pinned by tests/test_kernels_extra.py."""
+    from opensmile_spark.functionals import functionals_kernel
+    from opensmile_spark.util import round_sig
+
+    out = functionals_kernel(
+        _lld(spark, sf_dir), ["char_len"], ("conv_id",), families=["peaks"],
+    )
+    cols = ["numPeaks", "meanPeakDist", "peakMean", "peakMeanMeanDist",
+            "peakDistStddev"]
+    return out.select(
+        "conv_id", "n_turns",
+        *[round_sig(F.col(f"`char_len_{c}`")).alias(f"char_len_{c}")
+          for c in cols],
+    )
+
+
+def q_mvn_pretrained(spark, sf_dir):
+    """cVectorMVN with FROZEN pre-trained stats (vectorTransform.hpp:24-39
+    UPDMETHOD_FIX): fit on even turns only, transform every turn via
+    broadcast join — the feature-store train/serve split."""
+    from opensmile_spark.operators import mvn_fit, mvn_transform
+
+    lld = _lld(spark, sf_dir)
+    stats = mvn_fit(lld.filter(F.col("turn_idx") % 2 == 0), ["char_len"])
+    out = mvn_transform(lld, stats, ["char_len"])
+    return out.select("conv_id", "turn_idx",
+                      F.round("char_len_mvn", 6).alias("char_len_mvn"))
 
 
 def q_datagen(spark, sf_dir):
@@ -759,15 +907,37 @@ def _sql_linreg(x: str):
     return m, t_off
 
 
-def _sql_functional_aggs(x: str, prefix: str) -> str:
+def _sql_functional_aggs(x: str, prefix: str, central: bool = True) -> str:
     """DuckDB aggregate expressions matching functionals_sql naming, all
-    sig-rounded to mirror the Spark side exactly."""
+    sig-rounded to mirror the Spark side exactly.
+
+    central=True twins the functionals_sql Spark path (var_pop / population
+    skewness / kurtosis central aggregators). central=False twins the
+    KERNEL path for integer-valued inputs: raw-moment expansion whose sums
+    are EXACT for integer data, which tracks the kernel's centered numpy
+    sums more tightly than DuckDB's streaming var_pop does."""
     nnz = f"SUM(CASE WHEN {x} <> 0 THEN 1 ELSE 0 END)"
-    var = f"(AVG({x}*{x}) - AVG({x})*AVG({x}))"
-    sd = f"(CASE WHEN {var} > 0 THEN SQRT({var}) ELSE 0.0 END)"
-    m3c = f"(AVG({x}*{x}*{x}) - 3*AVG({x})*AVG({x}*{x}) + 2*POW(AVG({x}),3))"
-    m4c = (f"(AVG({x}*{x}*{x}*{x}) - 4*AVG({x})*AVG({x}*{x}*{x}) "
-           f"+ 6*AVG({x})*AVG({x})*AVG({x}*{x}) - 3*POW(AVG({x}),4))")
+    nd = f"CAST(COUNT({x}) AS DOUBLE)"
+    if central:
+        # DuckDB's skewness is the bias-corrected SAMPLE statistic ->
+        # convert to population via *(n-2)/sqrt(n(n-1)); kurtosis_pop is
+        # population EXCESS -> +3.
+        var = f"var_pop({x})"
+        sd = f"(CASE WHEN {var} > 0 THEN stddev_pop({x}) ELSE 0.0 END)"
+        skw = (f"(CASE WHEN {var} > 0 THEN COALESCE(skewness({x}) * ({nd}-2)"
+               f" / SQRT({nd}*({nd}-1.0)), 0.0) ELSE 0.0 END)")
+        krt = (f"(CASE WHEN {var} > 0 THEN kurtosis_pop({x}) + 3.0 "
+               f"ELSE 0.0 END)")
+    else:
+        var = f"(AVG({x}*{x}) - AVG({x})*AVG({x}))"
+        sd = f"(CASE WHEN {var} > 0 THEN SQRT({var}) ELSE 0.0 END)"
+        m3c = (f"(AVG({x}*{x}*{x}) - 3*AVG({x})*AVG({x}*{x}) "
+               f"+ 2*POW(AVG({x}),3))")
+        m4c = (f"(AVG({x}*{x}*{x}*{x}) - 4*AVG({x})*AVG({x}*{x}*{x}) "
+               f"+ 6*AVG({x})*AVG({x})*AVG({x}*{x}) - 3*POW(AVG({x}),4))")
+        skw = (f"(CASE WHEN {var} > 0 THEN {m3c}/({var}*SQRT({var})) "
+               f"ELSE 0.0 END)")
+        krt = f"(CASE WHEN {var} > 0 THEN {m4c}/POW({var},2) ELSE 0.0 END)"
     m, t_off = _sql_linreg(x)
     exprs = {
         "amean": f"AVG({x})",
@@ -786,9 +956,8 @@ def _sql_functional_aggs(x: str, prefix: str) -> str:
                     f"ELSE 0.0 END"),
         "variance": var,
         "stddev": sd,
-        "skewness": (f"CASE WHEN {var} > 0 THEN {m3c}/({var}*SQRT({var})) "
-                     f"ELSE 0.0 END"),
-        "kurtosis": f"CASE WHEN {var} > 0 THEN {m4c}/POW({var},2) ELSE 0.0 END",
+        "skewness": skw,
+        "kurtosis": krt,
         "stddevNorm": (f"CASE WHEN {var} <= 0 THEN 0.0 "
                        f"WHEN AVG({x}) <> 0 THEN {sd}/AVG({x}) "
                        f"ELSE {sd} END"),
@@ -828,7 +997,7 @@ FROM idx GROUP BY conv_id
 
 def _functionals_session_oracle() -> str:
     m, t_off = _sql_linreg("char_len")
-    base_cols = _sql_functional_aggs("char_len", "char_len")
+    base_cols = _sql_functional_aggs("char_len", "char_len", central=False)
     return SQL_PREFIX + f"""
 , idx AS (
   SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, session_id
@@ -953,8 +1122,7 @@ HAVING COUNT(l.char_len) > 0
 
 _ORACLES["mvn"] = SQL_PREFIX + """
 , st AS (
-  SELECT conv_id, AVG(char_len) AS mu,
-         SQRT(AVG(char_len*char_len) - AVG(char_len)*AVG(char_len)) AS sd
+  SELECT conv_id, AVG(char_len) AS mu, stddev_pop(char_len) AS sd
   FROM lld GROUP BY conv_id
 )
 SELECT l.conv_id, l.turn_idx,
@@ -965,11 +1133,8 @@ FROM lld l JOIN st USING (conv_id)
 
 _ORACLES["mvn_expanding"] = SQL_PREFIX + """
 SELECT conv_id, turn_idx,
-  ROUND(CASE WHEN SQRT(AVG(char_len*char_len) OVER w
-                       - (AVG(char_len) OVER w)*(AVG(char_len) OVER w)) > 0
-       THEN (char_len - AVG(char_len) OVER w)
-            / SQRT(AVG(char_len*char_len) OVER w
-                   - (AVG(char_len) OVER w)*(AVG(char_len) OVER w))
+  ROUND(CASE WHEN stddev_pop(char_len) OVER w > 0
+       THEN (char_len - AVG(char_len) OVER w) / (stddev_pop(char_len) OVER w)
        ELSE 0.0 END, 6) AS char_len_mvn
 FROM lld
 WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
@@ -1048,10 +1213,8 @@ SELECT conv_id, COUNT(*) AS n_turns,
   ROUND(AVG(ABS(char_len)), 6) AS char_len_absmean,
   ROUND(AVG(char_len*char_len), 6) AS char_len_qmean,
   ROUND(SQRT(AVG(char_len*char_len)), 6) AS char_len_rqmean,
-  ROUND(AVG(char_len*char_len) - AVG(char_len)*AVG(char_len), 6)
-      AS char_len_variance,
-  ROUND(CASE WHEN AVG(char_len*char_len) - AVG(char_len)*AVG(char_len) > 0
-       THEN SQRT(AVG(char_len*char_len) - AVG(char_len)*AVG(char_len))
+  ROUND(var_pop(char_len), 6) AS char_len_variance,
+  ROUND(CASE WHEN var_pop(char_len) > 0 THEN stddev_pop(char_len)
        ELSE 0.0 END, 6) AS char_len_stddev,
   ROUND(MIN(char_len), 6) AS char_len_min,
   ROUND(MAX(char_len), 6) AS char_len_max,
@@ -1060,6 +1223,397 @@ SELECT conv_id, COUNT(*) AS n_turns,
       AS char_len_nnz
 FROM lld GROUP BY conv_id
 """
+
+_ORACLES["functionals_onset"] = SQL_PREFIX + """
+, flags AS (
+  SELECT conv_id,
+    CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS i,
+    is_tool AS x,
+    lag(is_tool) OVER w AS px,
+    COUNT(*) OVER (PARTITION BY conv_id) AS n
+  FROM lld
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), ev AS (
+  SELECT conv_id, i, n,
+    CASE WHEN px IS NOT NULL AND x > 0 AND px <= 0 THEN 1 ELSE 0 END AS ons,
+    CASE WHEN px IS NOT NULL AND x <= 0 AND px > 0 THEN 1 ELSE 0 END AS offs
+  FROM flags
+)
+SELECT conv_id, MAX(n) AS n_turns,
+  CAST(COALESCE(MIN(CASE WHEN ons = 1 THEN i END), 0) AS DOUBLE) / MAX(n)
+      AS "is_tool_onsetPos",
+  CAST(COALESCE(MAX(CASE WHEN offs = 1 THEN i END), MAX(n) - 1) AS DOUBLE)
+      / MAX(n) AS "is_tool_offsetPos",
+  CAST(SUM(ons) AS DOUBLE) AS "is_tool_numOnsets",
+  CAST(SUM(offs) AS DOUBLE) AS "is_tool_numOffsets",
+  CAST(SUM(ons) AS DOUBLE) / MAX(n) AS "is_tool_onsetRate"
+FROM ev GROUP BY conv_id
+"""
+
+
+def _segments_oracle() -> str:
+    """eqX(X=0) segments on is_tool: match-run sessionization replicating
+    process_SegEqX (functionalSegments.cpp): gaps < pauseMinLng(2) tolerated
+    inside a segment, total matches >= segMinLng(3) to be valid, first
+    maxNumSeg(20) segments kept, EOF-closed segments one frame shorter."""
+    r = _rsig
+    return SQL_PREFIX + f"""
+, flags AS (
+  SELECT conv_id,
+    CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS i,
+    is_tool AS x,
+    COUNT(*) OVER (PARTITION BY conv_id) AS n
+  FROM lld
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), convs AS (
+  SELECT conv_id, MAX(n) AS n FROM flags GROUP BY conv_id
+), matched AS (
+  SELECT conv_id, i, n,
+    SUM(CASE WHEN prev_mi IS NULL OR i - prev_mi - 1 >= 2 THEN 1 ELSE 0 END)
+        OVER (PARTITION BY conv_id ORDER BY i) AS grp
+  FROM (
+    SELECT conv_id, i, n,
+      lag(i) OVER (PARTITION BY conv_id ORDER BY i) AS prev_mi
+    FROM flags WHERE x = 0.0
+  )
+), grps AS (
+  SELECT conv_id, grp, COUNT(*) AS n_m, MIN(i) AS first_i, MAX(i) AS last_i,
+         MAX(n) AS n
+  FROM matched GROUP BY conv_id, grp
+), grps2 AS (
+  SELECT *, MAX(grp) OVER (PARTITION BY conv_id) AS last_grp FROM grps
+), segs AS (
+  -- add_segment(i - segEnd, segStartIndex): mid-stream AND EOF closures
+  -- both yield last_match_idx - first_match_idx (the trailing gap and the
+  -- +1 cancel), so the length formula is uniform
+  SELECT conv_id,
+    last_i - first_i AS seg_len,
+    ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY first_i) AS seg_rank
+  FROM grps2 WHERE n_m >= 3
+), capped AS (
+  SELECT conv_id, CAST(seg_len AS DOUBLE) AS seg_len
+  FROM segs WHERE seg_rank <= 20
+), st0 AS (
+  SELECT conv_id, COUNT(*) AS n_seg, SUM(seg_len) AS sum_len,
+         MAX(seg_len) AS max_len, MIN(seg_len) AS min_len,
+         AVG(seg_len) AS mean_len
+  FROM capped GROUP BY conv_id
+), st AS (
+  SELECT s.*,
+    CASE WHEN s.n_seg > 1
+         THEN SQRT(SUM(POW(c.seg_len - s.mean_len, 2)) / s.n_seg)
+         ELSE 0.0 END AS len_dev
+  FROM st0 s JOIN capped c USING (conv_id)
+  GROUP BY s.conv_id, s.n_seg, s.sum_len, s.max_len, s.min_len, s.mean_len
+)
+SELECT c.conv_id, c.n AS n_turns,
+  {r("COALESCE(st.n_seg, 0) / 20.0")} AS "is_tool_numSegments",
+  {r("COALESCE(st.mean_len, 0.0) / c.n")} AS "is_tool_meanSegLen",
+  {r("COALESCE(st.max_len, 0.0) / c.n")} AS "is_tool_maxSegLen",
+  {r("COALESCE(st.min_len, 0.0) / c.n")} AS "is_tool_minSegLen",
+  {r("COALESCE(st.len_dev, 0.0) / c.n")} AS "is_tool_segLenStddev"
+FROM convs c LEFT JOIN st ON c.conv_id = st.conv_id
+"""
+
+
+_ORACLES["functionals_segments"] = _segments_oracle()
+
+_ORACLES["functionals_samples"] = SQL_PREFIX + """
+, lst AS (
+  SELECT conv_id, list(char_len ORDER BY turn_idx) AS xs,
+         COUNT(*) AS n
+  FROM lld GROUP BY conv_id
+)
+SELECT conv_id, n AS n_turns,
+  xs[1] AS "char_len_samplepos0",
+  xs[1 + CAST(FLOOR((n - 1) * 0.25) AS BIGINT)] AS "char_len_samplepos0.25",
+  xs[1 + CAST(FLOOR((n - 1) * 0.5) AS BIGINT)] AS "char_len_samplepos0.5",
+  xs[1 + CAST(FLOOR((n - 1) * 0.75) AS BIGINT)] AS "char_len_samplepos0.75",
+  xs[CAST(n AS BIGINT)] AS "char_len_samplepos1"
+FROM lst
+"""
+
+
+def _dct_oracle() -> str:
+    r = _rsig
+    terms = ",\n".join(
+        r(f"SQRT(2.0 / MAX(n)) * SUM(char_len * COS(PI() * {k} / n "
+          f"* (i + 0.5)))") + f' AS "char_len_dct{k}"'
+        for k in range(1, 7)
+    )
+    return SQL_PREFIX + f"""
+, idx AS (
+  SELECT conv_id, char_len,
+    CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1
+         AS DOUBLE) AS i,
+    COUNT(*) OVER (PARTITION BY conv_id) AS n
+  FROM lld
+)
+SELECT conv_id, MAX(n) AS n_turns,
+{terms}
+FROM idx GROUP BY conv_id
+"""
+
+
+_ORACLES["functionals_dct"] = _dct_oracle()
+
+def _peaks2_restricted_oracle() -> str:
+    """peaks2 with absThresh=-1e18: isBelowThresh is always false, so the
+    automaton (functionalPeaks2.cpp:314-510) reduces to (1) strict local
+    extrema with index in [2, N-3], (2) same-type runs collapsed to their
+    argmax/argmin (first on ties) by the alternation pass (:442-510) — both
+    closed-form. Stats replicate the reference quirks: pass-2 peak-stddev
+    measures distances from the PREVIOUS SURVIVOR (lastMinPtr, :592-601)
+    while the mean uses max-to-max distances; the sums are divided only when
+    the pair count exceeds 1; EOF slopes join the means/min/max but NOT the
+    stddev sums; no-extrema windows emit the (xlast-x0)/N sign-routed
+    slope."""
+    r = _rsig
+    return SQL_PREFIX + """
+, convs AS (
+  SELECT conv_id, COUNT(*) AS n, AVG(char_len) AS gmean,
+         MAX(char_len) - MIN(char_len) AS rng,
+         arg_min(char_len, turn_idx) AS x0,
+         arg_max(char_len, turn_idx) AS xlast
+  FROM lld GROUP BY conv_id
+), base AS (
+  SELECT conv_id, char_len AS x,
+    CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS i,
+    lag(char_len) OVER w AS prev, lead(char_len) OVER w AS nxt,
+    COUNT(*) OVER (PARTITION BY conv_id) AS n
+  FROM lld
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), ext AS (
+  SELECT conv_id, i AS pos, x AS y,
+         CASE WHEN x > prev AND x > nxt THEN 1 ELSE 0 END AS typ
+  FROM base
+  WHERE i >= 2 AND i <= n - 3
+    AND ((x > prev AND x > nxt) OR (x < prev AND x < nxt))
+), runs AS (
+  SELECT *, SUM(CASE WHEN prev_typ IS NULL OR typ <> prev_typ
+                     THEN 1 ELSE 0 END)
+      OVER (PARTITION BY conv_id ORDER BY pos) AS run_id
+  FROM (SELECT *, lag(typ) OVER (PARTITION BY conv_id ORDER BY pos)
+            AS prev_typ FROM ext)
+), surv AS (
+  SELECT conv_id, typ, pos, y FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, run_id
+        ORDER BY CASE WHEN typ = 1 THEN -y ELSE y END ASC, pos ASC) AS rk
+    FROM runs) WHERE rk = 1
+), sv AS (
+  SELECT s.*,
+    lag(pos) OVER wa AS ppos_all, lag(y) OVER wa AS py_all,
+    lag(pos) OVER wt AS ppos_same, lag(y) OVER wt AS py_same,
+    ROW_NUMBER() OVER wa AS rk_all,
+    ROW_NUMBER() OVER wt AS rk_same
+  FROM surv s
+  WINDOW wa AS (PARTITION BY conv_id ORDER BY pos),
+         wt AS (PARTITION BY conv_id, typ ORDER BY pos)
+), pk AS (
+  SELECT conv_id,
+    SUM(CASE WHEN typ = 1 THEN 1 ELSE 0 END) AS npk,
+    SUM(CASE WHEN typ = 0 THEN 1 ELSE 0 END) AS nmn,
+    AVG(CASE WHEN typ = 1 THEN y END) AS pk_mean,
+    AVG(CASE WHEN typ = 0 THEN y END) AS mn_mean,
+    MAX(CASE WHEN typ = 1 THEN y END) AS pk_max,
+    MIN(CASE WHEN typ = 1 THEN y END) AS pk_min,
+    MAX(CASE WHEN typ = 0 THEN y END) AS mn_max,
+    MIN(CASE WHEN typ = 0 THEN y END) AS mn_min,
+    AVG(CASE WHEN typ = 1 AND rk_same >= 2 THEN pos - ppos_same END)
+        AS pk_dist,
+    AVG(CASE WHEN typ = 1 AND rk_same >= 2 THEN ABS(y - py_same) END)
+        AS pk_diff,
+    AVG(CASE WHEN typ = 0 AND rk_same >= 2 THEN pos - ppos_same END)
+        AS mn_dist,
+    AVG(CASE WHEN typ = 0 AND rk_same >= 2 THEN ABS(y - py_same) END)
+        AS mn_diff,
+    COUNT(CASE WHEN typ = 1 AND rk_same >= 2 THEN 1 END) AS n_pkd,
+    COUNT(CASE WHEN typ = 0 AND rk_same >= 2 THEN 1 END) AS n_mnd
+  FROM sv GROUP BY conv_id
+), dev AS (
+  SELECT v.conv_id,
+    SUM(CASE WHEN v.typ = 1 AND v.rk_same >= 2
+        THEN POW(v.pos - v.ppos_all - p.pk_dist, 2) END) AS pdd,
+    SUM(CASE WHEN v.typ = 1 AND v.rk_same >= 2
+        THEN POW(ABS(v.y - v.py_all) - p.pk_diff, 2) END) AS pdf,
+    SUM(CASE WHEN v.typ = 0 AND v.rk_same >= 2
+        THEN POW(v.pos - v.ppos_same - p.mn_dist, 2) END) AS mdd,
+    SUM(CASE WHEN v.typ = 0 AND v.rk_same >= 2
+        THEN POW(ABS(v.y - v.py_same) - p.mn_diff, 2) END) AS mdf
+  FROM sv v JOIN pk p USING (conv_id) GROUP BY v.conv_id
+), listsl AS (
+  SELECT v.conv_id, v.typ AS is_rising, v.pos AS ord,
+    CASE WHEN v.typ = 1
+         THEN (v.y - CASE WHEN v.rk_all = 1 THEN c.x0 ELSE v.py_all END)
+              / ((v.pos - CASE WHEN v.rk_all = 1 THEN 0 ELSE v.ppos_all END)
+                 * 1.0)
+         ELSE (CASE WHEN v.rk_all = 1 THEN c.x0 ELSE v.py_all END - v.y)
+              / ((v.pos - CASE WHEN v.rk_all = 1 THEN 0 ELSE v.ppos_all END)
+                 * 1.0)
+    END AS slope, 1 AS is_list
+  FROM sv v JOIN convs c USING (conv_id)
+), eofsl AS (
+  SELECT v.conv_id,
+    CASE WHEN v.typ = 1 THEN 0 ELSE 1 END AS is_rising,
+    c.n AS ord,
+    (c.xlast - v.y) / ((c.n - 1 - v.pos) * 1.0) AS slope, 0 AS is_list
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY pos DESC)
+            AS rkd FROM surv) v
+  JOIN convs c USING (conv_id) WHERE v.rkd = 1
+), allsl AS (
+  SELECT * FROM listsl UNION ALL SELECT * FROM eofsl
+), slagg AS (
+  -- ordered list sums replicate the kernel's sequential float accumulation
+  -- (survivor order, EOF slope last) so rounding-boundary values agree
+  SELECT conv_id,
+    SUM(CASE WHEN is_rising = 1 THEN 1 ELSE 0 END) AS nR,
+    SUM(CASE WHEN is_rising = 0 THEN 1 ELSE 0 END) AS nF,
+    COALESCE(list_aggregate(list(slope ORDER BY ord)
+        FILTER (WHERE is_rising = 1), 'sum'), 0.0)
+        / GREATEST(SUM(CASE WHEN is_rising = 1 THEN 1 ELSE 0 END), 1)
+        AS meanRS,
+    COALESCE(list_aggregate(list(slope ORDER BY ord)
+        FILTER (WHERE is_rising = 0), 'sum'), 0.0)
+        / GREATEST(SUM(CASE WHEN is_rising = 0 THEN 1 ELSE 0 END), 1)
+        AS meanFS,
+    MIN(CASE WHEN is_rising = 1 THEN slope END) AS minRS,
+    MAX(CASE WHEN is_rising = 1 THEN slope END) AS maxRS,
+    MIN(CASE WHEN is_rising = 0 THEN slope END) AS minFS,
+    MAX(CASE WHEN is_rising = 0 THEN slope END) AS maxFS
+  FROM allsl GROUP BY conv_id
+), sdev AS (
+  SELECT a.conv_id,
+    list_aggregate(list(POW(a.slope - g.meanRS, 2) ORDER BY a.ord)
+        FILTER (WHERE a.is_rising = 1 AND a.is_list = 1), 'sum') AS devR,
+    list_aggregate(list(POW(a.slope - g.meanFS, 2) ORDER BY a.ord)
+        FILTER (WHERE a.is_rising = 0 AND a.is_list = 1), 'sum') AS devF
+  FROM allsl a JOIN slagg g USING (conv_id) GROUP BY a.conv_id
+), fin AS (
+  SELECT c.conv_id, c.n, c.gmean, c.rng,
+    COALESCE(p.npk, 0) AS npk,
+    COALESCE(p.pk_mean, 0.0) AS pk_mean,
+    COALESCE(p.mn_mean, 0.0) AS mn_mean,
+    COALESCE(p.pk_dist, 0.0) AS pk_dist,
+    COALESCE(p.pk_diff, 0.0) AS pk_diff,
+    COALESCE(p.mn_diff, 0.0) AS mn_diff,
+    COALESCE(p.pk_max - p.pk_min, 0.0) AS pk_range,
+    COALESCE(p.mn_max - p.mn_min, 0.0) AS mn_range,
+    CASE WHEN COALESCE(p.n_pkd, 0) > 1 THEN d.pdd / p.n_pkd
+         ELSE COALESCE(d.pdd, 0.0) END AS pdd_n,
+    CASE WHEN COALESCE(p.n_pkd, 0) > 1 THEN d.pdf / p.n_pkd
+         ELSE COALESCE(d.pdf, 0.0) END AS pdf_n,
+    CASE WHEN COALESCE(p.n_mnd, 0) > 1 THEN d.mdd / p.n_mnd
+         ELSE COALESCE(d.mdd, 0.0) END AS mdd_n,
+    CASE WHEN COALESCE(p.n_mnd, 0) > 1 THEN d.mdf / p.n_mnd
+         ELSE COALESCE(d.mdf, 0.0) END AS mdf_n,
+    p.conv_id IS NOT NULL AS has_surv,
+    (c.xlast - c.x0) / (c.n * 1.0) AS slope0,
+    COALESCE(s.nR, 0) AS nR, COALESCE(s.nF, 0) AS nF,
+    COALESCE(s.meanRS, 0.0) AS meanRS, COALESCE(s.meanFS, 0.0) AS meanFS,
+    COALESCE(s.minRS, 0.0) AS minRS, COALESCE(s.maxRS, 0.0) AS maxRS,
+    COALESCE(s.minFS, 0.0) AS minFS, COALESCE(s.maxFS, 0.0) AS maxFS,
+    CASE WHEN COALESCE(s.nR, 0) > 1 THEN COALESCE(e.devR, 0.0) / s.nR
+         ELSE COALESCE(e.devR, 0.0) END AS devR_n,
+    CASE WHEN COALESCE(s.nF, 0) > 1 THEN COALESCE(e.devF, 0.0) / s.nF
+         ELSE COALESCE(e.devF, 0.0) END AS devF_n
+  FROM convs c
+  LEFT JOIN pk p USING (conv_id)
+  LEFT JOIN dev d USING (conv_id)
+  LEFT JOIN slagg s USING (conv_id)
+  LEFT JOIN sdev e USING (conv_id)
+), fin2 AS (
+  SELECT *,
+    CASE WHEN has_surv THEN meanRS
+         WHEN slope0 > 0 THEN slope0 ELSE 0.0 END AS o_meanRS,
+    CASE WHEN has_surv THEN meanFS
+         WHEN slope0 < 0 THEN slope0 ELSE 0.0 END AS o_meanFS,
+    CASE WHEN has_surv THEN minRS
+         WHEN slope0 > 0 THEN slope0 ELSE 0.0 END AS o_minRS,
+    CASE WHEN has_surv THEN maxRS
+         WHEN slope0 > 0 THEN slope0 ELSE 0.0 END AS o_maxRS,
+    CASE WHEN has_surv THEN minFS
+         WHEN slope0 < 0 THEN slope0 ELSE 0.0 END AS o_minFS,
+    CASE WHEN has_surv THEN maxFS
+         WHEN slope0 < 0 THEN slope0 ELSE 0.0 END AS o_maxFS,
+    CASE WHEN has_surv AND devR_n > 0 THEN SQRT(devR_n) ELSE 0.0 END
+        AS o_stdRS,
+    CASE WHEN has_surv AND devF_n > 0 THEN SQRT(devF_n) ELSE 0.0 END
+        AS o_stdFS
+  FROM fin
+)
+SELECT conv_id, n AS n_turns,
+  {numPeaks} AS "char_len_numPeaks",
+  {meanPeakDist} AS "char_len_meanPeakDist",
+  {peakDistStddev} AS "char_len_peakDistStddev",
+  {peakRangeAbs} AS "char_len_peakRangeAbs",
+  {peakRangeRel} AS "char_len_peakRangeRel",
+  {peakMean} AS "char_len_peakMean",
+  {peakMeanMeanDist} AS "char_len_peakMeanMeanDist",
+  {ptpAmpMeanAbs} AS "char_len_ptpAmpMeanAbs",
+  {ptpAmpStddevAbs} AS "char_len_ptpAmpStddevAbs",
+  {minRangeAbs} AS "char_len_minRangeAbs",
+  {minMean} AS "char_len_minMean",
+  {minMeanMeanDist} AS "char_len_minMeanMeanDist",
+  {mtmAmpMeanAbs} AS "char_len_mtmAmpMeanAbs",
+  {mtmAmpStddevAbs} AS "char_len_mtmAmpStddevAbs",
+  {meanRisingSlope} AS "char_len_meanRisingSlope",
+  {maxRisingSlope} AS "char_len_maxRisingSlope",
+  {minRisingSlope} AS "char_len_minRisingSlope",
+  {stddevRisingSlope} AS "char_len_stddevRisingSlope",
+  {meanFallingSlope} AS "char_len_meanFallingSlope",
+  {maxFallingSlope} AS "char_len_maxFallingSlope",
+  {minFallingSlope} AS "char_len_minFallingSlope",
+  {stddevFallingSlope} AS "char_len_stddevFallingSlope",
+  {covRisingSlope} AS "char_len_covRisingSlope",
+  {covFallingSlope} AS "char_len_covFallingSlope"
+FROM fin2
+""".format(
+        numPeaks=r("CAST(npk AS DOUBLE)"),
+        meanPeakDist=r("pk_dist"),
+        peakDistStddev=r("CASE WHEN pdd_n > 0 THEN SQRT(pdd_n) "
+                         "ELSE 0.0 END"),
+        peakRangeAbs=r("pk_range"),
+        peakRangeRel=r("CASE WHEN rng <> 0 THEN ABS(pk_range / rng) "
+                       "ELSE pk_range END"),
+        peakMean=r("pk_mean"),
+        peakMeanMeanDist=r("pk_mean - gmean"),
+        ptpAmpMeanAbs=r("pk_diff"),
+        ptpAmpStddevAbs=r("CASE WHEN pdf_n > 0 THEN SQRT(pdf_n) "
+                          "ELSE 0.0 END"),
+        minRangeAbs=r("mn_range"),
+        minMean=r("mn_mean"),
+        minMeanMeanDist=r("gmean - mn_mean"),
+        mtmAmpMeanAbs=r("mn_diff"),
+        mtmAmpStddevAbs=r("CASE WHEN mdf_n > 0 THEN SQRT(mdf_n) "
+                          "ELSE 0.0 END"),
+        meanRisingSlope=r("o_meanRS"),
+        maxRisingSlope=r("o_maxRS"),
+        minRisingSlope=r("o_minRS"),
+        stddevRisingSlope=r("o_stdRS"),
+        meanFallingSlope=r("o_meanFS"),
+        maxFallingSlope=r("o_maxFS"),
+        minFallingSlope=r("o_minFS"),
+        stddevFallingSlope=r("o_stdFS"),
+        covRisingSlope=r("CASE WHEN o_meanRS > 0 THEN o_stdRS / o_meanRS "
+                         "ELSE 0.0 END"),
+        covFallingSlope=r("CASE WHEN o_meanFS > 0 THEN o_stdFS / o_meanFS "
+                          "ELSE 0.0 END"),
+    )
+
+
+_ORACLES["peaks2_restricted"] = _peaks2_restricted_oracle()
+
+_ORACLES["mvn_pretrained"] = SQL_PREFIX + """
+, st AS (
+  SELECT conv_id, AVG(char_len) AS mu, stddev_pop(char_len) AS sd
+  FROM lld WHERE turn_idx % 2 = 0 GROUP BY conv_id
+)
+SELECT l.conv_id, l.turn_idx,
+  ROUND(CASE WHEN st.sd IS NOT NULL AND st.sd > 0
+       THEN (l.char_len - st.mu) / st.sd ELSE 0.0 END, 6) AS char_len_mvn
+FROM lld l LEFT JOIN st USING (conv_id)
+"""
+
 
 # ---- documents / embeddings ----------------------------------------------
 
@@ -1465,6 +2019,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dups": q_embedding_near_dups,
     "cosine_topk": q_cosine_topk,
     "token_spectrum": q_token_spectrum,
+    "functionals_onset": q_functionals_onset,
+    "functionals_segments": q_functionals_segments,
+    "functionals_samples": q_functionals_samples,
+    "functionals_dct": q_functionals_dct,
+    "peaks2_restricted": q_peaks2_restricted,
+    "mvn_pretrained": q_mvn_pretrained,
+    "peaks_legacy": q_peaks_legacy,       # rows-only (hysteresis automaton)
+    "embedding_near_dups_lsh": q_embedding_near_dups_lsh,  # rows-only (ANN)
     "viterbi_smooth": q_viterbi_smooth,   # rows-only (sequential DP)
     "egemaps_bundle": q_egemaps_bundle,   # rows-only (named preset)
     "ann_lsh_topk": q_ann_lsh_topk,       # rows-only (approximate ANN)

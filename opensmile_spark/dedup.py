@@ -187,12 +187,12 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
     return cand.filter(F.col("hamming") <= max_hamming)
 
 
-def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
-                        vec_col: str = "embedding",
-                        threshold: float = 0.95) -> DataFrame:
-    """Exact cosine near-dup pairs above threshold. Brute pair join — meant
-    for verification/small sides; the scale path buckets candidates first
-    (similarity.lsh_bucket_candidates) and verifies with the same cosine."""
+def _exact_cosine_pairs(emb: DataFrame, pairs: DataFrame | None,
+                        id_col: str, vec_col: str,
+                        threshold: float) -> DataFrame:
+    """Exact cosine over pairs. With `pairs` given: pair-bounded join (the
+    verify stage). With pairs=None: brute all-pairs crossJoin — TEST/ORACLE
+    ONLY, O(n^2); never the production path."""
     def norm(df, suffix):
         v = F.col(vec_col)
         n = F.sqrt(F.aggregate(v, F.lit(0.0),
@@ -205,14 +205,45 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
 
     a = norm(emb, "a")
     b = norm(emb, "b")
+    if pairs is None:
+        joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        joined = pairs.join(a, "id_a").join(b, "id_b")
     dot = F.aggregate(
         F.zip_with("v_a", "v_b", lambda x, y: x.cast("double") * y),
         F.lit(0.0), lambda acc, v: acc + v,
     )
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
+        joined
         .withColumn("cosine", dot / (F.col("n_a") * F.col("n_b")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        threshold: float = 0.95,
+                        method: str = "lsh",
+                        dim: int = 64,
+                        bits: int = 8,
+                        tables: int = 16,
+                        seed: int = 42) -> DataFrame:
+    """Cosine near-dup pairs above threshold.
+
+    method="lsh" (production): LSH-bucketed candidate generation
+    (similarity.lsh_bucket_candidates — per-bucket self-join, output
+    bounded, single scan of the input for all tables) + exact cosine
+    verification of candidates only. Approximate in RECALL only (tunable
+    via bits/tables; recall >= 0.95 on planted near-dups pinned by
+    tests/test_similarity.py); every emitted pair is exactly verified.
+
+    method="brute": exact all-pairs crossJoin — the small-side test oracle
+    the gate pins the verifier against; O(n^2), never use at scale."""
+    if method == "brute":
+        return _exact_cosine_pairs(emb, None, id_col, vec_col, threshold)
+    from opensmile_spark.similarity import lsh_bucket_candidates
+
+    cand = lsh_bucket_candidates(emb, dim=dim, bits=bits, tables=tables,
+                                 seed=seed, id_col=id_col, vec_col=vec_col)
+    return _exact_cosine_pairs(emb, cand, id_col, vec_col, threshold)

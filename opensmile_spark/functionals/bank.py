@@ -86,15 +86,19 @@ def functionals_kernel(
     )
     out_cols = group_cols + ["n_turns"] + feats
 
-    # families vectorizable ACROSS groups (batched.py); custom options force
-    # the per-group reference path for that family (conservative gate)
+    # families vectorizable ACROSS groups (batched.py); a family stays on
+    # the fast path when all its options are implemented there (equality
+    # pinned by tests/test_batched_kernels.py), else falls back per-group
     from opensmile_spark.functionals.batched import (
-        BATCHED_FAMILIES, compute_batched,
+        BATCHED_FAMILIES, BATCHED_SUPPORTED_OPTIONS, compute_batched,
     )
 
     opt = options or {}
-    batched_fams = [f for f in families
-                    if f in BATCHED_FAMILIES and f not in opt]
+    batched_fams = [
+        f for f in families
+        if f in BATCHED_FAMILIES
+        and set(opt.get(f, {})) <= BATCHED_SUPPORTED_OPTIONS[f]
+    ]
     loop_fams = [f for f in families if f not in batched_fams]
     # which probe keys come from which path (first-writer wins like
     # compute_all's dict: iterate families in order, keep first producer)
@@ -205,14 +209,14 @@ def functionals_sql(
         n = F.count(x)
         nd = n.cast("double")
         mean = F.sum(x) / nd
-        m2 = F.sum(x * x) / nd - mean * mean          # population variance
-        m3c = (F.sum(F.pow(x, 3)) / nd - 3 * mean * (F.sum(x * x) / nd)
-               + 2 * F.pow(mean, 3))
-        m4c = (F.sum(F.pow(x, 4)) / nd
-               - 4 * mean * (F.sum(F.pow(x, 3)) / nd)
-               + 6 * mean * mean * (F.sum(x * x) / nd)
-               - 3 * F.pow(mean, 4))
-        sd = F.when(m2 > 0, F.sqrt(m2)).otherwise(0.0)
+        # central-moment aggregators (numerically stable): var_pop instead
+        # of E[x^2]-mean^2 (which catastrophically cancels for large-mean
+        # columns); Spark's skewness/kurtosis are population central-moment
+        # based (kurtosis is EXCESS -> +3 to match functionalMoments.cpp)
+        m2 = F.var_pop(x)
+        sd = F.when(m2 > 0, F.stddev_pop(x)).otherwise(0.0)
+        skw = F.when(m2 > 0, F.skewness(x)).otherwise(0.0)
+        krt = F.when(m2 > 0, F.kurtosis(x) + F.lit(3.0)).otherwise(0.0)
         nnz = F.sum(F.when(x != 0.0, 1).otherwise(0)).cast("double")
 
         aggs += [
@@ -229,10 +233,8 @@ def functionals_sql(
             .otherwise(0.0).alias(f"{c}_nzqmean"),
             m2.alias(f"{c}_variance"),
             sd.alias(f"{c}_stddev"),
-            F.when(m2 > 0, m3c / (m2 * F.sqrt(m2))).otherwise(0.0)
-            .alias(f"{c}_skewness"),
-            F.when(m2 > 0, m4c / (m2 * m2)).otherwise(0.0)
-            .alias(f"{c}_kurtosis"),
+            skw.alias(f"{c}_skewness"),
+            krt.alias(f"{c}_kurtosis"),
             F.when(m2 <= 0, 0.0)
             .when(mean != 0.0, sd / mean)
             .otherwise(sd).alias(f"{c}_stddevNorm"),

@@ -23,6 +23,20 @@ BATCHED_FAMILIES = {
     "times",
 }
 
+# per-family options the batched path implements with kernel-equal results;
+# a family with any OTHER option falls back to the per-group reference path
+# (bank.py consults this so e.g. eGeMAPS-style custom percentiles keep the
+# reduceat fast path instead of evicting the family)
+BATCHED_SUPPORTED_OPTIONS = {
+    "means": {"timeNorm", "T"},
+    "moments": set(),
+    "extremes": {"timeNorm"},
+    "percentiles": {"percentiles", "pctlranges", "pctlquotients"},
+    "regression": set(),
+    "crossings": set(),
+    "times": {"timeNorm"},
+}
+
 _BIG = np.iinfo(np.int64).max
 
 
@@ -32,10 +46,17 @@ def _seg_sum(v, starts):
 
 def compute_batched(x: np.ndarray, starts: np.ndarray, ends: np.ndarray,
                     families, options=None) -> dict[str, np.ndarray]:
-    """x: concatenated values; [starts[i], ends[i]) are group slices (must
-    tile x). Returns {functional_name: per-group array} for the requested
-    subset of BATCHED_FAMILIES, names identical to kernels.py outputs."""
+    """x: concatenated values; [starts[i], ends[i]) are group slices that
+    must tile x, and every group must be NON-EMPTY (ends[i] > starts[i]) —
+    np.add.reduceat silently returns x[starts[i]] for an empty segment (and
+    raises for starts[i] == x.size), so empty groups are rejected here
+    rather than producing wrong numbers. Returns {functional_name:
+    per-group array} for the requested subset of BATCHED_FAMILIES, names
+    identical to kernels.py outputs."""
     options = options or {}
+    if not (ends > starts).all():
+        raise ValueError("compute_batched: empty group slice "
+                         "(ends[i] <= starts[i]) — groups must be non-empty")
     n_groups = starts.size
     sizes = (ends - starts).astype(np.float64)
     N = sizes
@@ -156,6 +177,7 @@ def compute_batched(x: np.ndarray, starts: np.ndarray, ends: np.ndarray,
         popts = options.get("percentiles", {})
         plist = list(popts.get("percentiles", (0.20, 0.50, 0.80)))
         pranges = list(popts.get("pctlranges", ((0, 2),)))
+        pquots = list(popts.get("pctlquotients", ()))
 
         def interp(p):
             idxf = p * (N - 1.0)
@@ -183,6 +205,21 @@ def compute_batched(x: np.ndarray, starts: np.ndarray, ends: np.ndarray,
             pvals.append(v)
         for a, b in pranges:
             out[f"pctlrange{a}-{b}"] = np.abs(pvals[b] - pvals[a])
+        for a, b in pquots:
+            # vectorized f_percentiles pctlquotient: numerator-only guard +
+            # smileMath_ratioLimit(q, 50, 100) — same quirks as kernels.py
+            va, vb = pvals[a], pvals[b]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                q = np.where(vb != 0.0, va / np.where(vb != 0.0, vb, 1.0),
+                             np.where(va > 0, np.inf, -np.inf))
+                hi = q > 50.0
+                lo = q < -50.0
+                qh = np.tanh((np.sqrt(np.where(hi, q, 50.0) - 49.0) - 1.0)
+                             / 50.0) * 100.0 + 50.0
+                ql = np.tanh(-(np.sqrt(-np.where(lo, q, -50.0) - 49.0) - 1.0)
+                             / 50.0) * 100.0 - 50.0
+            q = np.where(hi, qh, np.where(lo, ql, q))
+            out[f"pctlquotient{a}-{b}"] = np.where(va != 0.0, q, 0.0)
 
     if "regression" in families:
         num = _seg_sum(x * ii, starts)

@@ -28,7 +28,7 @@ import numpy as np
 
 __all__ = [
     "f_means", "f_moments", "f_extremes", "f_percentiles", "f_regression",
-    "f_crossings", "f_times", "f_onset", "f_segments", "f_peaks2",
+    "f_crossings", "f_times", "f_onset", "f_segments", "f_peaks", "f_peaks2",
     "f_samples", "f_dct", "f_lpc", "FAMILIES", "compute_all",
 ]
 
@@ -176,7 +176,7 @@ def _interp_pctl(p: float, s: np.ndarray) -> float:
 
 def f_percentiles(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0,
                   percentiles=(0.20, 0.50, 0.80),
-                  pctlranges=((0, 2),)):
+                  pctlranges=((0, 2),), pctlquotients=()):
     out = {}
     q1 = _interp_pctl(0.25, xsorted)
     q2 = _interp_pctl(0.50, xsorted)
@@ -194,6 +194,17 @@ def f_percentiles(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0,
         vals.append(v)
     for a, b in pctlranges:
         out[f"pctlrange{a}-{b}"] = abs(vals[b] - vals[a])
+    # pctlquotient[] (functionalPercentiles.cpp:66,403-410): ratio-limited
+    # quotient p[a]/p[b]; NOTE the reference guards on the NUMERATOR only
+    # (out[n0+pctlq1[i]] != 0.0) — replicated, including the resulting
+    # inf -> ratioLimit behavior when the denominator is 0.
+    for a, b in pctlquotients:
+        if vals[a] != 0.0:
+            out[f"pctlquotient{a}-{b}"] = _ratio_limit(
+                vals[a] / vals[b] if vals[b] != 0.0 else math.inf
+                if vals[a] > 0 else -math.inf, 50.0, 100.0)
+        else:
+            out[f"pctlquotient{a}-{b}"] = 0.0
     return out
 
 
@@ -1280,6 +1291,86 @@ def f_peaks2(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0,
 
 
 # ---------------------------------------------------------------------------
+# cFunctionalPeaks — the LEGACY peak family (functionalPeaks.cpp:103-215),
+# used by config/misc/emo_large.conf:265 and the IS11 set. Distinct algorithm
+# from Peaks2: hysteresis thresholds 0.11*range (arm) / 0.09*range (fire),
+# overlapFlag=1 (per-window state, loop starts at i=2). Quirks replicated:
+#   - lastMin/lastMax init to 0.0, NOT in[0] (the in[0] init is commented out
+#     in the reference, functionalPeaks.cpp:115-116)
+#   - on a local max at i, lastMax is set to in[i] (the value AFTER the peak),
+#     not the peak value lastVal (functionalPeaks.cpp:139-141); same for mins
+#   - empty peak-distance list emits meanPeakDist = Nin+1 (:176)
+# ---------------------------------------------------------------------------
+
+def f_peaks(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0):
+    N = x.size
+    rng = float(xmax - xmin)
+    peakDistSum = 0.0
+    dists = []
+    peakMean = 0.0
+    nPeaks = 0
+    lastMin = 0.0
+    lastMax = 0.0
+    curmaxPos = 0
+    lastmaxPos = -1
+    peakflag = 0
+    if N >= 2:
+        lastlastVal = float(x[0])
+        lastVal = float(x[1])
+        for i in range(2, N):
+            cur = float(x[i])
+            if lastlastVal < lastVal and lastVal > cur:      # local max
+                if not peakflag:
+                    lastMax = cur
+                elif cur > lastMax:
+                    lastMax = cur
+                    curmaxPos = i
+                if lastMax - lastMin > 0.11 * rng:
+                    peakflag = 1
+                    curmaxPos = i
+            elif lastlastVal > lastVal and lastVal < cur:    # local min
+                lastMin = cur
+            if peakflag and (cur < lastMax - 0.09 * rng or i == N - 1):
+                nPeaks += 1
+                peakMean += lastMax
+                if lastmaxPos >= 0:
+                    dist = float(curmaxPos - lastmaxPos)
+                    peakDistSum += dist
+                    dists.append(dist)
+                lastmaxPos = curmaxPos
+                peakflag = 0
+            lastlastVal = lastVal
+            lastVal = cur
+    nPeakDist = len(dists)
+    stddev = 0.0
+    if nPeakDist > 0:
+        peakDist = peakDistSum / nPeakDist
+        for d in dists:
+            stddev += (d - peakDist) ** 2
+        stddev = math.sqrt(stddev / nPeakDist)
+    else:
+        peakDist = float(N + 1)
+        stddev = 0.0
+    if timeNorm == "second":
+        peakDist *= T
+        stddev *= T
+    elif timeNorm == "segment":
+        peakDist /= N
+        stddev /= N
+    peakMean = peakMean / nPeaks if nPeaks > 0 else 0.0
+    # NOTE: output names collide with peaks2 by design (the reference
+    # distinguishes them via component instance names); request `peaks` and
+    # `peaks2` in separate bank calls (compute_all is first-writer-wins).
+    return {
+        "numPeaks": float(nPeaks),
+        "meanPeakDist": peakDist,
+        "peakMean": peakMean,
+        "peakMeanMeanDist": peakMean - float(xmean),
+        "peakDistStddev": stddev,
+    }
+
+
+# ---------------------------------------------------------------------------
 # cFunctionalSamples (functionalSamples.cpp:42) — values at relative positions
 # ---------------------------------------------------------------------------
 
@@ -1288,7 +1379,9 @@ def f_samples(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0,
     N = x.size
     out = {}
     for p in positions:
-        idx = int(round(p * (N - 1)))
+        # si = (int)((Nind - 1.0) * samplepos[spi]) — C cast TRUNCATES
+        # (functionalSamples.cpp:107), not rounds
+        idx = int((N - 1) * p)
         idx = min(max(idx, 0), N - 1)
         out[f"samplepos{p:g}"] = float(x[idx])
     return out
@@ -1418,6 +1511,7 @@ FAMILIES = {
     "times": f_times,
     "onset": f_onset,
     "segments": f_segments,
+    "peaks": f_peaks,
     "peaks2": f_peaks2,
     "samples": f_samples,
     "dct": f_dct,
@@ -1431,8 +1525,15 @@ def compute_all(x: np.ndarray, families=None, options=None) -> dict:
     (functionals.cpp:320-390): min/max/mean computed once (:355-365), one
     sort shared by all order-statistics functionals (:349-353).
 
-    Returns {f"{family}.{name}": value}. N==0 windows return {} (the
-    reference emits nothing for empty segments, functionals.cpp:325-328).
+    Returns {name: value} with BARE functional names (the <input>_ prefix is
+    added by the bank, mirroring the reference's <input>_<functional> naming,
+    functionals.cpp:229-266). Names colliding across families keep the FIRST
+    requested family's value (first-writer-wins); the redundant duplicates
+    (amean from means/moments/extremes/crossings) are identical by
+    construction, but `peaks` vs `peaks2` genuinely collide — request those
+    in separate bank calls, like the reference's separate component
+    instances. N==0 windows return {} (the reference emits nothing for empty
+    segments, functionals.cpp:325-328).
     """
     x = np.asarray(x, dtype=np.float64)
     if x.size == 0:
@@ -1450,5 +1551,6 @@ def compute_all(x: np.ndarray, families=None, options=None) -> dict:
         fn = FAMILIES[fam]
         opts = options.get(fam, {})
         for name, val in fn(x, xsorted, xmin, xmax, xmean, **opts).items():
-            out[f"{name}"] = float(val)
+            if name not in out:
+                out[name] = float(val)
     return out

@@ -19,7 +19,9 @@ from opensmile_spark.operators.vector_ops import (  # noqa: F401
     vector_op,
     vector_reduce,
 )
-from opensmile_spark.operators.normalize import fullinput_mean, mvn  # noqa: F401
+from opensmile_spark.operators.normalize import (  # noqa: F401
+    fullinput_mean, mvn, mvn_fit, mvn_transform,
+)
 from opensmile_spark.operators.framing import (  # noqa: F401
     frame_vector,
     interval_join,

@@ -37,19 +37,28 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: list[str] | None = None,
     strict: bool = False,
+    right_order_col: str | None = None,
 ) -> DataFrame:
     """For each anchor row: latest `right` row with right_ts <= anchor_ts
     (right_ts < anchor_ts when strict=True). Null columns when no prior row
     exists (the DMEM_PAD_ZERO analogue is a caller-side fillna; padding
     policies per dataMemoryLevel.hpp:26-28).
+
+    `right_order_col` breaks ties between right rows sharing a timestamp:
+    the row with the HIGHEST value wins (deterministic across repartitioning
+    / cluster runs). Defaults to `turn_idx` when the right side has one;
+    without any order column equal-ts winners are partition-order dependent.
     """
     value_cols = value_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
+    if right_order_col is None and "turn_idx" in right.columns:
+        right_order_col = "turn_idx"
     a = anchors.select(
         F.col(on),
         F.col(anchor_ts).alias("__t"),
         F.lit(1).alias("__is_anchor"),
+        F.lit(None).cast("long").alias("__ord"),
         *[F.col(c) for c in anchors.columns if c not in (on, anchor_ts)],
         *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
     )
@@ -57,22 +66,27 @@ def asof_join(
         F.col(on),
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__is_anchor"),
+        (F.col(right_order_col).cast("long") if right_order_col is not None
+         else F.lit(0).cast("long")).alias("__ord"),
         *[F.lit(None).cast(anchors.schema[c].dataType).alias(c)
           for c in anchors.columns if c not in (on, anchor_ts)],
         *[F.col(c) for c in value_cols],
     )
     # non-strict: right rows sort before anchors at equal __t => ties visible;
-    # strict: anchors sort first => equal-time right rows NOT visible
+    # strict: anchors sort first => equal-time right rows NOT visible.
+    # __ord orders equal-ts right rows so F.last picks a DEFINED winner
+    # (anchors carry null __ord; their relative order is irrelevant since
+    # anchor rows are transparent to last(ignorenulls) reads).
     tie_order = F.col("__is_anchor").desc() if strict else F.col("__is_anchor").asc()
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("__t").asc(), tie_order)
+        .orderBy(F.col("__t").asc(), tie_order, F.col("__ord").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     merged = a.unionByName(r)
     for c in value_cols:
         merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    out = merged.filter(F.col("__is_anchor") == 1).drop("__is_anchor")
+    out = merged.filter(F.col("__is_anchor") == 1).drop("__is_anchor", "__ord")
     return out.withColumnRenamed("__t", anchor_ts)
 
 
@@ -93,30 +107,51 @@ def backfill_functionals(
     place), optionally bounded to a trailing window of `window_seconds`.
 
     Cogrouped applyInPandas keyed by conv_id: one shuffle of each side,
-    vectorized numpy inside. Empty windows emit NaN features (anchor row is
-    kept so the grid is complete — the PAD_ZERO/PAD_NONE choice is the
-    caller's fillna/dropna).
+    vectorized numpy inside. Per-anchor windows are gathered into ONE
+    concatenated array and every reduceat-expressible family is computed for
+    ALL anchors at once (functionals/batched.py) — no per-anchor Python
+    dispatch; only families outside BATCHED_FAMILIES fall back to a
+    per-anchor loop. Anchor blocks are chunked so the gathered array stays
+    bounded (`max_gather_elems`) regardless of anchor density. Empty windows
+    emit NaN features (anchor row is kept so the grid is complete — the
+    PAD_ZERO/PAD_NONE choice is the caller's fillna/dropna).
     """
     import numpy as np
     import pandas as pd
 
+    from opensmile_spark.functionals.batched import (
+        BATCHED_FAMILIES, BATCHED_SUPPORTED_OPTIONS, compute_batched,
+    )
+
     families = families or ["means", "moments", "extremes", "percentiles",
                             "regression"]
     options = options or {}
+    max_gather_elems = 16_000_000  # ~128 MB of float64 gather per block
 
-    probe = compute_all(np.arange(1.0, 9.0), families, options)
+    probe = list(compute_all(np.arange(1.0, 9.0), families, options))
     feat_names = [f"{c}_{k}" for c in value_cols for k in probe]
     schema = (
         f"{on} string, {anchor_ts} timestamp, n_visible long, "
         + ", ".join(f"`{n}` double" for n in feat_names)
     )
 
+    batched_fams = [
+        f for f in families
+        if f in BATCHED_FAMILIES
+        and set(options.get(f, {})) <= BATCHED_SUPPORTED_OPTIONS[f]
+    ]
+    loop_fams = [f for f in families if f not in batched_fams]
+    key_src: dict[str, str] = {}
+    for fam in families:
+        sample = compute_all(np.arange(1.0, 9.0), [fam], options)
+        for k in sample:
+            key_src.setdefault(k, "batched" if fam in batched_fams else "loop")
+
     def kernel(key, ldf, adf):
         if adf.empty:
             return pd.DataFrame(columns=[on, anchor_ts, "n_visible"] + feat_names)
         conv = key[0]
         adf = adf.sort_values(anchor_ts)
-        rows = []
         if ldf.empty:
             ts_vals = np.array([], dtype="datetime64[us]")
         else:
@@ -135,16 +170,52 @@ def backfill_functionals(
             lo = np.zeros_like(hi)
         col_arrays = {c: ldf[c].to_numpy(dtype=np.float64) if not ldf.empty
                       else np.array([]) for c in value_cols}
-        for j in range(len(adf)):
-            row = {on: conv, anchor_ts: adf[anchor_ts].iloc[j],
-                   "n_visible": int(hi[j] - lo[j])}
+
+        A = len(adf)
+        out_cols = {f"{c}_{k}": np.full(A, np.nan) for c in value_cols
+                    for k in probe}
+        sizes = (hi - lo).astype(np.int64)
+        nonempty = np.flatnonzero(sizes > 0)
+
+        # block anchors so the gathered windows stay within the memory cap
+        blk_start = 0
+        csum = np.cumsum(sizes[nonempty])
+        while blk_start < nonempty.size:
+            base = csum[blk_start - 1] if blk_start > 0 else 0
+            blk_end = int(np.searchsorted(
+                csum, base + max_gather_elems, side="right"))
+            blk_end = max(blk_end, blk_start + 1)
+            sel = nonempty[blk_start:blk_end]
+            bsizes = sizes[sel]
+            bstarts = np.zeros(sel.size, dtype=np.int64)
+            bstarts[1:] = np.cumsum(bsizes)[:-1]
+            bends = bstarts + bsizes
+            # gather index: element j of window i reads lo[i] + (j - bstarts[i])
+            gather = (np.arange(int(bsizes.sum()), dtype=np.int64)
+                      + np.repeat(lo[sel] - bstarts, bsizes))
             for c in value_cols:
-                xs = col_arrays[c][lo[j]:hi[j]]
-                feats = compute_all(xs, families, options)
-                for k in probe:
-                    row[f"{c}_{k}"] = feats.get(k, float("nan"))
-            rows.append(row)
-        return pd.DataFrame(rows, columns=[on, anchor_ts, "n_visible"] + feat_names)
+                big = col_arrays[c][gather]
+                if batched_fams:
+                    bat = compute_batched(big, bstarts, bends,
+                                          batched_fams, options)
+                    for k, v in bat.items():
+                        if key_src.get(k) == "batched":
+                            out_cols[f"{c}_{k}"][sel] = v
+                if loop_fams:
+                    for gi, ai in enumerate(sel):
+                        got = compute_all(big[bstarts[gi]:bends[gi]],
+                                          loop_fams, options)
+                        for k, v in got.items():
+                            if key_src.get(k) == "loop":
+                                out_cols[f"{c}_{k}"][ai] = v
+            blk_start = blk_end
+
+        data = {on: np.full(A, conv, dtype=object),
+                anchor_ts: adf[anchor_ts].to_numpy(),
+                "n_visible": sizes}
+        data.update(out_cols)
+        return pd.DataFrame(data, columns=[on, anchor_ts, "n_visible"]
+                            + feat_names)
 
     lg = lld.select(on, order_col, ts_col, *value_cols).groupBy(on)
     ag = anchors.select(on, anchor_ts).groupBy(on)

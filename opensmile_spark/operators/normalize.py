@@ -57,11 +57,16 @@ def mvn(
                 )
             else:
                 mu = F.avg(c).over(w)
-                # population stddev over the expanding window
-                sd = F.sqrt(F.avg(F.col(c) * F.col(c)).over(w) - mu * mu)
+                # population stddev over the expanding window — stddev_pop
+                # (central-moment aggregator) instead of
+                # sqrt(E[x^2]-mean^2), which catastrophically cancels for
+                # large-mean columns (can even go sqrt(negative) -> NaN,
+                # and NaN > 0 is TRUE in Spark, bypassing the guard)
+                sd = F.stddev_pop(c).over(w)
                 out = out.withColumn(
                     c + suffix,
-                    F.when(sd > 0, (F.col(c) - mu) / sd).otherwise(0.0),
+                    F.when(sd.isNotNull() & ~F.isnan(sd) & (sd > 0),
+                           (F.col(c) - mu) / sd).otherwise(0.0),
                 )
         return out
 
@@ -75,8 +80,8 @@ def mvn(
         else:
             aggs += [
                 F.avg(c).alias(f"__mu_{c}"),
-                F.sqrt(F.avg(F.col(c) * F.col(c)) - F.avg(c) * F.avg(c))
-                .alias(f"__sd_{c}"),
+                # numerically stable population stddev (see expanding mode)
+                F.stddev_pop(c).alias(f"__sd_{c}"),
             ]
     st = df.groupBy(*by).agg(*aggs)
     out = df.join(F.broadcast(st), on=by, how="left")
@@ -91,9 +96,54 @@ def mvn(
             mu, sd = F.col(f"__mu_{c}"), F.col(f"__sd_{c}")
             out = out.withColumn(
                 c + suffix,
-                F.when(sd > 0, (F.col(c) - mu) / sd).otherwise(0.0),
+                F.when(sd.isNotNull() & ~F.isnan(sd) & (sd > 0),
+                       (F.col(c) - mu) / sd).otherwise(0.0),
             )
     return out.drop(*[c for c in out.columns if c.startswith("__")])
+
+
+def mvn_fit(
+    df: DataFrame,
+    cols: list[str],
+    by=("conv_id",),
+) -> DataFrame:
+    """Analysis pass of the cVectorTransform analysis/transform split
+    (vectorTransform.hpp:24-39, UPDMETHOD_FIX with saved initial values):
+    per-group mean + population stddev, one row per group — the "save stats
+    to file" stage. The output is a tiny stats table meant to be persisted
+    (feature-store style) and fed to `mvn_transform` on any later dataset."""
+    by = list(by)
+    return df.groupBy(*by).agg(*[
+        a for c in cols for a in (
+            F.avg(c).alias(f"{c}_mean"),
+            F.stddev_pop(c).alias(f"{c}_std"),
+        )
+    ])
+
+
+def mvn_transform(
+    df: DataFrame,
+    stats: DataFrame,
+    cols: list[str],
+    by=("conv_id",),
+    suffix: str = "_mvn",
+) -> DataFrame:
+    """Transform pass with FROZEN pre-trained stats (cVectorMVN mode with
+    initFile / UPDMETHOD_FIX, vectorTransform.hpp:24-39): broadcast-join the
+    stats table (tiny) onto the big side — no shuffle of df, no second pass.
+    Rows whose group has no stats (or zero/NaN stddev) emit 0.0, mirroring
+    the sd>0 guard of the batch modes."""
+    by = list(by)
+    out = df.join(F.broadcast(stats), on=by, how="left")
+    for c in cols:
+        mu, sd = F.col(f"{c}_mean"), F.col(f"{c}_std")
+        out = out.withColumn(
+            c + suffix,
+            F.when(sd.isNotNull() & ~F.isnan(sd) & (sd > 0),
+                   (F.col(c) - mu) / sd).otherwise(0.0),
+        )
+    return out.drop(*[f"{c}_mean" for c in cols],
+                    *[f"{c}_std" for c in cols])
 
 
 def fullinput_mean(

@@ -79,10 +79,15 @@ def salted_partial_stats(
     salted = df.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_buckets))
     )
+    # per-bucket partials carry (n, mean, M2=var_pop*n) so variance combines
+    # with Chan's parallel central-moment formula — NOT the raw E[x^2]-mean^2
+    # expansion, which catastrophically cancels for large-mean columns
     partial = salted.groupBy(*by, "__salt").agg(
         F.count("*").alias("__n"),
         *[e for c in cols for e in (
             F.sum(c).alias(f"__s1_{c}"),
+            F.avg(c).alias(f"__mu_{c}"),
+            (F.var_pop(c) * F.count(c)).alias(f"__m2_{c}"),
             F.sum(F.col(c) * F.col(c)).alias(f"__s2_{c}"),
             F.sum(F.abs(F.col(c))).alias(f"__sa_{c}"),
             F.min(c).alias(f"__mn_{c}"),
@@ -90,6 +95,17 @@ def salted_partial_stats(
             F.sum(F.when(F.col(c) != 0.0, 1).otherwise(0)).alias(f"__nz_{c}"),
         )],
     )
+    # the partial table is tiny (keys x salt_buckets rows); a window gives
+    # each bucket the whole-key mean so the cross-bucket correction term
+    # sum(n_i * (mean_i - mean_tot)^2) is computed centered, never expanded
+    wk = Window.partitionBy(*by)
+    for c in cols:
+        mt = F.sum(F.col("__n") * F.col(f"__mu_{c}")).over(wk) \
+            / F.sum("__n").over(wk)
+        partial = partial.withColumn(
+            f"__dev_{c}",
+            F.col("__n") * F.pow(F.col(f"__mu_{c}") - mt, 2),
+        )
     n = F.sum("__n").cast("double")
     aggs = [F.sum("__n").cast("long").alias("n_turns")]
     for c in cols:
@@ -97,7 +113,7 @@ def salted_partial_stats(
         s2 = F.sum(f"__s2_{c}")
         sa = F.sum(f"__sa_{c}")
         mu = s1 / n
-        m2 = s2 / n - mu * mu
+        m2 = (F.sum(f"__m2_{c}") + F.sum(f"__dev_{c}")) / n
         aggs += [
             mu.alias(f"{c}_amean"),
             (sa / n).alias(f"{c}_absmean"),

@@ -98,6 +98,65 @@ def lsh_bucket(df: DataFrame, dim: int, bits: int = 12, seed: int = 42,
     return df.withColumn(out_col, sig)
 
 
+def lsh_bucket_multi(
+    df: DataFrame,
+    dim: int,
+    bits: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out_col: str = "bkt",
+) -> DataFrame:
+    """All `tables` LSH signatures in ONE projection + posexplode: each
+    input row becomes `tables` (table, bucket) rows from a SINGLE scan of
+    the input — replacing the per-table union that re-read the index
+    `tables` times. The `tables*bits` hyperplane dot products are evaluated
+    row-at-a-time inside one Generate node; nothing is rescanned."""
+    sigs = []
+    for t in range(tables):
+        planes = _hyperplanes(dim, bits, seed + 1000 * t)
+        sig = F.lit(0).cast("long")
+        for b, plane in enumerate(planes):
+            p = F.array(*[F.lit(float(x)) for x in plane])
+            sig = sig + F.when(
+                _dot(F.col(vec_col), p) > 0,
+                F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sigs.append(sig)
+    return (
+        df.select("*", F.posexplode(F.array(*sigs)).alias("__tbl", "__sig"))
+        .withColumn(out_col, F.concat_ws("_", "__tbl", "__sig"))
+        .drop("__tbl", "__sig")
+    )
+
+
+def lsh_bucket_candidates(
+    df: DataFrame,
+    dim: int,
+    bits: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing any of the `tables`
+    LSH buckets — the scale path for embedding near-dup detection: the
+    self-join is per-bucket (shuffles the bucket key only, output bounded
+    by bucket sizes), never an n^2 cross join. Verify candidates with the
+    exact cosine afterwards (dedup.embedding_near_dups does)."""
+    tagged = lsh_bucket_multi(df, dim, bits, tables, seed, vec_col) \
+        .select(F.col(id_col), "bkt")
+    a, b = tagged.alias("a"), tagged.alias("b")
+    return (
+        a.join(b, "bkt")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def lsh_topk(
     index: DataFrame,
     queries: DataFrame,
@@ -113,29 +172,20 @@ def lsh_topk(
     (OR-amplification — one table's recall for vectors at angle θ is
     (1-θ/π)^bits, so T tables give 1-(1-p)^T), exact cosine re-scoring on
     the candidate set. Recall/bucket-size tunable via bits (AND) and tables
-    (OR); the index side is scanned once per table with a broadcast of the
-    (small) query buckets — no index self-join ever forms."""
-    tagged_q = []
-    tagged_i = []
-    for t in range(tables):
-        s = seed + 1000 * t
-        tagged_q.append(
-            lsh_bucket(queries, dim, bits, s, vec_col).select(
-                F.col(id_col).alias("query_id"),
-                F.col(vec_col).alias("q_vec"),
-                F.concat(F.lit(f"{t}_"), F.col("lsh_bucket")).alias("bkt"),
-            ))
-        tagged_i.append(
-            lsh_bucket(index, dim, bits, s, vec_col).select(
-                F.col(id_col).alias("item_id"),
-                F.col(vec_col).alias("i_vec"),
-                F.concat(F.lit(f"{t}_"), F.col("lsh_bucket")).alias("bkt"),
-            ))
-    qi = tagged_q[0]
-    ii = tagged_i[0]
-    for t in range(1, tables):
-        qi = qi.unionByName(tagged_q[t])
-        ii = ii.unionByName(tagged_i[t])
+    (OR). All T signatures are computed in one projection + posexplode
+    (lsh_bucket_multi), so the index is scanned ONCE (the plan shows a
+    single FileScan), with a broadcast of the (small) exploded query
+    buckets — no index self-join ever forms."""
+    qi = lsh_bucket_multi(queries, dim, bits, tables, seed, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        "bkt",
+    )
+    ii = lsh_bucket_multi(index, dim, bits, tables, seed, vec_col).select(
+        F.col(id_col).alias("item_id"),
+        F.col(vec_col).alias("i_vec"),
+        "bkt",
+    )
     cand = (
         ii.join(F.broadcast(qi), "bkt")
         .filter(F.col("item_id") != F.col("query_id"))

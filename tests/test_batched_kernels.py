@@ -76,3 +76,120 @@ def test_bank_uses_batched_and_matches(spark):
         for k, v in want.items():
             assert np.isclose(out[cid][f"x_{k}"], v, rtol=1e-9,
                               atol=1e-10), (cid, k)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_batched_custom_options_stay_fast_and_match(seed):
+    """eGeMAPS-style custom percentiles (+quotients) must NOT evict the
+    family from the reduceat path, and must equal the per-group kernel."""
+    rng = np.random.RandomState(seed)
+    x, starts, ends = make_groups(rng)
+    opts = {"percentiles": {"percentiles": (0.10, 0.50, 0.90),
+                            "pctlranges": ((0, 2), (0, 1)),
+                            "pctlquotients": ((0, 1), (2, 0))},
+            "means": {"timeNorm": "segment"},
+            "times": {"timeNorm": "frames"}}
+    fams = ["means", "percentiles", "times"]
+    bat = compute_batched(x, starts, ends, fams, opts)
+    assert "pctlquotient0-1" in bat and "pctlquotient2-0" in bat
+    for gi, (s, e) in enumerate(zip(starts, ends)):
+        want = compute_all(x[s:e], fams, opts)
+        for k, v in want.items():
+            assert np.isclose(float(bat[k][gi]), v, rtol=1e-9,
+                              atol=1e-12), (gi, k)
+
+
+def test_bank_keeps_family_batched_with_supported_options(spark):
+    """The eviction gate consults BATCHED_SUPPORTED_OPTIONS: supported
+    options keep the family on the fast path; unsupported ones fall back
+    (and still match the kernel either way)."""
+    from opensmile_spark.functionals import functionals_kernel
+    from tests.conftest import make_conv
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    df = make_conv(spark, "a", vals)
+    opts = {"percentiles": {"percentiles": (0.10, 0.50, 0.90),
+                            "pctlquotients": ((0, 1),)}}
+    row = functionals_kernel(df, ["x"], ("conv_id",),
+                             families=["percentiles"],
+                             options=opts).collect()[0]
+    want = compute_all(np.array(vals), ["percentiles"], opts)
+    for k, v in want.items():
+        assert np.isclose(row[f"x_{k}"], v), k
+
+
+def test_batched_rejects_empty_groups():
+    with pytest.raises(ValueError):
+        compute_batched(np.arange(4.0), np.array([0, 2]), np.array([2, 2]),
+                        ["means"])
+
+
+def test_legacy_peaks_family():
+    """f_peaks (functionalPeaks.cpp hysteresis automaton): hand-traced
+    sequences + quirk pins (empty dist list -> meanPeakDist = N+1;
+    lastMin/lastMax init 0)."""
+    from opensmile_spark.functionals.kernels import compute_all as ca
+
+    # no peaks at all (monotone): nPeaks=0, meanPeakDist = N+1
+    x = np.arange(10.0)
+    out = ca(x, ["peaks"])
+    assert out["numPeaks"] == 0.0
+    assert out["meanPeakDist"] == 11.0
+    assert out["peakMean"] == 0.0
+    assert out["peakMeanMeanDist"] == -x.mean()
+    # QUIRK pin: lastMax is set to in[i] (the value AFTER the local max,
+    # functionalPeaks.cpp:139), so a sharp peak dropping straight to ~0
+    # never arms the 0.11*range hysteresis -> zero peaks
+    x = np.array([0.0, 2.0, 10.0, 1.0, 0.5, 0.2, 0.1, 0.0])
+    out = ca(x, ["peaks"])
+    assert out["numPeaks"] == 0.0
+    # a shoulder peak (high value after the max) arms and fires on the drop:
+    # max at i=3 (lastVal=10 > 9), lastMax=in[3]=9, fires at in[4]=1 < 8.1
+    x = np.array([0.0, 5.0, 10.0, 9.0, 1.0, 0.0])
+    out = ca(x, ["peaks"])
+    assert out["numPeaks"] == 1.0
+    assert out["peakMean"] == 9.0
+    assert out["meanPeakDist"] == 7.0  # no dist pairs -> N+1
+    # two such peaks -> one distance (8-3=5), stddev 0
+    x = np.array([0.0, 5.0, 10.0, 9.0, 1.0, 0.0, 5.0, 10.0, 9.0, 1.0, 0.0])
+    out = ca(x, ["peaks"])
+    assert out["numPeaks"] == 2.0
+    assert out["peakMean"] == 9.0
+    assert out["meanPeakDist"] == 5.0
+    assert out["peakDistStddev"] == 0.0
+
+
+def test_samples_truncation_indexing():
+    """(int)((N-1)*p) truncates (functionalSamples.cpp:107) — e.g. N=3,
+    p=0.25 -> idx 0 (round would give 1 at p=0.5... pin several)."""
+    from opensmile_spark.functionals.kernels import compute_all as ca
+
+    x = np.array([10.0, 20.0, 30.0])
+    out = ca(x, ["samples"])
+    assert out["samplepos0.25"] == 10.0   # int(2*0.25)=0, round() would be 0
+    assert out["samplepos0.5"] == 20.0    # int(1.0)=1
+    x = np.array([10.0, 20.0, 30.0, 40.0, 50.0, 60.0])
+    out = ca(x, ["samples"])
+    assert out["samplepos0.5"] == 30.0    # int(5*0.5)=int(2.5)=2 (NOT 3)
+    assert out["samplepos0.75"] == 40.0   # int(3.75)=3
+    assert out["samplepos1"] == 60.0
+
+
+def test_pctlquotient_numerator_guard():
+    """pctlquotient guards on the NUMERATOR only (functionalPercentiles.cpp:
+    403-410) and ratio-limits the quotient (50, 100)."""
+    from opensmile_spark.functionals.kernels import compute_all as ca
+
+    opts = {"percentiles": {"percentiles": (0.0, 1.0),
+                            "pctlranges": ((0, 1),),
+                            "pctlquotients": ((1, 0), (0, 1))}}
+    # x in [0, 5]: p0=0, p1=5 -> quotient p1/p0 = 5/0 -> inf -> ratioLimit
+    # caps at limit1+excess=150; p0/p1 = 0 -> numerator guard -> 0
+    x = np.array([0.0, 1.0, 2.0, 5.0])
+    out = ca(x, ["percentiles"], opts)
+    assert out["pctlquotient0-1"] == 0.0
+    assert abs(out["pctlquotient1-0"] - 150.0) < 1e-9
+    # in-range quotient passes through linearly
+    x = np.array([2.0, 4.0])
+    out = ca(x, ["percentiles"], opts)
+    assert np.isclose(out["pctlquotient1-0"], 2.0)

@@ -54,3 +54,60 @@ def test_lsh_topk_recall(spark, emb):
                        suffixes=("_ann", "_exact"))
     if len(merged):
         assert np.allclose(merged.cosine_ann, merged.cosine_exact)
+
+
+def test_lsh_single_scan_plan(spark):
+    """lsh_topk must scan the index ONCE: exactly one FileScan of
+    embeddings on the index (non-broadcast) side of the plan (plus one for
+    the broadcast query side) — the per-table union rescanned the index
+    `tables` times before."""
+    from opensmile_spark.similarity import lsh_topk
+
+    fresh = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = fresh.filter(F.col("vec_id") < 3)
+    out = lsh_topk(fresh, queries, dim=64, k=5, bits=4, tables=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one posexplode Generate per side (index + broadcast queries) and no
+    # per-table Union: the index is read once, not `tables` times
+    assert plan.count("Generate posexplode") == 2, plan[:3000]
+    assert "Union" not in plan, plan[:3000]
+
+
+def test_embedding_near_dups_lsh_recall_on_planted(spark):
+    """Production near-dup path (LSH candidates + exact verify) must find
+    >=0.95 of planted near-duplicate pairs, with zero false positives
+    (every emitted pair is exactly verified)."""
+    import pandas as pd
+
+    from opensmile_spark.dedup import embedding_near_dups
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(120, 32)
+    rows = []
+    vid = 0
+    for i in range(120):
+        rows.append((vid, base[i].astype("float32").tolist())); vid += 1
+        # plant a near-dup of every 3rd vector (tiny perturbation)
+        if i % 3 == 0:
+            pert = base[i] + 0.03 * rng.randn(32)
+            rows.append((vid, pert.astype("float32").tolist())); vid += 1
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+
+    brute = embedding_near_dups(df, threshold=0.97, method="brute",
+                                dim=32).toPandas()
+    lsh = embedding_near_dups(df, threshold=0.97, method="lsh", dim=32,
+                              bits=8, tables=16).toPandas()
+    truth = set(zip(brute.id_a, brute.id_b))
+    found = set(zip(lsh.id_a, lsh.id_b))
+    assert len(truth) >= 30  # the plant worked
+    assert found <= truth    # exact verification: no false positives
+    assert len(truth & found) / len(truth) >= 0.95, (len(truth), len(found))
+
+
+def test_embedding_near_dups_lsh_no_crossjoin(spark, emb):
+    from opensmile_spark.dedup import embedding_near_dups
+
+    out = embedding_near_dups(emb, threshold=0.9, method="lsh", dim=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
