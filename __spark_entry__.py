@@ -787,6 +787,93 @@ def q_mvn_pretrained(spark, sf_dir):
                       F.round("char_len_mvn", 6).alias("char_len_mvn"))
 
 
+def q_egemaps_core(spark, sf_dir):
+    """The SQL-expressible core of the eGeMAPS preset (amean/stddevNorm/
+    percentiles/pctlrange over sma3-smoothed LLDs per session) — the
+    oracle-checked complement of the rows-only egemaps_bundle (whose
+    remaining columns are peaks2 slopes + segment stats, themselves gated
+    by peaks2_restricted / functionals_segments)."""
+    from opensmile_spark.presets import egemaps_style
+    from opensmile_spark.util import round_sig
+
+    out = egemaps_style(_transcripts(spark, sf_dir),
+                        gap_seconds=SESSION_GAP_S)
+    fns = ["amean", "stddevNorm", "percentile20.0", "percentile50.0",
+           "percentile80.0", "pctlrange0-2"]
+    cols = [f"{c}_sma3_{f}" for c in ("char_len", "reply_latency")
+            for f in fns]
+    return out.select(
+        "conv_id", "session_id", "n_turns",
+        *[round_sig(F.col(f"`{c}`")).alias(c) for c in cols],
+    )
+
+
+def q_windowed_hamming(spark, sf_dir):
+    """cWindower as a recency-weighted trailing smoother (hamming, L=5) —
+    weights transcribed from smileDsp_winHam; SQL twin embeds the exact
+    same literal weights."""
+    from opensmile_spark.operators import weighted_sma
+
+    out = weighted_sma(_lld(spark, sf_dir), ["char_len"], 5, "hamming")
+    return out.select("conv_id", "turn_idx",
+                      F.round("char_len_wham5", 6).alias("char_len_wham5"))
+
+
+def q_contour_direction(spark, sf_dir):
+    """cPitchDirection analogue: short/long trailing means with the
+    zero-filled-ring-buffer division quirk and pow(+-1.01) thresholds."""
+    from opensmile_spark.operators import contour_direction
+
+    out = contour_direction(_lld(spark, sf_dir), "char_len",
+                            st_frames=3, lt_frames=10)
+    return out.select(
+        "conv_id", "turn_idx", "char_len_direction",
+        F.round("char_len_dirscore", 6).alias("char_len_dirscore"),
+    )
+
+
+def q_plp_aud(spark, sf_dir):
+    """cPlp auditory stages (equal-loudness weighting + 0.33 compression)
+    over the token spectrum — three probe buckets oracle-checked."""
+    from opensmile_spark.spectral import plp_style, token_spectrum
+
+    out = plp_style(token_spectrum(_docs(spark, sf_dir)))
+    return out.select(
+        "doc_id",
+        *[F.round(F.element_at("spec_aud", b + 1), 6).alias(f"aud_b{b}")
+          for b in (0, 7, 15)],
+    )
+
+
+def q_harmonics(spark, sf_dir):
+    """cHarmonics analogue: fundamental bucket + log-relative harmonic
+    magnitudes (clamps/markers per harmonics.cpp:550-588)."""
+    from opensmile_spark.spectral import harmonics_style, token_spectrum
+
+    out = harmonics_style(token_spectrum(_docs(spark, sf_dir)))
+    return out.select(
+        "doc_id", "f0_bucket",
+        F.round("harmMagRelF0dB_2", 6).alias("harmMagRelF0dB_2"),
+        F.round("harmMagRelF0dB_3", 6).alias("harmMagRelF0dB_3"),
+    )
+
+
+def q_meta_segments(spark, sf_dir):
+    """frameMode=meta: segment LLDs at changes of the carried role ID,
+    one stats row per (conv, run-of-equal-role)."""
+    from opensmile_spark.operators import segment_by_meta
+
+    t = _transcripts(spark, sf_dir)
+    lld = _lld(spark, sf_dir).join(
+        t.select("conv_id", "turn_idx", "role"), ["conv_id", "turn_idx"])
+    seg = segment_by_meta(lld, "role")
+    return (
+        seg.groupBy("conv_id", "meta_seg")
+        .agg(F.count("*").alias("n_turns"),
+             F.round(F.avg("char_len"), 6).alias("char_len_amean"))
+    )
+
+
 def q_datagen(spark, sf_dir):
     """Deterministic synthetic corpus (rows-only: xxhash64 has no DuckDB
     twin). Demonstrates the generator the bench uses."""
@@ -1603,6 +1690,82 @@ FROM fin2
 
 _ORACLES["peaks2_restricted"] = _peaks2_restricted_oracle()
 
+def _egemaps_core_oracle() -> str:
+    """Per-(conv, session) twin of the kernel path: sma3 windows identical
+    to the sma oracle, two-pass CENTERED variance (the kernel's formula),
+    quantile_cont == interp=1 percentiles."""
+    r = _rsig
+
+    def smooth(c, alias):
+        return (f"({c} + COALESCE(lag({c}) OVER w, first_value({c}) OVER wf)"
+                f" + COALESCE(lead({c}) OVER w, last_value({c}) OVER wf))"
+                f" / 3.0 AS {alias}")
+
+    def chan(alias, prefix):
+        sdn = (f"CASE WHEN v_{alias} > 0 THEN SQRT(v_{alias}) / "
+               f"(CASE WHEN m_{alias} <> 0 THEN m_{alias} ELSE 1.0 END) "
+               f"ELSE 0.0 END")
+        return ",\n".join([
+            f'{r(f"m_{alias}")} AS "{prefix}_amean"',
+            f'{r(sdn)} AS "{prefix}_stddevNorm"',
+            f'{r(f"p20_{alias}")} AS "{prefix}_percentile20.0"',
+            f'{r(f"p50_{alias}")} AS "{prefix}_percentile50.0"',
+            f'{r(f"p80_{alias}")} AS "{prefix}_percentile80.0"',
+            f'{r(f"ABS(p80_{alias} - p20_{alias})")} AS "{prefix}_pctlrange0-2"',
+        ])
+
+    return SQL_PREFIX + f"""
+, sm AS (
+  SELECT conv_id, session_id, turn_idx,
+    {smooth("char_len", "cl")},
+    {smooth("reply_latency", "rl")}
+  FROM sessions
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx),
+         wf AS (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+), mu AS (
+  SELECT conv_id, session_id, COUNT(*) AS n,
+    AVG(cl) AS m_cl, AVG(rl) AS m_rl,
+    quantile_cont(cl, 0.20) AS p20_cl, quantile_cont(cl, 0.50) AS p50_cl,
+    quantile_cont(cl, 0.80) AS p80_cl,
+    quantile_cont(rl, 0.20) AS p20_rl, quantile_cont(rl, 0.50) AS p50_rl,
+    quantile_cont(rl, 0.80) AS p80_rl
+  FROM sm GROUP BY conv_id, session_id
+), vr AS (
+  SELECT s.conv_id, s.session_id,
+    SUM(POW(s.cl - m.m_cl, 2)) / MAX(m.n) AS v_cl,
+    SUM(POW(s.rl - m.m_rl, 2)) / MAX(m.n) AS v_rl
+  FROM sm s JOIN mu m USING (conv_id, session_id)
+  GROUP BY s.conv_id, s.session_id
+)
+SELECT m.conv_id, m.session_id, m.n AS n_turns,
+{chan("cl", "char_len_sma3")},
+{chan("rl", "reply_latency_sma3")}
+FROM mu m JOIN vr USING (conv_id, session_id)
+"""
+
+
+_ORACLES["egemaps_core"] = _egemaps_core_oracle()
+
+_ORACLES["meta_segments"] = SQL_PREFIX + """
+, chg AS (
+  SELECT l.conv_id, l.turn_idx, l.char_len,
+    CASE WHEN t.role <> lag(t.role) OVER w OR lag(t.role) OVER w IS NULL
+         THEN 1 ELSE 0 END AS is_chg
+  FROM lld l JOIN transcripts t USING (conv_id, turn_idx)
+  WINDOW w AS (PARTITION BY l.conv_id ORDER BY l.turn_idx)
+), seg AS (
+  SELECT conv_id, turn_idx, char_len,
+    CAST(SUM(is_chg) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS UNBOUNDED PRECEDING) - 1 AS INTEGER)
+        AS meta_seg
+  FROM chg
+)
+SELECT conv_id, meta_seg, COUNT(*) AS n_turns,
+       ROUND(AVG(char_len), 6) AS char_len_amean
+FROM seg GROUP BY conv_id, meta_seg
+"""
+
 _ORACLES["mvn_pretrained"] = SQL_PREFIX + """
 , st AS (
   SELECT conv_id, AVG(char_len) AS mu, stddev_pop(char_len) AS sd
@@ -1612,6 +1775,102 @@ SELECT l.conv_id, l.turn_idx,
   ROUND(CASE WHEN st.sd IS NOT NULL AND st.sd > 0
        THEN (l.char_len - st.mu) / st.sd ELSE 0.0 END, 6) AS char_len_mvn
 FROM lld l LEFT JOIN st USING (conv_id)
+"""
+
+
+def _windowed_hamming_oracle() -> str:
+    from opensmile_spark.operators import window_weights
+
+    w = window_weights("hamming", 5)
+    terms = " + ".join(
+        f"CAST('{wj!r}' AS DOUBLE) * lag(char_len, {5 - 1 - j}) OVER w"
+        for j, wj in enumerate(w)
+    )
+    return SQL_PREFIX + f"""
+SELECT conv_id, turn_idx,
+  ROUND(({terms}) / CAST('{float(w.sum())!r}' AS DOUBLE), 6)
+      AS char_len_wham5
+FROM lld
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+"""
+
+
+_ORACLES["windowed_hamming"] = _windowed_hamming_oracle()
+
+_ORACLES["contour_direction"] = SQL_PREFIX + f"""
+, ml AS (
+  SELECT conv_id, turn_idx,
+    SUM(char_len) OVER (PARTITION BY conv_id ORDER BY turn_idx
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 3.0 AS s,
+    SUM(char_len) OVER (PARTITION BY conv_id ORDER BY turn_idx
+        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) / 10.0 AS l
+  FROM lld
+)
+SELECT conv_id, turn_idx,
+  CASE WHEN s > POW(l, 1.01) THEN 1.0
+       WHEN s < POW(l, CAST('{1.0 / 1.01!r}' AS DOUBLE)) THEN -1.0
+       ELSE 0.0 END AS char_len_direction,
+  ROUND(s - l, 6) AS char_len_dirscore
+FROM ml
+"""
+
+_SPEC_GRID = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 16 AS bucket,
+    COUNT(*) AS cnt
+  FROM toks GROUP BY 1, 2
+),
+grid AS (
+  SELECT d.doc_id, g.bucket, COALESCE(c.cnt, 0)::DOUBLE AS cnt
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN (SELECT unnest(range(0, 16)) AS bucket) g
+  LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bucket = g.bucket
+)
+"""
+
+
+def _plp_bucket_sql(b: int) -> str:
+    f2 = f"(({b} + 1.0) * 250.0 * ({b} + 1.0) * 250.0)"
+    fs = f"({f2} / ({f2} + 1.6e5))"
+    w = f"({fs} * {fs} * (({f2} + 1.44e6) / ({f2} + 9.61e6)))"
+    return (f"ROUND(POW(MAX(CASE WHEN bucket = {b} THEN cnt END) * {w}, "
+            f"CAST('0.33' AS DOUBLE)), 6) AS aud_b{b}")
+
+
+_ORACLES["plp_aud"] = _SPEC_GRID + f"""
+SELECT doc_id,
+  {_plp_bucket_sql(0)},
+  {_plp_bucket_sql(7)},
+  {_plp_bucket_sql(15)}
+FROM grid GROUP BY doc_id
+"""
+
+_HARM_DB = """
+  CASE WHEN f0.h0 <= 0 THEN -201.0
+       WHEN COALESCE(h{k}.cnt, 0) > 0
+       THEN GREATEST(20.0 * (LOG10(h{k}.cnt) - LOG10(f0.h0)), -200.0)
+       ELSE -200.0 END
+"""
+
+_ORACLES["harmonics"] = _SPEC_GRID + f"""
+, f0 AS (
+  SELECT doc_id, bucket AS f0b, cnt AS h0 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        ORDER BY cnt DESC, bucket ASC) AS rk
+    FROM grid WHERE bucket >= 1
+  ) WHERE rk = 1
+)
+SELECT f0.doc_id, CAST(f0.f0b AS INTEGER) AS f0_bucket,
+  ROUND({_HARM_DB.format(k=2)}, 6) AS "harmMagRelF0dB_2",
+  ROUND({_HARM_DB.format(k=3)}, 6) AS "harmMagRelF0dB_3"
+FROM f0
+LEFT JOIN grid h2 ON h2.doc_id = f0.doc_id AND h2.bucket = f0.f0b * 2
+LEFT JOIN grid h3 ON h3.doc_id = f0.doc_id AND h3.bucket = f0.f0b * 3
 """
 
 
@@ -2025,6 +2284,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "functionals_dct": q_functionals_dct,
     "peaks2_restricted": q_peaks2_restricted,
     "mvn_pretrained": q_mvn_pretrained,
+    "egemaps_core": q_egemaps_core,
+    "windowed_hamming": q_windowed_hamming,
+    "contour_direction": q_contour_direction,
+    "plp_aud": q_plp_aud,
+    "harmonics": q_harmonics,
+    "meta_segments": q_meta_segments,
     "peaks_legacy": q_peaks_legacy,       # rows-only (hysteresis automaton)
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,  # rows-only (ANN)
     "viterbi_smooth": q_viterbi_smooth,   # rows-only (sequential DP)

@@ -46,6 +46,17 @@ def completed_buckets(spark: SparkSession, base_dir: str) -> set[int]:
     return {r["bucket"] for r in done.collect()}
 
 
+_MANIFEST_SCHEMA = (
+    "bucket int, status string, rows_out long, wall_sec double, "
+    "finished_at double, run_id string, lineage string"
+)
+
+
+def _append_manifest(spark: SparkSession, base_dir: str, rows: list) -> None:
+    spark.createDataFrame(rows, _MANIFEST_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(_manifest_dir(base_dir))
+
+
 def run_resumable(
     spark: SparkSession,
     build_query,
@@ -55,38 +66,74 @@ def run_resumable(
     run_id: str | None = None,
     lineage: dict | None = None,
 ) -> dict:
-    """Execute `build_query(spark) -> DataFrame` bucket-by-bucket, resumably.
+    """Execute `build_query(spark) -> DataFrame` resumably, bucketed on
+    pmod(xxhash64(key), n_buckets).
 
-    The query is filtered per bucket on pmod(xxhash64(key), n_buckets) —
-    with the input partitioned/bucketed by key this prunes at the scan; at
-    worst it is a predicate the whole pipeline pushes down. Returns run
-    metrics {buckets_done, buckets_skipped, rows_out, wall_sec}.
+    Fresh run (no completed buckets): ONE job — `build_query` is invoked
+    once, the input is scanned once, and the output lands as
+    data/bucket=N/ via partitionBy; per-bucket row counts come from an
+    Observation attached to the same job (zero extra passes). The manifest
+    gains one row per bucket, all stamped with the job's wall time.
+
+    Resume (some buckets done): only the missing buckets are recomputed,
+    one filtered job per bucket — each write is idempotent
+    (overwrite-by-partition), so a crash mid-resume loses at most one
+    bucket of work. The per-bucket filter path is the RESTART path only;
+    the happy path never re-executes the query per bucket.
+
+    Returns run metrics {buckets_done, buckets_skipped, rows_out, wall_sec}.
     """
+    from pyspark.sql import Observation
+
     run_id = run_id or f"run{int(time.time())}"
     done = completed_buckets(spark, base_dir)
     skipped = len(done)
     total_rows = 0
     t0 = time.time()
     lineage_json = json.dumps(lineage or {})
+    bucket_expr = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+
+    if not done:
+        df = build_query(spark).withColumn("bucket",
+                                           bucket_expr.cast("int"))
+        obs = Observation(f"ckpt_{run_id}")
+        df = df.observe(obs, *[
+            F.sum(F.when(F.col("bucket") == b, 1).otherwise(0))
+            .cast("long").alias(f"b{b}")
+            for b in range(n_buckets)
+        ])
+        df.write.mode("overwrite").partitionBy("bucket") \
+            .parquet(os.path.join(base_dir, "data"))
+        counts = obs.get
+        wall = round(time.time() - t0, 3)
+        now = float(time.time())
+        rows = []
+        for b in range(n_buckets):
+            c = int(counts.get(f"b{b}") or 0)
+            total_rows += c
+            rows.append((b, "done", c, wall, now, run_id, lineage_json))
+        _append_manifest(spark, base_dir, rows)
+        return {
+            "run_id": run_id,
+            "buckets_done": n_buckets,
+            "buckets_skipped": 0,
+            "rows_out": total_rows,
+            "wall_sec": round(time.time() - t0, 3),
+        }
 
     for b in range(n_buckets):
         if b in done:
             continue
         t1 = time.time()
         df = build_query(spark)
-        part = df.filter(
-            F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)) == b)
+        part = df.filter(bucket_expr == b)
         out_path = os.path.join(base_dir, "data", f"bucket={b}")
         part.write.mode("overwrite").parquet(out_path)
         rows = spark.read.parquet(out_path).count()
         total_rows += rows
-        row = [(b, "done", rows, round(time.time() - t1, 3),
-                float(time.time()), run_id, lineage_json)]
-        spark.createDataFrame(
-            row,
-            "bucket int, status string, rows_out long, wall_sec double, "
-            "finished_at double, run_id string, lineage string",
-        ).write.mode("append").parquet(_manifest_dir(base_dir))
+        _append_manifest(spark, base_dir, [
+            (b, "done", rows, round(time.time() - t1, 3),
+             float(time.time()), run_id, lineage_json)])
 
     return {
         "run_id": run_id,

@@ -42,13 +42,33 @@ def csv_source(
         reader = reader.schema(schema)
     df = reader.csv(path)
     if start is not None or end is not None:
-        w = Window.orderBy(F.monotonically_increasing_id())
-        df = df.withColumn("__line", F.row_number().over(w) - 1)
+        # global line numbers WITHOUT a global single-task window: count
+        # rows per scan partition (tiny collect), then number rows inside
+        # each partition in parallel and add the partition's offset — the
+        # zipWithIndex pattern in DataFrame terms. Two scans of the file,
+        # both fully parallel; partition planning is deterministic for a
+        # fixed single file, so the two jobs see identical splits.
+        d = df.withColumn("__pid", F.spark_partition_id()) \
+              .withColumn("__mid", F.monotonically_increasing_id())
+        counts = sorted(
+            (r["__pid"], r["cnt"]) for r in
+            d.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+        )
+        offsets, acc = {}, 0
+        for pid, cnt in counts:
+            offsets[pid] = acc
+            acc += cnt
+        off = F.coalesce(*[
+            F.when(F.col("__pid") == pid, F.lit(o))
+            for pid, o in offsets.items()
+        ] or [F.lit(0)], F.lit(0))
+        w = Window.partitionBy("__pid").orderBy("__mid")
+        d = d.withColumn("__line", off + F.row_number().over(w) - 1)
         if start is not None:
-            df = df.filter(F.col("__line") >= start)
+            d = d.filter(F.col("__line") >= start)
         if end is not None:
-            df = df.filter(F.col("__line") <= end)
-        df = df.drop("__line")
+            d = d.filter(F.col("__line") <= end)
+        df = d.drop("__line", "__pid", "__mid")
     return df
 
 
@@ -89,3 +109,49 @@ def partitioned_sink(df: DataFrame, path: str,
                      mode: str = "overwrite") -> None:
     """One directory per detected segment (cWaveSinkCut analogue)."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def arff_sink(
+    df: DataFrame,
+    path: str,
+    relation: str = "opensmile_spark",
+    extra_literal_cols: dict | None = None,
+    single_file: bool = False,
+    mode: str = "overwrite",
+) -> None:
+    """cArffSink (/root/reference/src/iocore/arffSink.cpp): ARFF output with
+    @relation/@attribute header and appended literal (constant) columns —
+    the reference's 'class/target column' option. Numeric Spark types map
+    to `numeric`, everything else to `string`.
+
+    Scale note: ARFF is a single-header text format; the scalable layout is
+    header sidecar (path/header.arff) + parallel CSV part files under
+    path/data/ (cat them after the header to get a valid .arff). With
+    single_file=True the data is coalesced to ONE task and written as one
+    complete .arff part — small outputs only, by design."""
+    import os
+
+    from pyspark.sql.types import NumericType
+
+    out = df
+    for k, v in (extra_literal_cols or {}).items():
+        out = out.withColumn(k, F.lit(v))
+    lines = [f"@relation {relation}", ""]
+    for f in out.schema.fields:
+        typ = "numeric" if isinstance(f.dataType, NumericType) else "string"
+        lines.append(f"@attribute {f.name} {typ}")
+    lines += ["", "@data"]
+    header = "\n".join(lines) + "\n"
+
+    if single_file:
+        spark = out.sparkSession
+        hdr = spark.createDataFrame([(header.rstrip("\n"),)], "line string")
+        body = out.select(
+            F.concat_ws(",", *[F.col(c).cast("string")
+                               for c in out.columns]).alias("line"))
+        hdr.unionByName(body).coalesce(1).write.mode(mode).text(path)
+        return
+    out.write.mode(mode).option("header", False) \
+        .csv(os.path.join(path, "data"))
+    with open(os.path.join(path, "header.arff"), "w") as fh:
+        fh.write(header)

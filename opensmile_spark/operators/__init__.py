@@ -1,10 +1,16 @@
 from opensmile_spark.operators.windows import (  # noqa: F401
     clamped_lag,
     clamped_lead,
+    contour_direction,
     delta_regression,
     preemphasis,
     sma,
     trailing_agg,
+)
+from opensmile_spark.operators.windower import (  # noqa: F401
+    apply_window,
+    weighted_sma,
+    window_weights,
 )
 from opensmile_spark.operators.sessionize import sessionize, session_bounds  # noqa: F401
 from opensmile_spark.operators.asof import asof_join, backfill_functionals  # noqa: F401
@@ -25,6 +31,7 @@ from opensmile_spark.operators.normalize import (  # noqa: F401
 from opensmile_spark.operators.framing import (  # noqa: F401
     frame_vector,
     interval_join,
+    segment_by_meta,
     tumbling_frames,
 )
 from opensmile_spark.operators.salt import overlap_salt, salted_partial_stats  # noqa: F401

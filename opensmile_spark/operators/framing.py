@@ -80,3 +80,30 @@ def interval_join(
         & (epoch_seconds(df[ts_col]) <= epoch_seconds(iv[end_col]))
     )
     return df.join(iv, cond).drop(iv[on])
+
+
+def segment_by_meta(
+    df: DataFrame,
+    meta_col: str,
+    partition_cols=("conv_id",),
+    order_col: str = "turn_idx",
+    out_col: str = "meta_seg",
+) -> DataFrame:
+    """frameMode=meta (winToVecProcessor.cpp frameMode config): segment at
+    CHANGES of a metadata-carried ID — each maximal run of equal `meta_col`
+    values becomes one segment. Downstream: functionals_kernel grouped on
+    (partition_cols..., out_col). One window over the existing (conv,
+    order) shuffle, reusable by the whole LLD chain."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*partition_cols).orderBy(order_col)
+    change = F.when(
+        F.lag(meta_col).over(w).isNull()
+        | (F.col(meta_col) != F.lag(meta_col).over(w)),
+        1,
+    ).otherwise(0)
+    return df.withColumn(
+        out_col,
+        (F.sum(change).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)) - 1).cast("int"),
+    )

@@ -203,3 +203,36 @@ def trailing_agg(
             .rangeBetween(lo, hi)
         )
     return df.withColumn(out_col or f"{col}_{agg}_w", fn(col).over(w))
+
+
+def contour_direction(
+    df: DataFrame,
+    col: str,
+    st_frames: int = 3,
+    lt_frames: int = 10,
+    partition_cols=("conv_id",),
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """cPitchDirection analogue (/root/reference/src/lld/pitchDirection.cpp:
+    596-633): short-term vs long-term trailing means of a contour;
+      direction = 1 (rise)  when smean > lmean^1.01,
+                 -1 (fall)  when smean < lmean^(1/1.01),
+                  0 (flat)  otherwise;
+      score = smean - lmean.
+    The reference's ring buffers start ZERO-FILLED, so early frames divide
+    the partial sum by the FULL buffer length (pitchDirection.cpp:605-606)
+    — replicated with sum(trailing)/L, not avg(trailing)."""
+    w = _w(partition_cols, order_col)
+    smean = (F.sum(col).over(w.rowsBetween(-(st_frames - 1), 0))
+             / F.lit(float(st_frames)))
+    lmean = (F.sum(col).over(w.rowsBetween(-(lt_frames - 1), 0))
+             / F.lit(float(lt_frames)))
+    direction = (
+        F.when(smean > F.pow(lmean, F.lit(1.01)), F.lit(1.0))
+        .when(smean < F.pow(lmean, F.lit(1.0 / 1.01)), F.lit(-1.0))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        df.withColumn(f"{col}_direction", direction)
+        .withColumn(f"{col}_dirscore", smean - lmean)
+    )

@@ -84,3 +84,69 @@ def spectral_stats(df: DataFrame, spec_col: str = "spec",
         .withColumn("spec_rolloff", cum.cast("int"))
         .withColumn("spec_energy", energy)
     )
+
+
+def plp_style(df: DataFrame, spec_col: str = "spec",
+              compression: float = 0.33,
+              bucket_hz: float = 250.0) -> DataFrame:
+    """cPlp auditory-spectrum analogue (/root/reference/src/lldcore/plp.cpp:
+    16,51-64): equal-loudness weighting of each band + the 'power law of
+    hearing' compression x^0.33 — the SQL-expressible stages 3-4 of PLP.
+    The equal-loudness curve is the HTK variant
+    (smileDsp_equalLoudnessWeight_htk, smileUtil.c: fs^2*(f^2+1.44e6)/
+    (f^2+9.61e6), fs=f^2/(f^2+1.6e5)), evaluated at a nominal center
+    frequency `bucket_hz*(b+1)` per bucket. The downstream IDFT->LPC->ceps
+    stages are the lpc kernel family (functionals/kernels.f_lpc) applied to
+    the compressed spectrum (kernel path; not SQL-expressible)."""
+    v = F.col(spec_col)
+    n_idx = F.sequence(F.lit(0), F.size(v) - 1)
+
+    def eql(i):
+        f = (i.cast("double") + 1.0) * F.lit(bucket_hz)
+        f2 = f * f
+        fs = f2 / (f2 + 1.6e5)
+        return fs * fs * ((f2 + 1.44e6) / (f2 + 9.61e6))
+
+    aud = F.zip_with(
+        v, n_idx,
+        lambda x, i: F.pow(x * eql(i), F.lit(compression)),
+    )
+    return df.withColumn(spec_col + "_aud", aud)
+
+
+def harmonics_style(df: DataFrame, spec_col: str = "spec",
+                    n_harmonics: int = 3) -> DataFrame:
+    """cHarmonics analogue (/root/reference/src/lld/harmonics.cpp:550-588):
+    fundamental bucket = argmax magnitude (bucket >= 1 so multiples exist),
+    harmonic magnitudes at integer multiples, log-relative-to-H0 dB
+    magnitudes 20*(log10(Hk)-log10(H0)) clamped at -200 (-200 for missing/
+    zero harmonics, -201 when H0 == 0 — the logRelMagnitude=false marker,
+    harmonics.cpp:563-576)."""
+    v = F.col(spec_col)
+    n = F.size(v)
+    # argmax over buckets 1..n-1 (first on ties, like the C scan)
+    f0 = F.aggregate(
+        F.sequence(F.lit(1), n - 1),
+        F.struct(F.lit(-1.0).alias("best"), F.lit(0).alias("arg")),
+        lambda st, i: F.struct(
+            F.greatest(st["best"], F.element_at(v, i + 1)).alias("best"),
+            F.when(F.element_at(v, i + 1) > st["best"], i)
+            .otherwise(st["arg"]).alias("arg"),
+        ),
+        lambda st: st["arg"],
+    )
+    out = df.withColumn("f0_bucket", f0)
+    h0 = F.element_at(v, F.col("f0_bucket") + 1)
+    for k in range(2, n_harmonics + 1):
+        bucket_k = F.col("f0_bucket") * k
+        hk = F.when(bucket_k < n, F.element_at(v, bucket_k + 1)) \
+            .otherwise(F.lit(0.0))
+        db = (
+            F.when(h0 <= 0, F.lit(-201.0))
+            .when(hk > 0,
+                  F.greatest(20.0 * (F.log10(hk) - F.log10(h0)),
+                             F.lit(-200.0)))
+            .otherwise(F.lit(-200.0))
+        )
+        out = out.withColumn(f"harmMagRelF0dB_{k}", db)
+    return out

@@ -72,7 +72,7 @@ def streaming_session_functionals(
             F.avg(F.abs(x)).alias(f"{value_col}_absmean"),
             F.avg(x * x).alias(f"{value_col}_qmean"),
             F.sqrt(F.avg(x * x)).alias(f"{value_col}_rqmean"),
-            (F.avg(x * x) - F.avg(x) * F.avg(x)).alias(f"{value_col}_variance"),
+            F.var_pop(x).alias(f"{value_col}_variance"),
             F.max(x).alias(f"{value_col}_max"),
             F.min(x).alias(f"{value_col}_min"),
             F.sum(F.when(x != 0.0, 1).otherwise(0)).cast("double")
@@ -157,6 +157,83 @@ def stateful_expanding_stats(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def closed_session_functionals(
+    lld_stream: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+    value_col: str = "char_len",
+    families: list[str] | None = None,
+):
+    """FULL functional vectors (incl. order statistics / peaks2 — anything
+    the incremental aggregate above cannot express) over CLOSED sessions:
+    the streaming analogue of the reference's EOI flush
+    (componentManager.cpp:1485-1502 runs extra ticks at EOI so full-input
+    ops see the whole segment).
+
+    Mechanics: session_window aggregation in APPEND mode collects each
+    session's (ts-ordered) values; append + watermark means a session row
+    is emitted exactly once, when the watermark passes its close — at that
+    point the whole segment is known, so the batch kernel runs on it inside
+    foreachBatch. State is bounded by session length (the reference's ring
+    buffer bound); the kernel never sees an open session.
+
+    Returns (sessions_stream, process_batch): start with
+      sessions_stream.writeStream.outputMode("append")
+          .foreachBatch(lambda df, _: sink(process_batch(df))).start()
+    where process_batch(df) -> DataFrame applies the kernel batch-side.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from opensmile_spark.functionals.kernels import compute_all
+
+    families = families or ["means", "moments", "percentiles", "segments",
+                            "peaks2"]
+    probe = list(compute_all(np.arange(1.0, 9.0), families))
+    feat_names = [f"{value_col}_{k}" for k in probe]
+
+    sessions = (
+        lld_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("conv_id"))
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sort_array(
+                F.collect_list(F.struct("ts", "turn_idx", value_col))
+            ).alias("__rows"),
+        )
+        .select(
+            "conv_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_turns",
+            F.transform("__rows", lambda r: r[value_col]).alias("__xs"),
+        )
+    )
+
+    out_schema = ("conv_id string, session_start timestamp, "
+                  "session_end timestamp, n_turns long, "
+                  + ", ".join(f"`{n}` double" for n in feat_names))
+
+    def process_batch(batch_df: DataFrame) -> DataFrame:
+        def kernel(pdfs):
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                cols = {c: pdf[c] for c in
+                        ("conv_id", "session_start", "session_end",
+                         "n_turns")}
+                feats = [compute_all(np.asarray(xs, dtype=np.float64),
+                                     families) for xs in pdf["__xs"]]
+                for k in probe:
+                    cols[f"{value_col}_{k}"] = [f.get(k, float("nan"))
+                                                for f in feats]
+                yield pd.DataFrame(cols)
+
+        return batch_df.mapInPandas(kernel, schema=out_schema)
+
+    return sessions, process_batch
 
 
 def run_stream_to_memory(stream_df: DataFrame, name: str,

@@ -84,3 +84,23 @@ def test_multimodal_plumbing(spark):
     vids = media.filter(F.col("kind") == "video").toPandas()
     want = int(vids.duration_s.apply(lambda d: max(int(d * 1.0), 1)).sum())
     assert len(plan) == want
+
+
+def test_fresh_run_invokes_query_once(spark, tmp_path):
+    """The happy path is ONE job: build_query must be called exactly once
+    and the manifest must still record every bucket with its row count."""
+    from opensmile_spark.checkpoint import metrics_table, run_resumable
+
+    base = str(tmp_path / "ckpt_once")
+    calls = []
+
+    def build(s):
+        calls.append(1)
+        return s.range(0, 100).withColumnRenamed("id", "conv_id")
+
+    m = run_resumable(spark, build, base, n_buckets=8, key_col="conv_id")
+    assert len(calls) == 1
+    assert m["rows_out"] == 100
+    mt = metrics_table(spark, base).toPandas()
+    assert len(mt) == 8
+    assert mt.rows_out.sum() == 100

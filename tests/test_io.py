@@ -40,3 +40,44 @@ def test_null_and_parquet_and_partitioned(spark, tmp_path):
     ps = str(tmp_path / "parts")
     partitioned_sink(df.withColumn("session_id", F.lit(0)), ps)
     assert os.path.isdir(f"{ps}/conv_id=a/session_id=0")
+
+
+def test_csv_line_range_no_global_window(spark, tmp_path):
+    """The line-range plan must not funnel the file through one task:
+    no empty-partition Window (global orderBy) in the plan."""
+    import pandas as pd
+
+    from opensmile_spark.io import csv_sink, csv_source
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["a"] * 40, "turn_idx": range(40),
+                      "x": range(40)}))
+    p = str(tmp_path / "lines.csv")
+    csv_sink(df, p)
+    ranged = csv_source(spark, p, start=5, end=14)
+    plan = ranged._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition()" not in plan.replace(" ", "")
+    # rows are correct regardless of partitioning
+    assert ranged.count() == 10
+
+
+def test_arff_sink(spark, tmp_path):
+    import glob
+
+    from opensmile_spark.io import arff_sink
+
+    df = spark.createDataFrame(
+        [("a", 1, 2.5), ("b", 2, 3.5)], "conv_id string, n long, v double")
+    p = str(tmp_path / "out_arff")
+    arff_sink(df, p, relation="feats",
+              extra_literal_cols={"class": "train"}, single_file=True)
+    txt = "".join(open(f).read() for f in sorted(glob.glob(p + "/part-*")))
+    assert txt.startswith("@relation feats")
+    assert "@attribute v numeric" in txt
+    assert "@attribute class string" in txt
+    assert "a,1,2.5,train" in txt
+    # sidecar layout for the parallel path
+    p2 = str(tmp_path / "out_arff2")
+    arff_sink(df, p2, relation="feats")
+    assert open(p2 + "/header.arff").read().startswith("@relation feats")
+    assert spark.read.csv(p2 + "/data").count() == 2

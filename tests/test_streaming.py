@@ -75,3 +75,39 @@ def test_stateful_expanding_stats(spark, stream_dir):
     assert np.allclose(one.run_mean.to_numpy(), cum_mean)
     # expanding population std at the last row
     assert np.isclose(one.run_std.iloc[-1], np.std(xs))
+
+
+def test_closed_session_kernel_functionals(spark, stream_dir):
+    """Order statistics / peaks2 over CLOSED sessions via foreachBatch —
+    the streaming EOI-flush path; values must equal the batch kernel on
+    the same session slices."""
+    from opensmile_spark.functionals.kernels import compute_all
+    from opensmile_spark.streaming import (
+        closed_session_functionals, streaming_lld,
+    )
+
+    sessions, process = closed_session_functionals(
+        streaming_lld(_read_stream(spark, stream_dir)),
+        gap="10 minutes", watermark="0 seconds",
+        families=["means", "percentiles", "peaks2"])
+    collected = []
+    q = (sessions.writeStream.outputMode("append")
+         .foreachBatch(lambda df, _: collected.append(process(df).toPandas()))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    import pandas as pd
+    got = pd.concat([c for c in collected if len(c)], ignore_index=True)
+    assert len(got) > 10
+    assert "char_len_quartile2" in got.columns
+    assert "char_len_numPeaks" in got.columns
+    # cross-check one session against the batch kernel
+    batch = streaming_lld(spark.read.parquet(stream_dir)).toPandas()
+    row = got.sort_values(["conv_id", "session_start"]).iloc[0]
+    sub = batch[(batch.conv_id == row.conv_id)
+                & (batch.ts >= row.session_start)
+                & (batch.ts < row.session_end)].sort_values("turn_idx")
+    want = compute_all(sub.char_len.to_numpy(dtype=float),
+                       ["means", "percentiles", "peaks2"])
+    assert np.isclose(row["char_len_quartile2"], want["quartile2"])
+    assert np.isclose(row["char_len_numPeaks"], want["numPeaks"])
+    assert row["n_turns"] == len(sub)

@@ -96,3 +96,80 @@ def test_multi_conv_isolation(spark):
     vals = {(r["conv_id"], r["turn_idx"]): r["x_sma3"] for r in df.collect()}
     assert all(v == 1.0 for k, v in vals.items() if k[0] == "a")
     assert all(v == 100.0 for k, v in vals.items() if k[0] == "b")
+
+
+def test_window_weights_reference_formulas():
+    import numpy as np
+
+    from opensmile_spark.operators import window_weights
+    from opensmile_spark.operators.windower import WINDOW_FUNCS
+
+    N = 9
+    for f in WINDOW_FUNCS:
+        w = window_weights(f, N)
+        assert w.shape == (N,) and np.isfinite(w).all(), f
+    # smileDsp_winHan: 0.5*(1-cos(2*pi*i/(N-1))) — endpoint 0, centre 1
+    han = window_weights("hanning", N)
+    assert han[0] == 0.0 and np.isclose(han[(N - 1) // 2], 1.0)
+    ham = window_weights("hamming", N)
+    assert np.isclose(ham[0], 0.08) and np.isclose(ham[4], 1.0)
+    # triangular uses N denominators (smileUtil.c winTri), bartlett N-1
+    tri = window_weights("triangular", N)
+    assert np.isclose(tri[0], 2.0 / N)
+    bar = window_weights("bartlett", N)
+    assert bar[0] == 0.0 and np.isclose(bar[4], 1.0)
+    gau = window_weights("gauss", N, sigma=0.4)
+    assert np.isclose(gau[4], 1.0) and gau[0] < gau[4]
+    lac = window_weights("lanczos", N)
+    assert np.isclose(lac[4], 1.0)   # sinc(0) = 1 at centre
+    rrc = window_weights("hanning", N, square_root=True)
+    assert np.allclose(rrc * rrc, han)
+
+
+def test_apply_window_and_weighted_sma(spark):
+    import numpy as np
+
+    from opensmile_spark.operators import (
+        apply_window, frame_vector, weighted_sma, window_weights,
+    )
+    from tests.conftest import make_conv
+
+    vals = [float(v) for v in [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]]
+    df = make_conv(spark, "a", vals)
+    framed = frame_vector(df, "x", 3).filter(F.size("x_frame") == 3)
+    win = apply_window(framed, "x_frame", "hanning").toPandas()
+    w = window_weights("hanning", 3)
+    for _, r in win.iterrows():
+        assert np.allclose(np.array(r["x_frame_win"]),
+                           np.array(r["x_frame"]) * w)
+
+    sm = weighted_sma(df, ["x"], 3, "hamming").toPandas() \
+        .sort_values("turn_idx")
+    w3 = window_weights("hamming", 3)
+    got = sm["x_wham3"].to_numpy()
+    assert np.isnan(got[:2]).all()
+    for t in range(2, len(vals)):
+        want = float(np.dot(w3, vals[t - 2:t + 1]) / w3.sum())
+        assert np.isclose(got[t], want)
+
+
+def test_contour_direction_and_meta_segments(spark):
+    import numpy as np
+
+    from opensmile_spark.operators import contour_direction, segment_by_meta
+    from tests.conftest import make_conv
+
+    vals = [10.0, 10, 10, 10, 50, 80, 90, 10, 5, 2]
+    df = contour_direction(make_conv(spark, "a", vals), "x",
+                           st_frames=2, lt_frames=4).toPandas() \
+        .sort_values("turn_idx")
+    # zero-filled ring buffer: early frames divide by FULL length
+    assert np.isclose(df["x_dirscore"].iloc[0], 10.0 / 2 - 10.0 / 4)
+    assert df["x_direction"].iloc[5] == 1.0    # steep rise
+    assert df["x_direction"].iloc[9] == -1.0   # steep fall
+
+    meta = make_conv(spark, "a", [1.0] * 6).withColumn(
+        "role", F.when(F.col("turn_idx") < 2, "u")
+        .when(F.col("turn_idx") < 3, "a").otherwise("u"))
+    seg = segment_by_meta(meta, "role").toPandas().sort_values("turn_idx")
+    assert seg["meta_seg"].tolist() == [0, 0, 1, 2, 2, 2]
