@@ -44,6 +44,118 @@ def _seg_sum(v, starts):
     return np.add.reduceat(v, starts)
 
 
+EXPANDING_FAMILIES = {"means", "extremes"}
+
+
+def compute_expanding(x: np.ndarray, his: np.ndarray,
+                      families, options=None) -> dict[str, np.ndarray]:
+    """Expanding-window functionals: window j = x[0:his[j]] (his >= 1,
+    ascending not required). O(N + A) prefix scans instead of the O(sum his)
+    gather — the difference between linear and quadratic work for
+    point-in-time backfills with unbounded lookback. Only the families
+    whose kernel formulas are pure raw sums / running extrema are supported
+    (EXPANDING_FAMILIES); centered/moment/order-statistics families need
+    the gather path. Same output names and formulas as kernels.py."""
+    options = options or {}
+    if not (np.asarray(his) >= 1).all():
+        raise ValueError("compute_expanding: windows must be non-empty")
+    n = x.size
+    j = np.asarray(his, dtype=np.int64) - 1     # inclusive end index
+    N = his.astype(np.float64)
+    out: dict[str, np.ndarray] = {}
+
+    def pref(v):
+        return np.cumsum(v)[j]
+
+    if "means" in families:
+        absx = np.abs(x)
+        nz = x != 0.0
+        pos = x > 0.0
+        neg = x < 0.0
+        mean = pref(x) / N
+        nnz = pref(nz.astype(np.float64))
+        npos = pref(pos.astype(np.float64))
+        nneg = pref(neg.astype(np.float64))
+        absmean = pref(absx) / N
+        qmean = pref(x * x) / N
+        with np.errstate(divide="ignore", invalid="ignore"):
+            logabs = np.where(nz, np.log(np.where(nz, absx, 1.0)), 0.0)
+        nz_s = pref(np.where(nz, x, 0.0))
+        nzabs_s = pref(np.where(nz, absx, 0.0))
+        nzq_s = pref(np.where(nz, x * x, 0.0))
+        nzlog_s = pref(logabs)
+        pos_s = pref(np.where(pos, x, 0.0))
+        posq_s = pref(np.where(pos, x * x, 0.0))
+        neg_s = pref(np.where(neg, x, 0.0))
+        negq_s = pref(np.where(neg, x * x, 0.0))
+        safe_nnz = np.where(nnz > 0, nnz, 1.0)
+        safe_np = np.where(npos > 0, npos, 1.0)
+        safe_nn = np.where(nneg > 0, nneg, 1.0)
+        out["amean"] = mean
+        out["absmean"] = absmean
+        out["qmean"] = qmean
+        out["nzamean"] = np.where(nnz > 0, nz_s / safe_nnz, 0.0)
+        out["nzabsmean"] = np.where(nnz > 0, nzabs_s / safe_nnz, 0.0)
+        out["nzqmean"] = np.where(nnz > 0, nzq_s / safe_nnz, 0.0)
+        nzgmean = np.where(nnz > 0, np.exp(nzlog_s / safe_nnz), 0.0)
+        out["nzgmean"] = nzgmean
+        tn = options.get("means", {}).get("timeNorm", "frames")
+        if tn == "segment":
+            out["nnz"] = nnz / N
+        elif tn == "second":
+            out["nnz"] = nnz / options.get("means", {}).get("T", 1.0)
+        else:
+            out["nnz"] = nnz
+        out["flatness"] = np.where(absmean != 0.0, nzgmean
+                                   / np.where(absmean != 0, absmean, 1.0),
+                                   1.0)
+        posqmean = np.where(npos > 0, posq_s / safe_np, 0.0)
+        negqmean = np.where(nneg > 0, negq_s / safe_nn, 0.0)
+        out["posamean"] = np.where(npos > 0, pos_s / safe_np, 0.0)
+        out["negamean"] = np.where(nneg > 0, neg_s / safe_nn, 0.0)
+        out["posqmean"] = posqmean
+        out["posrqmean"] = np.sqrt(posqmean)
+        out["negqmean"] = negqmean
+        out["negrqmean"] = np.sqrt(negqmean)
+        out["rqmean"] = np.sqrt(qmean)
+        out["nzrqmean"] = np.sqrt(out["nzqmean"])
+
+    if "extremes" in families:
+        rmax = np.maximum.accumulate(x)
+        rmin = np.minimum.accumulate(x)
+        gmax = rmax[j]
+        gmin = rmin[j]
+        idx = np.arange(n, dtype=np.int64)
+        # first index achieving each running max/min: strict-update points,
+        # then running max of the update positions (monotone by construction)
+        prev_max = np.empty(n)
+        prev_max[0] = -np.inf
+        prev_max[1:] = rmax[:-1]
+        prev_min = np.empty(n)
+        prev_min[0] = np.inf
+        prev_min[1:] = rmin[:-1]
+        argmax_run = np.maximum.accumulate(np.where(x > prev_max, idx, 0))
+        argmin_run = np.maximum.accumulate(np.where(x < prev_min, idx, 0))
+        maxpos = argmax_run[j].astype(np.float64)
+        minpos = argmin_run[j].astype(np.float64)
+        tn = options.get("extremes", {}).get("timeNorm", "frames")
+        if tn == "segment":
+            maxpos = maxpos / N
+            minpos = minpos / N
+        mean = pref(x) / N
+        out["max"] = gmax
+        out["min"] = gmin
+        out["range"] = gmax - gmin
+        out["maxPos"] = maxpos
+        out["minPos"] = minpos
+        if "amean" not in out:
+            out["amean"] = mean
+        out["maxameandist"] = gmax - mean
+        out["minameandist"] = mean - gmin
+
+    return out
+
+
 def compute_batched(x: np.ndarray, starts: np.ndarray, ends: np.ndarray,
                     families, options=None) -> dict[str, np.ndarray]:
     """x: concatenated values; [starts[i], ends[i]) are group slices that

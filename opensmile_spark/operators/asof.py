@@ -120,7 +120,8 @@ def backfill_functionals(
     import pandas as pd
 
     from opensmile_spark.functionals.batched import (
-        BATCHED_FAMILIES, BATCHED_SUPPORTED_OPTIONS, compute_batched,
+        BATCHED_FAMILIES, BATCHED_SUPPORTED_OPTIONS, EXPANDING_FAMILIES,
+        compute_batched, compute_expanding,
     )
 
     families = families or ["means", "moments", "extremes", "percentiles",
@@ -140,12 +141,19 @@ def backfill_functionals(
         if f in BATCHED_FAMILIES
         and set(options.get(f, {})) <= BATCHED_SUPPORTED_OPTIONS[f]
     ]
+    # raw-sum families on EXPANDING windows (no trailing bound) take the
+    # O(N + A) prefix-scan path — linear, not O(sum of window sizes)
+    exp_fams = [f for f in batched_fams if f in EXPANDING_FAMILIES] \
+        if window_seconds is None else []
+    gather_fams = [f for f in batched_fams if f not in exp_fams]
     loop_fams = [f for f in families if f not in batched_fams]
     key_src: dict[str, str] = {}
     for fam in families:
         sample = compute_all(np.arange(1.0, 9.0), [fam], options)
+        src = ("exp" if fam in exp_fams else
+               "batched" if fam in batched_fams else "loop")
         for k in sample:
-            key_src.setdefault(k, "batched" if fam in batched_fams else "loop")
+            key_src.setdefault(k, src)
 
     def kernel(key, ldf, adf):
         if adf.empty:
@@ -177,10 +185,19 @@ def backfill_functionals(
         sizes = (hi - lo).astype(np.int64)
         nonempty = np.flatnonzero(sizes > 0)
 
+        # prefix-scan families: one pass over the conversation, no gather
+        if exp_fams and nonempty.size:
+            for c in value_cols:
+                ex = compute_expanding(col_arrays[c], hi[nonempty],
+                                       exp_fams, options)
+                for k, v in ex.items():
+                    if key_src.get(k) == "exp":
+                        out_cols[f"{c}_{k}"][nonempty] = v
+
         # block anchors so the gathered windows stay within the memory cap
         blk_start = 0
         csum = np.cumsum(sizes[nonempty])
-        while blk_start < nonempty.size:
+        while (gather_fams or loop_fams) and blk_start < nonempty.size:
             base = csum[blk_start - 1] if blk_start > 0 else 0
             blk_end = int(np.searchsorted(
                 csum, base + max_gather_elems, side="right"))
@@ -195,9 +212,9 @@ def backfill_functionals(
                       + np.repeat(lo[sel] - bstarts, bsizes))
             for c in value_cols:
                 big = col_arrays[c][gather]
-                if batched_fams:
+                if gather_fams:
                     bat = compute_batched(big, bstarts, bends,
-                                          batched_fams, options)
+                                          gather_fams, options)
                     for k, v in bat.items():
                         if key_src.get(k) == "batched":
                             out_cols[f"{c}_{k}"][sel] = v

@@ -193,3 +193,25 @@ def test_pctlquotient_numerator_guard():
     x = np.array([2.0, 4.0])
     out = ca(x, ["percentiles"], opts)
     assert np.isclose(out["pctlquotient1-0"], 2.0)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_expanding_equals_pergroup(seed):
+    """Prefix-scan expanding path == per-window kernel for means/extremes,
+    including ties (first-occurrence argmax/argmin) and all-zero prefixes."""
+    from opensmile_spark.functionals.batched import compute_expanding
+
+    rng = np.random.RandomState(seed)
+    x = np.concatenate([
+        rng.randn(50) * 10,
+        np.zeros(5),
+        np.array([3.0, 3.0, -3.0, -3.0]),     # ties for extrema positions
+        rng.rand(40) * 1e5,
+    ])
+    his = np.unique(rng.randint(1, x.size + 1, 60))
+    ex = compute_expanding(x, his, ["means", "extremes"])
+    for gi, h in enumerate(his):
+        want = compute_all(x[:h], ["means", "extremes"])
+        for k, v in want.items():
+            got = float(ex[k][gi])
+            assert np.isclose(got, v, rtol=1e-9, atol=1e-12), (h, k, got, v)
