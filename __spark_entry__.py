@@ -874,6 +874,57 @@ def q_meta_segments(spark, sf_dir):
     )
 
 
+def q_mono_mixdown(spark, sf_dir):
+    """cMonoMixdown: channel average (char_len, token_cnt)."""
+    from opensmile_spark.operators.vector_ops import mono_mixdown
+
+    out = mono_mixdown(_lld(spark, sf_dir), ["char_len", "token_cnt"])
+    return out.select("conv_id", "turn_idx",
+                      F.round("mix", 6).alias("mix"))
+
+
+def q_overlap_add(spark, sf_dir):
+    """cVecToWinProcessor: frames (length 3, hop 1 at turn_idx positions)
+    overlap-added back to a per-position gain-normalised series — the
+    resynthesis round trip, explode + groupBy, no Python."""
+    from opensmile_spark.operators import frame_vector
+    from opensmile_spark.operators.vec_to_win import overlap_add
+
+    lld = _lld(spark, sf_dir)
+    framed = frame_vector(lld, "char_len", 3).withColumn(
+        # trailing frame [t-2, t] starts at position t-2 (clamped head
+        # frames are shorter and start where their first element sits)
+        "frame_start",
+        F.greatest(F.col("turn_idx") - 2, F.lit(0)),
+    )
+    out = overlap_add(framed, "char_len_frame")
+    return out.select("conv_id", "pos",
+                      F.round("value", 6).alias("value"))
+
+
+def q_vector_ops_ext(spark, sf_dir):
+    """cVectorOperation extended surface: frequency-scale conversions
+    (fconv_mel/bark/oct) on a scalar column + array reduces (sum/ssm/ll1/
+    ll2) over the token-spectrum vector."""
+    from opensmile_spark.operators.vector_ops import vector_op, vector_reduce
+    from opensmile_spark.spectral import token_spectrum
+
+    d = _docs(spark, sf_dir)
+    d = d.withColumn("n_chars", F.length("text").cast("double"))
+    for op in ("fconv_mel", "fconv_bark", "fconv_oct", "dBp", "dBv"):
+        d = vector_op(d, "n_chars", op)
+    d = token_spectrum(d)
+    for op in ("sum", "ssm", "ll1", "ll2"):
+        d = vector_reduce(d, "spec", op)
+    return d.select(
+        "doc_id",
+        *[F.round(f"n_chars_{op}", 6).alias(f"n_chars_{op}")
+          for op in ("fconv_mel", "fconv_bark", "fconv_oct", "dBp", "dBv")],
+        *[F.round(f"spec_{op}", 6).alias(f"spec_{op}")
+          for op in ("sum", "ssm", "ll1", "ll2")],
+    )
+
+
 def q_datagen(spark, sf_dir):
     """Deterministic synthetic corpus (rows-only: xxhash64 has no DuckDB
     twin). Demonstrates the generator the bench uses."""
@@ -1766,6 +1817,46 @@ SELECT conv_id, meta_seg, COUNT(*) AS n_turns,
 FROM seg GROUP BY conv_id, meta_seg
 """
 
+_ORACLES["mono_mixdown"] = SQL_PREFIX + """
+SELECT conv_id, turn_idx, ROUND((char_len + token_cnt) / 2.0, 6) AS mix
+FROM lld
+"""
+
+# overlap-add of trailing rectangular frames is PERFECT RECONSTRUCTION:
+# element x[j] of frame t lands at position j for every frame containing
+# it, so the gain-normalised sum at position j is exactly x[j] — the
+# oracle is the identity, which is precisely the resynthesis property the
+# reference guarantees (vecToWinProcessor.cpp normalisation).
+_ORACLES["overlap_add"] = SQL_PREFIX + """
+SELECT conv_id, turn_idx AS pos, ROUND(char_len, 6) AS value
+FROM lld
+"""
+
+_ORACLES["vector_ops_ext"] = _SPEC_GRID + """
+, chars AS (
+  SELECT doc_id, CAST(length(text) AS DOUBLE) AS n FROM documents
+), reds AS (
+  SELECT doc_id,
+    SUM(cnt) AS s_sum, SUM(cnt * cnt) AS s_ssm, SUM(ABS(cnt)) AS s_ll1
+  FROM grid GROUP BY doc_id
+)
+SELECT c.doc_id,
+  ROUND(1127.0 * LN(1.0 + c.n / 700.0), 6) AS n_chars_fconv_mel,
+  ROUND(13.0 * ATAN(0.00076 * c.n)
+        + 3.5 * ATAN(POW(c.n / 7500.0, 2)), 6) AS n_chars_fconv_bark,
+  ROUND(CASE WHEN c.n > 0 THEN LOG2(c.n / 27.5) ELSE 0.0 END, 6)
+      AS n_chars_fconv_oct,
+  ROUND(10.0 * CASE WHEN c.n > 0 THEN LOG10(c.n) ELSE 0.0 END, 6)
+      AS n_chars_dBp,
+  ROUND(20.0 * CASE WHEN c.n > 0 THEN LOG10(c.n) ELSE 0.0 END, 6)
+      AS n_chars_dBv,
+  ROUND(r.s_sum, 6) AS spec_sum,
+  ROUND(r.s_ssm, 6) AS spec_ssm,
+  ROUND(r.s_ll1, 6) AS spec_ll1,
+  ROUND(SQRT(r.s_ssm), 6) AS spec_ll2
+FROM chars c JOIN reds r USING (doc_id)
+"""
+
 _ORACLES["mvn_pretrained"] = SQL_PREFIX + """
 , st AS (
   SELECT conv_id, AVG(char_len) AS mu, stddev_pop(char_len) AS sd
@@ -2290,6 +2381,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "plp_aud": q_plp_aud,
     "harmonics": q_harmonics,
     "meta_segments": q_meta_segments,
+    "mono_mixdown": q_mono_mixdown,
+    "overlap_add": q_overlap_add,
+    "vector_ops_ext": q_vector_ops_ext,
     "peaks_legacy": q_peaks_legacy,       # rows-only (hysteresis automaton)
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,  # rows-only (ANN)
     "viterbi_smooth": q_viterbi_smooth,   # rows-only (sequential DP)

@@ -202,6 +202,18 @@ def main():
                                          ("conv_id", "session_id"),
                                          families=fams,
                                          pre_partitioned=True)
+                # untimed warm-up: spawn the Python workers + JIT the scan
+                # path once per session (a long-lived cluster's executors
+                # are warm; local[N] cold-starts N pyspark workers on the
+                # first mapInPandas job, a fixed cost that is NOT the
+                # engine's scaling behavior). One trivial Arrow pass over
+                # every scan partition touches all workers.
+                def _warm(batches):
+                    for b in batches:
+                        yield b.iloc[:1]
+
+                _noop(lld2.select(vcols[0]).mapInPandas(
+                    _warm, schema=f"`{vcols[0]}` double"))
                 t0 = time.time()
                 _noop(fk2)
                 times[n].append(time.time() - t0)
