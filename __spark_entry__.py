@@ -925,6 +925,25 @@ def q_vector_ops_ext(spark, sf_dir):
     )
 
 
+def q_functionals_acf_amdf(spark, sf_dir):
+    """cAcf/cAmdf analogues per conversation: normalized autocorrelation
+    r[k]/r[0] and AMDF (computeAMDF LIMIT method, amdf.cpp:134-151)."""
+    from opensmile_spark.functionals import functionals_kernel
+    from opensmile_spark.util import round_sig
+
+    out = functionals_kernel(
+        _lld(spark, sf_dir), ["char_len"], ("conv_id",),
+        families=["acf", "amdf"],
+        options={"acf": {"max_lag": 3}, "amdf": {"max_lag": 3}},
+    )
+    cols = [f"acf{k}" for k in range(4)] + [f"amdf{j}" for j in range(4)]
+    return out.select(
+        "conv_id", "n_turns",
+        *[round_sig(F.col(f"char_len_{c}")).alias(f"char_len_{c}")
+          for c in cols],
+    )
+
+
 def q_datagen(spark, sf_dir):
     """Deterministic synthetic corpus (rows-only: xxhash64 has no DuckDB
     twin). Demonstrates the generator the bench uses."""
@@ -1832,31 +1851,6 @@ SELECT conv_id, turn_idx AS pos, ROUND(char_len, 6) AS value
 FROM lld
 """
 
-_ORACLES["vector_ops_ext"] = _SPEC_GRID + """
-, chars AS (
-  SELECT doc_id, CAST(length(text) AS DOUBLE) AS n FROM documents
-), reds AS (
-  SELECT doc_id,
-    SUM(cnt) AS s_sum, SUM(cnt * cnt) AS s_ssm, SUM(ABS(cnt)) AS s_ll1
-  FROM grid GROUP BY doc_id
-)
-SELECT c.doc_id,
-  ROUND(1127.0 * LN(1.0 + c.n / 700.0), 6) AS n_chars_fconv_mel,
-  ROUND(13.0 * ATAN(0.00076 * c.n)
-        + 3.5 * ATAN(POW(c.n / 7500.0, 2)), 6) AS n_chars_fconv_bark,
-  ROUND(CASE WHEN c.n > 0 THEN LOG2(c.n / 27.5) ELSE 0.0 END, 6)
-      AS n_chars_fconv_oct,
-  ROUND(10.0 * CASE WHEN c.n > 0 THEN LOG10(c.n) ELSE 0.0 END, 6)
-      AS n_chars_dBp,
-  ROUND(20.0 * CASE WHEN c.n > 0 THEN LOG10(c.n) ELSE 0.0 END, 6)
-      AS n_chars_dBv,
-  ROUND(r.s_sum, 6) AS spec_sum,
-  ROUND(r.s_ssm, 6) AS spec_ssm,
-  ROUND(r.s_ll1, 6) AS spec_ll1,
-  ROUND(SQRT(r.s_ssm), 6) AS spec_ll2
-FROM chars c JOIN reds r USING (doc_id)
-"""
-
 _ORACLES["mvn_pretrained"] = SQL_PREFIX + """
 , st AS (
   SELECT conv_id, AVG(char_len) AS mu, stddev_pop(char_len) AS sd
@@ -1963,6 +1957,67 @@ FROM f0
 LEFT JOIN grid h2 ON h2.doc_id = f0.doc_id AND h2.bucket = f0.f0b * 2
 LEFT JOIN grid h3 ON h3.doc_id = f0.doc_id AND h3.bucket = f0.f0b * 3
 """
+
+
+_ORACLES["vector_ops_ext"] = _SPEC_GRID + """
+, chars AS (
+  SELECT doc_id, CAST(length(text) AS DOUBLE) AS n FROM documents
+), reds AS (
+  SELECT doc_id,
+    SUM(cnt) AS s_sum, SUM(cnt * cnt) AS s_ssm, SUM(ABS(cnt)) AS s_ll1
+  FROM grid GROUP BY doc_id
+)
+SELECT c.doc_id,
+  ROUND(1127.0 * LN(1.0 + c.n / 700.0), 6) AS n_chars_fconv_mel,
+  ROUND(13.0 * ATAN(0.00076 * c.n)
+        + 3.5 * ATAN(POW(c.n / 7500.0, 2)), 6) AS n_chars_fconv_bark,
+  ROUND(CASE WHEN c.n > 0 THEN LOG2(c.n / 27.5) ELSE 0.0 END, 6)
+      AS n_chars_fconv_oct,
+  ROUND(10.0 * CASE WHEN c.n > 0 THEN LOG10(c.n) ELSE 0.0 END, 6)
+      AS n_chars_dBp,
+  ROUND(20.0 * CASE WHEN c.n > 0 THEN LOG10(c.n) ELSE 0.0 END, 6)
+      AS n_chars_dBv,
+  ROUND(r.s_sum, 6) AS spec_sum,
+  ROUND(r.s_ssm, 6) AS spec_ssm,
+  ROUND(r.s_ll1, 6) AS spec_ll1,
+  ROUND(SQRT(r.s_ssm), 6) AS spec_ll2
+FROM chars c JOIN reds r USING (doc_id)
+"""
+
+def _acf_amdf_oracle() -> str:
+    r = _rsig
+    acf = {0: "rr0"}
+    terms = []
+    for k in range(4):
+        rk = (f"COALESCE(list_sum(list_transform(range(1, n - {k} + 1), "
+              f"i -> xs[CAST(i AS BIGINT)] * xs[CAST(i + {k} AS BIGINT)])), 0.0)")
+        expr = (f"CASE WHEN {k} < n AND rr0 <> 0 THEN {rk} / rr0 "
+                f"ELSE 0.0 END") if k else "CASE WHEN rr0 <> 0 THEN 1.0 ELSE 0.0 END"
+        terms.append(f'{r(expr)} AS "char_len_acf{k}"')
+    terms.append(f'{r("0.0")} AS "char_len_amdf0"')
+    for j in range(1, 4):
+        aj = (f"COALESCE(list_sum(list_transform(range(1, n - {j} + 1), "
+              f"i -> ABS(xs[CAST(i AS BIGINT)] - xs[CAST(i + {j} AS BIGINT)])"
+              f")), 0.0)")
+        terms.append(f'{r(f"CASE WHEN {j} < n THEN {aj} / (n - {j}) ELSE 0.0 END")}'
+                     f' AS "char_len_amdf{j}"')
+    cols = ",\n  ".join(terms)
+    return SQL_PREFIX + f"""
+, lst AS (
+  SELECT conv_id, list(char_len ORDER BY turn_idx) AS xs, COUNT(*) AS n
+  FROM lld GROUP BY conv_id
+), base AS (
+  SELECT conv_id, xs, n,
+    list_sum(list_transform(xs, v -> v * v)) AS rr0
+  FROM lst
+)
+SELECT conv_id, n AS n_turns,
+  {cols}
+FROM base
+"""
+
+
+_ORACLES["functionals_acf_amdf"] = _acf_amdf_oracle()
 
 
 # ---- documents / embeddings ----------------------------------------------
@@ -2384,6 +2439,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mono_mixdown": q_mono_mixdown,
     "overlap_add": q_overlap_add,
     "vector_ops_ext": q_vector_ops_ext,
+    "functionals_acf_amdf": q_functionals_acf_amdf,
     "peaks_legacy": q_peaks_legacy,       # rows-only (hysteresis automaton)
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,  # rows-only (ANN)
     "viterbi_smooth": q_viterbi_smooth,   # rows-only (sequential DP)

@@ -1440,6 +1440,74 @@ def f_lpc(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0, order=4):
 
 
 # ---------------------------------------------------------------------------
+# cAcf / cAmdf analogues (/root/reference/src/dspcore/acf.cpp, amdf.cpp) —
+# contour autocorrelation and average magnitude difference per window.
+# f_amdf transcribes computeAMDF method=LIMIT (amdf.cpp:134-151):
+# out[j] = sum_i |x[i] - x[i+j]| / (N - j), out[0] = 0.
+# f_acf is the time-domain autocorrelation the lpc family already uses
+# (smileDsp_calcLpcAcf analogue): r[k] = sum_i x[i]*x[i+k], plus the
+# r[k]/r[0] normalisation (the spectral-domain cAcf reduces to this for a
+# real contour by Wiener-Khinchin).
+# ---------------------------------------------------------------------------
+
+def f_acf(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0,
+          max_lag: int = 4, normalize: bool = True):
+    N = x.size
+    out = {}
+    r0 = float((x * x).sum())
+    for k in range(max_lag + 1):
+        r = float((x[: N - k] * x[k:]).sum()) if k < N else 0.0
+        if normalize:
+            out[f"acf{k}"] = r / r0 if r0 != 0.0 else 0.0
+        else:
+            out[f"acf{k}"] = r
+    return out
+
+
+def f_amdf(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0,
+           max_lag: int = 4):
+    N = x.size
+    out = {"amdf0": 0.0}
+    for j in range(1, max_lag + 1):
+        if j < N:
+            out[f"amdf{j}"] = float(np.abs(x[: N - j] - x[j:]).sum()) / (N - j)
+        else:
+            out[f"amdf{j}"] = 0.0
+    return out
+
+
+# ---------------------------------------------------------------------------
+# cLsp analogue (/root/reference/src/lld/lsp.cpp): line spectral pairs of
+# the LPC polynomial — roots of the sum/difference polynomials
+# P(z) = A(z) + z^-(p+1) A(z^-1), Q(z) = A(z) - z^-(p+1) A(z^-1); LSPs are
+# the sorted angles of the (interleaved, unit-circle) roots.
+# ---------------------------------------------------------------------------
+
+def f_lsp(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0,
+          order: int = 4):
+    lp = f_lpc(x, xsorted, xmin, xmax, xmean, order=order)
+    # A(z) = 1 - sum a_k z^-k in the predictor convention used by f_lpc
+    a = np.zeros(order + 1)
+    a[0] = 1.0
+    for k in range(order):
+        a[k + 1] = -lp[f"lpc{k}"]
+    p = np.concatenate([a, [0.0]]) + np.concatenate([[0.0], a[::-1]])
+    q = np.concatenate([a, [0.0]]) - np.concatenate([[0.0], a[::-1]])
+    out = {}
+    angles = []
+    for poly in (p, q):
+        if np.allclose(poly, 0.0):
+            continue
+        roots = np.roots(poly)
+        angles.extend(float(ang) for ang in np.angle(roots)
+                      if 1e-9 < ang < math.pi - 1e-9)
+    angles.sort()
+    for i in range(order):
+        out[f"lsp{i}"] = angles[i] if i < len(angles) else 0.0
+    return out
+
+
+# ---------------------------------------------------------------------------
 # cFunctionalModulation (functionalModulation.cpp:42-74) — modulation
 # spectrum of the contour. The reference computes an STFT-averaged magnitude
 # spectrum over fftWinSize windows with Hann weighting and interpolates to
@@ -1516,6 +1584,9 @@ FAMILIES = {
     "samples": f_samples,
     "dct": f_dct,
     "lpc": f_lpc,
+    "lsp": f_lsp,
+    "acf": f_acf,
+    "amdf": f_amdf,
     "modulation": f_modulation,
 }
 

@@ -85,9 +85,21 @@ def compare_style(
     lld = delta_regression(lld, smoothed, 2)
     lld = sessionize(lld, gap_seconds=gap_seconds)
     channels = smoothed + [c + "_de" for c in smoothed]
-    return functionals_kernel(
+    core = functionals_kernel(
         lld, channels, ("conv_id", "session_id"),
         families=["means", "moments", "extremes", "percentiles",
                   "regression", "crossings", "times", "onset", "segments",
-                  "peaks2", "samples", "dct", "lpc", "modulation"],
+                  "peaks2", "samples", "dct", "lpc", "lsp", "acf", "amdf",
+                  "modulation"],
     )
+    # legacy cFunctionalPeaks shares output names with peaks2 (the reference
+    # distinguishes them by component instance); run it as its own bank call
+    # and join, prefixing the columns — mirroring a second cFunctionals
+    # instance in an emo_large-style config (config/misc/emo_large.conf:265)
+    legacy = functionals_kernel(
+        lld, [channels[0]], ("conv_id", "session_id"), families=["peaks"],
+    )
+    ren = [F.col(c).alias(f"legacy_{c}") for c in legacy.columns
+           if c not in ("conv_id", "session_id", "n_turns")]
+    legacy = legacy.select("conv_id", "session_id", *ren)
+    return core.join(legacy, ["conv_id", "session_id"])

@@ -213,3 +213,43 @@ def test_compute_all_empty_and_single():
     assert out["amean"] == 5.0
     assert out["stddev"] == 0.0
     assert all(np.isfinite(v) for v in out.values())
+
+
+def test_acf_amdf_kernels():
+    """f_acf normalized autocorrelation; f_amdf transcribes computeAMDF
+    (amdf.cpp:134-151): out[j] = sum|x[i]-x[i+j]|/(N-j), out[0]=0."""
+    import numpy as np
+
+    from opensmile_spark.functionals.kernels import compute_all
+
+    x = np.array([1.0, 2.0, 3.0, 2.0, 1.0, 2.0, 3.0, 2.0])
+    out = compute_all(x, ["acf", "amdf"],
+                      {"acf": {"max_lag": 2}, "amdf": {"max_lag": 2}})
+    r0 = float((x * x).sum())
+    r1 = float((x[:-1] * x[1:]).sum())
+    r2 = float((x[:-2] * x[2:]).sum())
+    assert np.isclose(out["acf0"], 1.0)
+    assert np.isclose(out["acf1"], r1 / r0)
+    assert np.isclose(out["acf2"], r2 / r0)
+    assert out["amdf0"] == 0.0
+    assert np.isclose(out["amdf1"], np.abs(x[:-1] - x[1:]).sum() / 7)
+    assert np.isclose(out["amdf2"], np.abs(x[:-2] - x[2:]).sum() / 6)
+
+
+def test_lsp_kernel_properties():
+    """LSPs of a stable LPC polynomial: in (0, pi), sorted ascending, and
+    for white-ish input spread across the band; P/Q roots interleave."""
+    import numpy as np
+
+    from opensmile_spark.functionals.kernels import compute_all
+
+    rng = np.random.RandomState(3)
+    # AR(2) signal: x[t] = 0.7 x[t-1] - 0.2 x[t-2] + e
+    e = rng.randn(400)
+    x = np.zeros(400)
+    for t in range(2, 400):
+        x[t] = 0.7 * x[t - 1] - 0.2 * x[t - 2] + e[t]
+    out = compute_all(x, ["lsp"], {"lsp": {"order": 4}})
+    lsps = [out[f"lsp{i}"] for i in range(4)]
+    assert all(0.0 < v < np.pi for v in lsps)
+    assert lsps == sorted(lsps)
