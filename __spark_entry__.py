@@ -944,6 +944,18 @@ def q_functionals_acf_amdf(spark, sf_dir):
     )
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup clusters: connected components (min-label propagation) of
+    the simhash near-dup pair graph — every clustered doc labeled with its
+    component's min id (the survivor). Oracle: recursive-CTE transitive
+    min in DuckDB."""
+    from opensmile_spark.dedup import connected_components, simhash_near_dups
+
+    pairs = simhash_near_dups(_docs(spark, sf_dir), max_hamming=2)
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component")
+
+
 def q_datagen(spark, sf_dir):
     """Deterministic synthetic corpus (rows-only: xxhash64 has no DuckDB
     twin). Demonstrates the generator the bench uses."""
@@ -2278,6 +2290,28 @@ FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
 '''
 
+_ORACLES["dedup_components"] = f'''
+WITH RECURSIVE t AS (
+  SELECT doc_id, list_distinct({_DOC_TOKENS}) AS toks FROM documents
+),
+sig AS (SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM t),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst
+)
+SELECT id AS doc_id, MIN(lbl) AS component FROM reach GROUP BY id
+'''
+
 _ORACLES["embedding_near_dups"] = """
 WITH n AS (
   SELECT vec_id, embedding,
@@ -2440,6 +2474,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "overlap_add": q_overlap_add,
     "vector_ops_ext": q_vector_ops_ext,
     "functionals_acf_amdf": q_functionals_acf_amdf,
+    "dedup_components": q_dedup_components,
     "peaks_legacy": q_peaks_legacy,       # rows-only (hysteresis automaton)
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,  # rows-only (ANN)
     "viterbi_smooth": q_viterbi_smooth,   # rows-only (sequential DP)

@@ -247,3 +247,74 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
     cand = lsh_bucket_candidates(emb, dim=dim, bits=bits, tables=tables,
                                  seed=seed, id_col=id_col, vec_col=vec_col)
     return _exact_cosine_pairs(emb, cand, id_col, vec_col, threshold)
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Duplicate-cluster labels from near-dup pairs: every node gets the
+    MINIMUM id reachable through the pair graph (the canonical survivor),
+    so downstream dedup keeps exactly one document per component.
+
+    Algorithm: iterative min-label propagation (the simple special case of
+    large-star/small-star): each round every node adopts the smallest label
+    in its closed neighborhood; converges in <= graph-diameter rounds —
+    near-dup clusters are small and dense in practice, so a handful of
+    rounds suffices (max_iter caps pathological chains; the loop exits
+    early when a round changes nothing). Each round is one shuffle on the
+    node id; lineage is cut per round with localCheckpoint so the plan
+    stays flat at scale.
+
+    Input: pairs (id_a, id_b). Output: (id, component) for every node that
+    appears in any pair (singletons are their own component by definition
+    and need no row)."""
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                  F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.groupBy("src").agg(F.min("dst").alias("__m"))
+        .select(F.col("src").alias("id"),
+                F.least(F.col("__m"), F.col("src")).alias("component"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        # neighbor labels: for each node, the min label among neighbors
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src").agg(F.min("component").alias("nbr_min"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"),
+                        F.coalesce("nbr_min", "component"))
+                .alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_survivors(df: DataFrame, pairs: DataFrame,
+                    id_col: str = "doc_id") -> DataFrame:
+    """End-to-end near-dup removal: keep one document per connected
+    component of the pair graph (the min-id survivor) plus every document
+    in no pair. Anti-join on the non-survivor set — no full-table join."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")) \
+        .select(F.col("id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

@@ -1508,6 +1508,40 @@ def f_lsp(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0,
 
 
 # ---------------------------------------------------------------------------
+# cFormantLpc analogue (/root/reference/src/lld/formantLpc.cpp): formant
+# candidate frequencies/bandwidths from the LPC polynomial roots —
+# freq = angle(root) / (2*pi) * fs, bandwidth = -ln(|root|) / pi * fs,
+# keeping complex roots in the upper half plane sorted by frequency.
+# fs defaults to 1 "frame rate" (the contour domain); pass T for seconds.
+# ---------------------------------------------------------------------------
+
+def f_formants(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0,
+               order: int = 6, n_formants: int = 3):
+    lp = f_lpc(x, xsorted, xmin, xmax, xmean, order=order)
+    a = np.zeros(order + 1)
+    a[0] = 1.0
+    for k in range(order):
+        a[k + 1] = -lp[f"lpc{k}"]
+    out = {}
+    cands = []
+    if not np.allclose(a[1:], 0.0):
+        roots = np.roots(a)
+        fs = 1.0 / T if T != 0.0 else 1.0
+        for rt in roots:
+            ang = float(np.angle(rt))
+            if 1e-9 < ang < math.pi - 1e-9 and abs(rt) > 1e-12:
+                freq = ang / (2.0 * math.pi) * fs
+                bw = -math.log(abs(rt)) / math.pi * fs
+                cands.append((freq, bw))
+        cands.sort()
+    for i in range(n_formants):
+        f, b = cands[i] if i < len(cands) else (0.0, 0.0)
+        out[f"formantFreq{i + 1}"] = f
+        out[f"formantBw{i + 1}"] = b
+    return out
+
+
+# ---------------------------------------------------------------------------
 # cFunctionalModulation (functionalModulation.cpp:42-74) — modulation
 # spectrum of the contour. The reference computes an STFT-averaged magnitude
 # spectrum over fftWinSize windows with Hann weighting and interpolates to
@@ -1587,6 +1621,7 @@ FAMILIES = {
     "lsp": f_lsp,
     "acf": f_acf,
     "amdf": f_amdf,
+    "formants": f_formants,
     "modulation": f_modulation,
 }
 

@@ -253,3 +253,25 @@ def test_lsp_kernel_properties():
     lsps = [out[f"lsp{i}"] for i in range(4)]
     assert all(0.0 < v < np.pi for v in lsps)
     assert lsps == sorted(lsps)
+
+
+def test_formants_kernel_recovers_resonance():
+    """An AR(2) resonator at normalized frequency f0 must yield a first
+    formant near f0 (formantLpc.cpp root->freq/bandwidth mapping)."""
+    import numpy as np
+
+    from opensmile_spark.functionals.kernels import compute_all
+
+    rng = np.random.RandomState(5)
+    f0 = 0.12     # cycles/frame
+    r = 0.95
+    a1 = 2 * r * np.cos(2 * np.pi * f0)
+    a2 = -r * r
+    e = rng.randn(2000)
+    x = np.zeros(2000)
+    for t in range(2, 2000):
+        x[t] = a1 * x[t - 1] + a2 * x[t - 2] + e[t]
+    out = compute_all(x, ["formants"],
+                      {"formants": {"order": 4, "n_formants": 2}})
+    assert abs(out["formantFreq1"] - f0) < 0.02
+    assert out["formantBw1"] > 0

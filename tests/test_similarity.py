@@ -111,3 +111,31 @@ def test_embedding_near_dups_lsh_no_crossjoin(spark, emb):
     out = embedding_near_dups(emb, threshold=0.9, method="lsh", dim=64)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_connected_components_and_survivors(spark):
+    """Min-label propagation finds component minima on a graph with a
+    chain (worst case for propagation), a triangle, and an isolated pair;
+    dedup_survivors keeps exactly one doc per component."""
+    import pandas as pd
+
+    from opensmile_spark.dedup import connected_components, dedup_survivors
+
+    pairs = spark.createDataFrame(pd.DataFrame({
+        # chain 10-11-12-13-14, triangle 1-2-3, pair 20-21
+        "id_a": [10, 11, 12, 13, 1, 2, 1, 20],
+        "id_b": [11, 12, 13, 14, 2, 3, 3, 21],
+    }))
+    comp = {r["id"]: r["component"]
+            for r in connected_components(pairs).collect()}
+    assert all(comp[i] == 10 for i in (10, 11, 12, 13, 14))
+    assert all(comp[i] == 1 for i in (1, 2, 3))
+    assert comp[20] == 20 and comp[21] == 20
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 10, 11, 12, 13, 14, 20, 21, 99],
+        "text": ["x"] * 11,
+    }))
+    kept = sorted(r["doc_id"]
+                  for r in dedup_survivors(docs, pairs).collect())
+    assert kept == [1, 10, 20, 99]
