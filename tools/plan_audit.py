@@ -127,6 +127,30 @@ def main():
     check("standard kernel exactly one exchange",
           n_op("Exchange", p) == 1)
 
+    # round-2 additions -----------------------------------------------------
+    from opensmile_spark.dedup import embedding_near_dups
+    from opensmile_spark.operators import weighted_sma
+    from opensmile_spark.similarity import lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lt = lsh_topk(emb, emb.filter(F.col("vec_id") < 3), dim=64, k=5,
+                  bits=4, tables=8)
+    p = plan_str(lt)
+    check("lsh_topk single index scan (no per-table union)",
+          n_op("Union", p) == 0 and n_op("Scan parquet", p) <= 2,
+          f"(scans={n_op('Scan parquet', p)})")
+
+    nd = embedding_near_dups(emb, threshold=0.9, method="lsh", dim=64)
+    p = plan_str(nd)
+    check("embedding_near_dups production path has no cartesian product",
+          "CartesianProduct" not in p and "BroadcastNestedLoop" not in p)
+
+    ws = weighted_sma(lld, ["char_len"], 5, "hamming")
+    p = plan_str(ws)
+    check("weighted_sma is one window over the shared conv exchange",
+          n_op("Window", p) >= 1 and "pythonUDF" not in p
+          and "ArrowEval" not in p)
+
     spark.stop()
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
