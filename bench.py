@@ -91,9 +91,14 @@ def main():
     transcripts = transcripts_from_events(spark, SF_DIR)
     n_rows = transcripts.count()
 
-    # stage timings on the driver tables
+    # stage timings on the driver tables. The LLD stage is timed cold, then
+    # CACHED so the downstream stage timings measure each operator, not a
+    # recomputation of the shared upstream lineage (a production pipeline
+    # materializes the LLD table once).
     lld = compute_lld(transcripts)
     timed("lld", lambda: _noop(lld))
+    lld = lld.cache()
+    lld.count()
 
     smoothed = delta_regression(
         sma(lld, ["char_len", "token_cnt", "reply_latency"], 3),
