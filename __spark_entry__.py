@@ -2208,7 +2208,8 @@ FROM documents GROUP BY md5(substr(text, 1, 40)) HAVING COUNT(*) > 1
 """
 
 _MH_COLS = ", ".join(
-    f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS mh{i}"
+    f"list_min(list_transform(sh, s -> substr(md5('{i // 4}|' || s), "
+    f"{8 * (i % 4) + 1}, 8))) AS mh{i}"
     for i in range(8)
 )
 

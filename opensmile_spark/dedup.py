@@ -51,20 +51,29 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k_shingle: int = 3,
                        n_hashes: int = 16) -> DataFrame:
-    """Per-doc minhash signature: h_i = min over shingles of
-    md5(i || '|' || shingle). md5 is available verbatim in DuckDB, so the
-    signature is oracle-checkable; min over hex strings == min over the
-    128-bit values (fixed-width lowercase hex)."""
+    """Per-doc minhash signature. Each md5 digest yields FOUR independent
+    32-bit hashes (8 hex chars each), so only ceil(n_hashes/4) salted md5
+    calls run per shingle — hashing was the dominant cost of the dedup
+    stage (md5 per shingle per hash). h_i = min over shingles of
+    substr(md5((i div 4) || '|' || shingle), 8*(i mod 4)+1, 8); min over
+    fixed-width lowercase hex == min over the 32-bit values, and md5/substr
+    exist verbatim in DuckDB so the signature stays oracle-checkable."""
     # explode shingles once, then one aggregate with n_hashes min() exprs —
     # a single projection with n_hashes array_min(transform(shingles...))
     # would make Catalyst inline the whole shingle pipeline n_hashes times
     # (projection collapse), an O(n_hashes x) blowup observed in bench.
+    n_digests = (n_hashes + 3) // 4
     exploded = df.select(
         F.col(id_col),
         F.explode(_shingles(text_col, k_shingle)).alias("__s"),
+    ).select(
+        id_col,
+        *[F.md5(F.concat(F.lit(f"{d}|"), F.col("__s"))).alias(f"__d{d}")
+          for d in range(n_digests)],
     )
     return exploded.groupBy(id_col).agg(*[
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("__s")))).alias(f"mh{i}")
+        F.min(F.substring(F.col(f"__d{i // 4}"), 8 * (i % 4) + 1, 8))
+        .alias(f"mh{i}")
         for i in range(n_hashes)
     ])
 
