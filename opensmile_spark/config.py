@@ -22,9 +22,11 @@ the wiring/fusion the component manager did by hand.
     }
     out = run_config(spark_df, config)
 
-Stage types: lld, sma, delta, preemphasis, sessionize, mvn, fullinput_mean,
-valbased_selector, data_selector, viterbi, functionals, functionals_sql,
-backfill (needs cfg["anchors"] DataFrame), select, filter.
+Stage types: lld, sma, delta, preemphasis, sessionize, mvn, mvn_transform
+(needs cfg["stats"] DataFrame — the frozen pre-trained stats path),
+fullinput_mean, valbased_selector, data_selector, viterbi, functionals,
+functionals_sql, backfill (needs cfg["anchors"] DataFrame),
+weighted_sma, contour_direction, segment_by_meta, select, filter.
 """
 
 from __future__ import annotations
@@ -36,8 +38,9 @@ def run_config(df: DataFrame, config: dict) -> DataFrame:
     from opensmile_spark.functionals import functionals_kernel, functionals_sql
     from opensmile_spark.lld import compute_lld
     from opensmile_spark.operators import (
-        backfill_functionals, data_selector, delta_regression,
-        fullinput_mean, mvn, preemphasis, sessionize, sma, valbased_selector,
+        backfill_functionals, contour_direction, data_selector,
+        delta_regression, fullinput_mean, mvn, mvn_transform, preemphasis,
+        segment_by_meta, sessionize, sma, valbased_selector, weighted_sma,
     )
     from opensmile_spark.operators.viterbi import viterbi_smooth_df
 
@@ -57,6 +60,15 @@ def run_config(df: DataFrame, config: dict) -> DataFrame:
             out = sessionize(out, **s)
         elif kind == "mvn":
             out = mvn(out, s.pop("cols"), **s)
+        elif kind == "mvn_transform":
+            out = mvn_transform(out, s.pop("stats"), s.pop("cols"), **s)
+        elif kind == "weighted_sma":
+            out = weighted_sma(out, s.pop("cols"), s.pop("length", 5),
+                               s.pop("func", "hamming"), **s)
+        elif kind == "contour_direction":
+            out = contour_direction(out, s.pop("col"), **s)
+        elif kind == "segment_by_meta":
+            out = segment_by_meta(out, s.pop("meta_col"), **s)
         elif kind == "fullinput_mean":
             out = fullinput_mean(out, s.pop("cols"), **s)
         elif kind == "valbased_selector":

@@ -113,3 +113,25 @@ def frame_sample_plan(df: DataFrame, fps: float = 1.0) -> DataFrame:
         )
         .withColumn("frame_ts", F.col("frame_no") / fps)
     )
+
+
+def audio_chunk_plan(df: DataFrame, chunk_s: float = 5.0,
+                     hop_s: float = 2.5) -> DataFrame:
+    """Audio chunking plan: one row per (media_id, chunk_start_s) with
+    overlap hop — metadata-only expansion (sequence + explode) so the
+    decode UDF pulls exactly the byte ranges it owns; the audio twin of
+    frame_sample_plan."""
+    n_chunks = F.greatest(
+        F.ceil((F.col("duration_s") - chunk_s) / hop_s).cast("int") + 1,
+        F.lit(1))
+    return (
+        df.filter(F.col("kind") == "audio")
+        .select(
+            "media_id", "sample_rate", "duration_s",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_no"),
+        )
+        .withColumn("chunk_start_s", F.col("chunk_no") * hop_s)
+        .withColumn(
+            "chunk_end_s",
+            F.least(F.col("chunk_start_s") + chunk_s, F.col("duration_s")))
+    )

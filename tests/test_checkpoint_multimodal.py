@@ -104,3 +104,31 @@ def test_fresh_run_invokes_query_once(spark, tmp_path):
     mt = metrics_table(spark, base).toPandas()
     assert len(mt) == 8
     assert mt.rows_out.sum() == 100
+
+
+def test_media_to_embedding_to_ann_pipeline(spark):
+    """End-to-end multimodal plumbing: fake-decode features assemble into
+    an embedding column that feeds the similarity suite — the media ->
+    embedding -> ANN integration path, schemas and batching real."""
+    from pyspark.sql import functions as F
+
+    from opensmile_spark.multimodal import (
+        audio_chunk_plan, extract_media_features, synthetic_media,
+    )
+    from opensmile_spark.similarity import cosine_topk
+
+    media = synthetic_media(spark, n=48)
+    feats = extract_media_features(media, n_features=8, fake=True)
+    emb = feats.select(
+        F.col("media_id").alias("vec_id"),
+        F.array(*[F.col(f"feat_{i}") for i in range(8)]).alias("embedding"),
+    )
+    top = cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=5).toPandas()
+    assert set(top.query_id) == {0, 1, 2}
+    assert (top.groupby("query_id").size() == 5).all()
+    assert (top.cosine <= 1.0 + 1e-9).all()
+
+    chunks = audio_chunk_plan(media, chunk_s=5.0, hop_s=2.5).toPandas()
+    assert len(chunks) > 0
+    assert (chunks.chunk_end_s <= chunks.duration_s + 1e-9).all()
+    assert (chunks.chunk_start_s[chunks.chunk_no == 0] == 0).all()

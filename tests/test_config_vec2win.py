@@ -58,3 +58,25 @@ def test_overlap_add_reconstructs_frames(spark):
     raw = overlap_add(df, "frame", "frame_start", step=2, normalize=False)
     got = {r["pos"]: r["value"] for r in raw.collect()}
     assert got[2] == 6.0 and got[0] == 1.0
+
+
+def test_config_new_stage_types(spark):
+    from opensmile_spark.config import run_config
+    from opensmile_spark.operators import mvn_fit
+    from tests.conftest import make_conv
+
+    df = make_conv(spark, "a", [3.0, 1.0, 4.0, 1.0, 5.0, 9.0]) \
+        .withColumnRenamed("x", "char_len")
+    stats = mvn_fit(df, ["char_len"])
+    out = run_config(df, {"stages": [
+        {"type": "weighted_sma", "cols": ["char_len"], "length": 3,
+         "func": "hanning"},
+        {"type": "contour_direction", "col": "char_len", "st_frames": 2,
+         "lt_frames": 3},
+        {"type": "mvn_transform", "stats": stats, "cols": ["char_len"]},
+        {"type": "segment_by_meta", "meta_col": "char_len_direction"},
+    ]})
+    cols = out.columns
+    assert "char_len_whan3" in cols and "char_len_direction" in cols
+    assert "char_len_mvn" in cols and "meta_seg" in cols
+    assert out.count() == 6
