@@ -956,6 +956,14 @@ def q_dedup_components(spark, sf_dir):
         F.col("id").alias("doc_id"), "component")
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) fingerprints: min 32-bit shingle hash per sliding
+    window, distinct per doc — positional dedup primitive."""
+    from opensmile_spark.text import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir))
+
+
 def q_datagen(spark, sf_dir):
     """Deterministic synthetic corpus (rows-only: xxhash64 has no DuckDB
     twin). Demonstrates the generator the bench uses."""
@@ -2291,6 +2299,25 @@ FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
 '''
 
+_ORACLES["winnow_fingerprints"] = f"""
+WITH t AS (
+  SELECT doc_id, {_DOC_TOKENS} AS toks FROM documents
+), h AS (
+  SELECT doc_id,
+    list_transform(
+      range(0, greatest(len(toks) - 3, 0) + 1),
+      i -> CAST(('0x' || substr(md5(
+             array_to_string(list_slice(toks, i + 1, i + 3), ' ')), 1, 8))
+           AS BIGINT)) AS hs
+  FROM t
+)
+SELECT doc_id,
+  unnest(list_distinct(list_transform(
+    range(0, greatest(len(hs) - 4, 0) + 1),
+    i -> list_min(list_slice(hs, i + 1, i + 4))))) AS fp
+FROM h
+"""
+
 _ORACLES["dedup_components"] = f'''
 WITH RECURSIVE t AS (
   SELECT doc_id, list_distinct({_DOC_TOKENS}) AS toks FROM documents
@@ -2476,6 +2503,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vector_ops_ext": q_vector_ops_ext,
     "functionals_acf_amdf": q_functionals_acf_amdf,
     "dedup_components": q_dedup_components,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "peaks_legacy": q_peaks_legacy,       # rows-only (hysteresis automaton)
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,  # rows-only (ANN)
     "viterbi_smooth": q_viterbi_smooth,   # rows-only (sequential DP)

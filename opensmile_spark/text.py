@@ -91,3 +91,36 @@ def fingerprint(df: DataFrame, text_col: str = "text",
         df.withColumn("doc_md5", F.md5(F.col(text_col)))
         .withColumn("shingle_fp", min_shingle)
     )
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        shingle_k: int = 3, window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme,
+    Schleimer/Wilkerson/Aiken 2003): hash every k-token shingle to a 32-bit
+    value (first 8 hex chars of md5 — portable to DuckDB), slide a window
+    of `window` consecutive shingle hashes, keep the MINIMUM of each window
+    (leftmost on ties), emit the distinct set. Guarantees any shared run of
+    window+k-1 tokens between two documents shares at least one
+    fingerprint — the positional dedup primitive between exact-hash and
+    minhash. Output: one (id, fp) row per distinct fingerprint; join on fp
+    for candidate pairs (bucketed, never O(n^2))."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - shingle_k, F.lit(0)))
+    hashes = F.transform(
+        idx,
+        lambda i: F.conv(F.substring(
+            F.md5(F.array_join(F.slice(toks, i + 1, shingle_k), " ")),
+            1, 8), 16, 10).cast("long"),
+    )
+    m = F.size(hashes)
+    win_starts = F.sequence(F.lit(0), F.greatest(m - window, F.lit(0)))
+    mins = F.transform(
+        win_starts,
+        lambda i: F.array_min(F.slice(hashes, i + 1, window)),
+    )
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(mins)).alias("fp"),
+    )

@@ -111,3 +111,28 @@ def test_closed_session_kernel_functionals(spark, stream_dir):
     assert np.isclose(row["char_len_quartile2"], want["quartile2"])
     assert np.isclose(row["char_len_numPeaks"], want["numPeaks"])
     assert row["n_turns"] == len(sub)
+
+
+def test_dedup_stream_drops_duplicates(spark, tmp_path):
+    """Exact ingest dedup: duplicated payloads within the watermark are
+    dropped; distinct payloads all survive."""
+    import pandas as pd
+
+    from opensmile_spark.streaming import dedup_stream, run_stream_to_memory
+
+    base = pd.Timestamp("2026-01-01")
+    rows = []
+    for i in range(30):
+        rows.append(("c", i, f"text {i % 10}",
+                     base + pd.Timedelta(seconds=i)))  # each text x3
+    src = str(tmp_path / "dupsrc")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text", "ts"])
+    ).write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    run_stream_to_memory(dedup_stream(stream, watermark="10 minutes"),
+                         "dedup_out")
+    got = spark.sql("SELECT * FROM dedup_out").toPandas()
+    assert len(got) == 10
+    assert sorted(got.text.unique()) == sorted(f"text {i}" for i in range(10))
