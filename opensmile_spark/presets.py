@@ -103,3 +103,29 @@ def compare_style(
            if c not in ("conv_id", "session_id", "n_turns")]
     legacy = legacy.select("conv_id", "session_id", *ren)
     return core.join(legacy, ["conv_id", "session_id"])
+
+
+def emo_large_style(
+    transcripts: DataFrame,
+    gap_seconds: float = 43200.0,
+    lld_cols=("char_len", "token_cnt", "punct_density", "ttr",
+              "reply_latency"),
+) -> DataFrame:
+    """emo_large-style set (config/misc/emo_large.conf): the classic
+    large-scale emotion bank — means/extremes/moments/percentiles/
+    crossings/regression/times/onset/segments/samples plus the LEGACY
+    Peaks family (emo_large.conf:265 enables cFunctionalPeaks, not
+    Peaks2), over sma-smoothed + delta LLD channels per session. Since
+    peaks2 is absent here, the legacy peak names carry no collision."""
+    lld = compute_lld(transcripts)
+    lld = sma(lld, list(lld_cols), 3)
+    smoothed = [c + "_sma3" for c in lld_cols]
+    lld = delta_regression(lld, smoothed, 2)
+    lld = sessionize(lld, gap_seconds=gap_seconds)
+    channels = smoothed + [c + "_de" for c in smoothed]
+    return functionals_kernel(
+        lld, channels, ("conv_id", "session_id"),
+        families=["means", "moments", "extremes", "percentiles",
+                  "regression", "crossings", "times", "onset", "segments",
+                  "peaks", "samples"],
+    )

@@ -106,12 +106,57 @@ def lsh_bucket_multi(
     seed: int = 42,
     vec_col: str = "embedding",
     out_col: str = "bkt",
+    use_arrow: bool | None = None,
 ) -> DataFrame:
     """All `tables` LSH signatures in ONE projection + posexplode: each
     input row becomes `tables` (table, bucket) rows from a SINGLE scan of
     the input — replacing the per-table union that re-read the index
-    `tables` times. The `tables*bits` hyperplane dot products are evaluated
-    row-at-a-time inside one Generate node; nothing is rescanned."""
+    `tables` times.
+
+    Two physical strategies, same signatures (both multiply by the same
+    deterministic _hyperplanes matrix):
+      literal exprs (small dim*bits*tables): hyperplane dot products as
+        JVM column expressions — zero Python, whole-stage codegen.
+      Arrow/numpy (use_arrow, auto when dim*bits*tables > 16384): ONE
+        matrix multiply (batch x dim) @ (dim x tables*bits) per Arrow
+        batch inside a pandas iterator — literal expression trees at
+        real embedding widths (768-4096 dims) would bloat the plan past
+        codegen limits; a BLAS matmul is also simply faster there."""
+    if use_arrow is None:
+        use_arrow = dim * bits * tables > 16384
+    if use_arrow:
+        import numpy as np
+        import pandas as pd
+
+        planes = np.array([
+            p for t in range(tables)
+            for p in _hyperplanes(dim, bits, seed + 1000 * t)
+        ]).T  # (dim, tables*bits)
+        weights = (1 << np.arange(bits, dtype=np.int64))
+        in_cols = df.columns
+        out_schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema
+        ) + ", __tbl int, __sig long"
+
+        def run(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                proj = mat @ planes                     # (n, tables*bits)
+                pos = (proj > 0).reshape(len(pdf), tables, bits)
+                sigs = (pos * weights).sum(axis=2)      # (n, tables)
+                rep = pdf.loc[pdf.index.repeat(tables)].reset_index(drop=True)
+                rep["__tbl"] = np.tile(np.arange(tables, dtype=np.int32),
+                                       len(pdf))
+                rep["__sig"] = sigs.reshape(-1)
+                yield rep
+
+        exploded = df.mapInPandas(run, schema=out_schema)
+        return exploded.withColumn(
+            out_col, F.concat_ws("_", "__tbl", "__sig")
+        ).drop("__tbl", "__sig").select(*in_cols, out_col)
+
     sigs = []
     for t in range(tables):
         planes = _hyperplanes(dim, bits, seed + 1000 * t)

@@ -76,3 +76,17 @@ def test_grouping_by_session(spark):
     rows = {r["session_id"]: r["x_amean"] for r in out.collect()}
     assert rows[0] == pytest.approx(2.0)
     assert rows[1] == pytest.approx(20.0)
+
+
+def test_emo_large_style_preset(spark):
+    from opensmile_spark.presets import emo_large_style
+    from opensmile_spark.transcripts import transcripts_from_events
+
+    out = emo_large_style(
+        transcripts_from_events(spark, "/root/testdata/sf0.001"))
+    cols = out.columns
+    # legacy peaks outputs present, bare-named (no peaks2 in this set)
+    assert "char_len_sma3_numPeaks" in cols
+    assert "char_len_sma3_peakDistStddev" in cols
+    assert "char_len_sma3_de_samplepos0.5" in cols
+    assert out.count() > 100

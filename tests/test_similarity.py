@@ -139,3 +139,19 @@ def test_connected_components_and_survivors(spark):
     kept = sorted(r["doc_id"]
                   for r in dedup_survivors(docs, pairs).collect())
     assert kept == [1, 10, 20, 99]
+
+
+def test_lsh_bucket_multi_arrow_matches_literal(spark, emb):
+    """The Arrow/numpy signature path must produce EXACTLY the same
+    (id, bucket) rows as the literal-expression path (same hyperplanes,
+    sign-of-dot-product is order-insensitive up to fp, and these dots are
+    far from zero with prob 1)."""
+    from opensmile_spark.similarity import lsh_bucket_multi
+
+    lit = lsh_bucket_multi(emb, dim=64, bits=6, tables=4,
+                           use_arrow=False).select("vec_id", "bkt")
+    arw = lsh_bucket_multi(emb, dim=64, bits=6, tables=4,
+                           use_arrow=True).select("vec_id", "bkt")
+    a = set(map(tuple, lit.collect()))
+    b = set(map(tuple, arw.collect()))
+    assert a == b
