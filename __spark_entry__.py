@@ -956,6 +956,18 @@ def q_dedup_components(spark, sf_dir):
         F.col("id").alias("doc_id"), "component")
 
 
+def q_spec_scale(spark, sf_dir):
+    """cSpecScale: log-axis warp of the token spectrum (3 probe bins)."""
+    from opensmile_spark.spectral import spec_scale, token_spectrum
+
+    out = spec_scale(token_spectrum(_docs(spark, sf_dir)), n_out=8)
+    return out.select(
+        "doc_id",
+        *[F.round(F.element_at("spec_log", b + 1), 6).alias(f"log_b{b}")
+          for b in (0, 3, 7)],
+    )
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing (MOSS) fingerprints: min 32-bit shingle hash per sliding
     window, distinct per doc — positional dedup primitive."""
@@ -2299,6 +2311,29 @@ FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
 '''
 
+def _spec_scale_oracle() -> str:
+    import math as _m
+
+    cols = []
+    for b in (0, 3, 7):
+        p = _m.exp(_m.log(1.0) + (_m.log(15.0) - _m.log(1.0)) * b / 7)
+        i1 = int(_m.floor(p))
+        i2 = min(i1 + 1, 15)
+        w2 = p - i1
+        cols.append(
+            f"ROUND(MAX(CASE WHEN bucket = {i1} THEN cnt END) "
+            f"* CAST('{1.0 - w2!r}' AS DOUBLE) "
+            f"+ MAX(CASE WHEN bucket = {i2} THEN cnt END) "
+            f"* CAST('{w2!r}' AS DOUBLE), 6) AS log_b{b}"
+        )
+    return _SPEC_GRID + f"""
+SELECT doc_id, {", ".join(cols)}
+FROM grid GROUP BY doc_id
+"""
+
+
+_ORACLES["spec_scale"] = _spec_scale_oracle()
+
 _ORACLES["winnow_fingerprints"] = f"""
 WITH t AS (
   SELECT doc_id, {_DOC_TOKENS} AS toks FROM documents
@@ -2504,6 +2539,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "functionals_acf_amdf": q_functionals_acf_amdf,
     "dedup_components": q_dedup_components,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "spec_scale": q_spec_scale,
     "peaks_legacy": q_peaks_legacy,       # rows-only (hysteresis automaton)
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,  # rows-only (ANN)
     "viterbi_smooth": q_viterbi_smooth,   # rows-only (sequential DP)

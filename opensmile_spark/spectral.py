@@ -150,3 +150,33 @@ def harmonics_style(df: DataFrame, spec_col: str = "spec",
         )
         out = out.withColumn(f"harmMagRelF0dB_{k}", db)
     return out
+
+
+def spec_scale(df: DataFrame, spec_col: str = "spec", n_out: int = 8,
+               lo: float = 1.0, hi: float | None = None,
+               out_col: str | None = None) -> DataFrame:
+    """cSpecScale analogue (/root/reference/src/dsp/specScale.cpp): warp the
+    bucket axis onto a logarithmic grid — n_out target bins placed
+    log-uniformly over source positions [lo, hi], each linearly
+    interpolated between its two neighbouring source buckets (the
+    reference's spline/linear axis remap). Grid positions are computed
+    driver-side and embedded as literals, so the row work is pure column
+    expressions."""
+    import math as _m
+
+    v = F.col(spec_col)
+    n_src = None  # static literal grid needs hi; default to 15 (16 buckets)
+    hi = hi if hi is not None else 15.0
+    positions = [
+        _m.exp(_m.log(lo) + (_m.log(hi) - _m.log(lo)) * i / (n_out - 1))
+        for i in range(n_out)
+    ]
+    outs = []
+    for p in positions:
+        i1 = int(_m.floor(p))
+        i2 = min(i1 + 1, int(hi))
+        w2 = p - i1
+        e1 = F.element_at(v, i1 + 1)
+        e2 = F.element_at(v, i2 + 1)
+        outs.append(e1 * F.lit(1.0 - w2) + e2 * F.lit(w2))
+    return df.withColumn(out_col or f"{spec_col}_log", F.array(*outs))
