@@ -602,6 +602,19 @@ def q_cosine_topk(spark, sf_dir):
                       F.round("cosine", 5).alias("cosine"))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN path (KMeans coarse quantizer + probed-cell exact rescoring)
+    — approximate by construction; rows-only driver check (recall vs the
+    exact path asserted in tests/)."""
+    from opensmile_spark.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivf_topk(emb, queries, k=10, n_centroids=8, n_probe=4)
+    return out.select("query_id", "item_id", "rank",
+                      F.round("cosine", 5).alias("cosine"))
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """ANN path — approximate by construction; rows-only driver check
     (recall vs the exact path is asserted in tests/)."""
@@ -2545,6 +2558,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "viterbi_smooth": q_viterbi_smooth,   # rows-only (sequential DP)
     "egemaps_bundle": q_egemaps_bundle,   # rows-only (named preset)
     "ann_lsh_topk": q_ann_lsh_topk,       # rows-only (approximate ANN)
+    "ann_ivf_topk": q_ann_ivf_topk,       # rows-only (approximate ANN)
     "datagen": q_datagen,                 # rows-only (xxhash64 has no twin)
 }
 

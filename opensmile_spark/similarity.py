@@ -249,3 +249,77 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "item_id", "cosine", "rank")
     )
+
+
+def ivf_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k — the coarse-quantizer scale path
+    complementing the LSH one: k-means centroids partition the index; each
+    query probes its `n_probe` nearest centroids and exact-rescans only
+    those cells (expected candidate fraction ~ n_probe/n_centroids).
+
+    Spark-first mechanics: Spark ML KMeans (seeded, deterministic) trains
+    the codebook; cell assignment is one model.transform pass over the
+    index (at production scale the assignment is written once as a
+    partition column — partition pruning then makes each probe a selective
+    scan); query->cell probing is a broadcast join against the tiny
+    centroid table; candidates get exact cosine + window top-k, so like
+    the LSH path the approximation lives ONLY in candidate generation."""
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    idx = index.withColumn("__fv", array_to_vector(F.col(vec_col)))
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="__fv",
+                predictionCol="__cell")
+    model = km.fit(idx.select("__fv"))
+    assigned = model.transform(idx).select(
+        F.col(id_col).alias("item_id"),
+        F.col(vec_col).alias("i_vec"),
+        F.col("__cell"),
+    )
+
+    # tiny centroid table -> broadcast; per query: n_probe nearest cells
+    cents = [(ci, [float(x) for x in c])
+             for ci, c in enumerate(model.clusterCenters())]
+    spark = index.sparkSession
+    cent_df = spark.createDataFrame(
+        cents, f"__cell int, c_vec array<double>")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    d2 = F.aggregate(
+        F.zip_with("q_vec", "c_vec",
+                   lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0), lambda a, v: a + v)
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("__d2", d2)
+        .withColumn("__r", F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("__d2").asc(), F.col("__cell").asc())))
+        .filter(F.col("__r") <= n_probe)
+        .select("query_id", "q_vec", "__cell")
+    )
+    cand = assigned.join(F.broadcast(probes), "__cell") \
+        .filter(F.col("item_id") != F.col("query_id"))
+    scored = cand.withColumn(
+        "cosine",
+        _dot(F.col("q_vec"), F.col("i_vec"))
+        / (_norm(F.col("q_vec")) * _norm(F.col("i_vec"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("item_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "item_id", "cosine", "rank")
+    )

@@ -155,3 +155,25 @@ def test_lsh_bucket_multi_arrow_matches_literal(spark, emb):
     a = set(map(tuple, lit.collect()))
     b = set(map(tuple, arw.collect()))
     assert a == b
+
+
+def test_ivf_topk_recall_and_exact_scores(spark, emb):
+    """IVF ANN: probing n_probe of n_centroids cells must recover a solid
+    fraction of the exact top-10, and every hit carries the exact cosine."""
+    from opensmile_spark.similarity import cosine_topk, ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=10).toPandas()
+    ivf = ivf_topk(emb, queries, k=10, n_centroids=8, n_probe=4).toPandas()
+    recalls = []
+    for qid, grp in exact.groupby("query_id"):
+        truth = set(grp.item_id)
+        found = set(ivf[ivf.query_id == qid].item_id)
+        recalls.append(len(truth & found) / len(truth))
+    # probing half the cells (4/8) must beat the random-candidate floor by
+    # a wide margin; near-neighbors concentrate in the probed cells
+    assert np.mean(recalls) > 0.5, recalls
+    merged = ivf.merge(exact, on=["query_id", "item_id"],
+                       suffixes=("_ivf", "_exact"))
+    if len(merged):
+        assert np.allclose(merged.cosine_ivf, merged.cosine_exact)
