@@ -615,6 +615,20 @@ def q_ann_ivf_topk(spark, sf_dir):
                       F.round("cosine", 5).alias("cosine"))
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """int8 embedding quantization: per-vector scale + three probe
+    elements of the quantized vector."""
+    from opensmile_spark.similarity import quantize_embeddings
+
+    out = quantize_embeddings(_emb(spark, sf_dir))
+    return out.select(
+        "vec_id",
+        F.round("q8_scale", 6).alias("q8_scale"),
+        *[F.element_at("embedding_q8", i + 1).alias(f"q_{i}")
+          for i in (0, 31, 63)],
+    )
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """ANN path — approximate by construction; rows-only driver check
     (recall vs the exact path is asserted in tests/)."""
@@ -2405,6 +2419,26 @@ WHERE list_sum(list_transform(range(1, 65),
       / (a.nrm * b.nrm) >= 0.25
 """
 
+_ORACLES["quantize_embeddings"] = """
+WITH s AS (
+  SELECT vec_id, embedding,
+    list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) AS amax
+  FROM embeddings
+), sc AS (
+  SELECT vec_id, embedding,
+    CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS scale
+  FROM s
+)
+SELECT vec_id, ROUND(scale, 6) AS q8_scale,
+  CAST(GREATEST(-127, LEAST(127,
+      ROUND(CAST(embedding[1] AS DOUBLE) / scale))) AS INTEGER) AS q_0,
+  CAST(GREATEST(-127, LEAST(127,
+      ROUND(CAST(embedding[32] AS DOUBLE) / scale))) AS INTEGER) AS q_31,
+  CAST(GREATEST(-127, LEAST(127,
+      ROUND(CAST(embedding[64] AS DOUBLE) / scale))) AS INTEGER) AS q_63
+FROM sc
+"""
+
 _ORACLES["cosine_topk"] = """
 WITH n AS (
   SELECT vec_id, embedding,
@@ -2553,6 +2587,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_components": q_dedup_components,
     "winnow_fingerprints": q_winnow_fingerprints,
     "spec_scale": q_spec_scale,
+    "quantize_embeddings": q_quantize_embeddings,
     "peaks_legacy": q_peaks_legacy,       # rows-only (hysteresis automaton)
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,  # rows-only (ANN)
     "viterbi_smooth": q_viterbi_smooth,   # rows-only (sequential DP)

@@ -177,3 +177,19 @@ def test_ivf_topk_recall_and_exact_scores(spark, emb):
                        suffixes=("_ivf", "_exact"))
     if len(merged):
         assert np.allclose(merged.cosine_ivf, merged.cosine_exact)
+
+
+def test_quantize_roundtrip_cosine(spark, emb):
+    """int8 quantize/dequantize: max abs error <= scale/2 per element and
+    cosine against the original within 1e-2."""
+    from opensmile_spark.similarity import (
+        dequantize_embeddings, quantize_embeddings,
+    )
+
+    d = dequantize_embeddings(quantize_embeddings(emb)).toPandas()
+    for _, r in d.head(50).iterrows():
+        orig = np.asarray(r["embedding"], dtype=np.float64)
+        deq = np.asarray(r["embedding_dq"], dtype=np.float64)
+        assert np.abs(orig - deq).max() <= r["q8_scale"] / 2 + 1e-12
+        c = (orig @ deq) / (np.linalg.norm(orig) * np.linalg.norm(deq))
+        assert c > 0.99
