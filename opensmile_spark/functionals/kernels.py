@@ -214,7 +214,7 @@ def f_percentiles(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0,
 # ---------------------------------------------------------------------------
 
 def f_regression(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0,
-                 quadratic=True):
+                 quadratic=True, oldBuggyQerr=False):
     N = x.size
     Nd = float(N)
     ii = np.arange(N, dtype=np.float64)
@@ -282,8 +282,17 @@ def f_regression(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0,
         out["qregc1"] = fin(a)
         out["qregc2"] = fin(b)
         out["qregc3"] = fin(c)
-        out["qregerrA"] = fin(qea / Nd)
-        out["qregerrQ"] = fin(qeq / Nd)
+        # oldBuggyQerr compat flag (functionalRegression.cpp:85,405-411):
+        # the reference DEFAULTS to 1, emitting length-UNnormalised
+        # quadratic errors for old feature-set compatibility, while its own
+        # docs direct new configs to 0; we default to the recommended
+        # (normalised) behaviour and keep the flag for historical parity.
+        if oldBuggyQerr:
+            out["qregerrA"] = fin(qea)
+            out["qregerrQ"] = fin(qeq)
+        else:
+            out["qregerrA"] = fin(qea / Nd)
+            out["qregerrQ"] = fin(qeq / Nd)
     out["centroid"] = centroid
     return out
 
@@ -313,13 +322,22 @@ def f_crossings(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0):
 # useRobustPercentileRange=0, buggySecNorm irrelevant for segment norm
 # ---------------------------------------------------------------------------
 
-def f_times(x, xsorted, xmin, xmax, xmean, timeNorm="segment", T=1.0):
+def f_times(x, xsorted, xmin, xmax, xmean, timeNorm="segment", T=1.0,
+            buggySecNorm=False):
     N = x.size
     Nd = float(N)
     if timeNorm == "segment":
         Norm, Norm1, Norm2 = Nd, Nd - 1.0, Nd - 2.0
     elif timeNorm == "frames":
         Norm, Norm1, Norm2 = 1.0, (Nd - 1.0) / Nd, (Nd - 2.0) / Nd
+    elif buggySecNorm:
+        # pre-1.0.0 compat (functionalTimes.cpp:76,241-243): erroneously
+        # divides the frame counts by T only (an extra factor of N vs the
+        # corrected formula); the reference ships this as the DEFAULT for
+        # config compatibility — here it is opt-in.
+        Norm = Nd / T
+        Norm1 = (Nd - 1.0) / T
+        Norm2 = (Nd - 2.0) / T
     else:  # second, non-buggy (functionalTimes.cpp:89-93)
         Norm = 1.0 / T
         Norm1 = (Nd - 1.0) / (Nd * T)

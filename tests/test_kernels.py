@@ -275,3 +275,32 @@ def test_formants_kernel_recovers_resonance():
                       {"formants": {"order": 4, "n_formants": 2}})
     assert abs(out["formantFreq1"] - f0) < 0.02
     assert out["formantBw1"] > 0
+
+
+def test_compat_flags_oldBuggyQerr_and_buggySecNorm():
+    """Reference compat flags: oldBuggyQerr emits UNnormalised quadratic
+    errors (functionalRegression.cpp:405-411); buggySecNorm divides frame
+    counts by T only (functionalTimes.cpp:241-243)."""
+    import numpy as np
+
+    from opensmile_spark.functionals.kernels import compute_all
+
+    x = np.array([1.0, 4.0, 2.0, 8.0, 5.0, 7.0])
+    new = compute_all(x, ["regression"])
+    old = compute_all(x, ["regression"],
+                      {"regression": {"oldBuggyQerr": True}})
+    assert np.isclose(old["qregerrA"], new["qregerrA"] * x.size)
+    assert np.isclose(old["qregerrQ"], new["qregerrQ"] * x.size)
+    assert np.isclose(old["linregerrA"], new["linregerrA"])  # linear untouched
+
+    T = 0.5
+    good = compute_all(x, ["times"],
+                       {"times": {"timeNorm": "second", "T": T}})
+    bug = compute_all(x, ["times"],
+                      {"times": {"timeNorm": "second", "T": T,
+                                 "buggySecNorm": True}})
+    # buggy Norm = N/T vs correct 1/T -> leveltimes differ by factor N
+    assert np.isclose(bug["upleveltime25"] * x.size, good["upleveltime25"]) \
+        or good["upleveltime25"] == 0.0
+    assert np.isclose(bug["risetime"] * x.size, good["risetime"]) \
+        or good["risetime"] == 0.0
