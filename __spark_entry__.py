@@ -1003,6 +1003,27 @@ def q_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(_docs(spark, sf_dir))
 
 
+def q_functionals_qreg(spark, sf_dir):
+    """Quadratic regression: coefficients, normalised errors, and the
+    parabola extras (vertex, endpoint, partial slopes) per session —
+    closed-form SQL twin of the S1..S4 normal equations."""
+    from opensmile_spark.functionals import functionals_kernel
+    from opensmile_spark.util import round_sig
+
+    out = functionals_kernel(
+        _lld_sessions(spark, sf_dir), ["char_len"],
+        ("conv_id", "session_id"), families=["regression"],
+        options={"regression": {"qregExtras": True}},
+    )
+    cols = ["qregc1", "qregc2", "qregc3", "qregerrA", "qregerrQ",
+            "centroid", "qregls", "qregrs", "qregx0", "qregy0", "qregyr"]
+    return out.select(
+        "conv_id", "session_id", "n_turns",
+        *[round_sig(F.col(f"char_len_{c}")).alias(f"char_len_{c}")
+          for c in cols],
+    )
+
+
 def q_datagen(spark, sf_dir):
     """Deterministic synthetic corpus (rows-only: xxhash64 has no DuckDB
     twin). Demonstrates the generator the bench uses."""
@@ -1876,6 +1897,79 @@ FROM mu m JOIN vr USING (conv_id, session_id)
 
 _ORACLES["egemaps_core"] = _egemaps_core_oracle()
 
+def _qreg_oracle() -> str:
+    """Quadratic normal equations over i=0..N-1 (functionalRegression.cpp
+    230-246 closed forms), errors via a second pass, parabola extras with
+    the reference's clipping / zero-curvature rules."""
+    r = _rsig
+    N = "CAST(COUNT(*) AS DOUBLE)"
+    S1 = f"({N}*({N}-1)/2)"
+    S2 = f"({N}*({N}-1)*(2*{N}-1)/6)"
+    S3 = f"({S1}*{S1})"
+    S4 = f"({S2}*(3*(({N}-1)*({N}-1)+({N}-1))-1)/5)"
+    det = (f"({S4}*{S2}*{N} + 2*{S3}*{S1}*{S2} - {S2}*{S2}*{S2} "
+           f"- {S3}*{S3}*{N} - {S3}*{S4})")
+    num = "SUM(char_len*__i)"
+    num2 = "SUM(char_len*__i*__i)"
+    asum = "SUM(char_len)"
+    a = (f"(CASE WHEN COUNT(*) > 1 AND {det} <> 0 THEN "
+         f"(({S2}*{N} - {S3})*{num2} + ({S1}*{S2} - {S3}*{N})*{num} "
+         f"+ ({S3}*{S1} - {S2}*{S2})*{asum}) / {det} ELSE 0.0 END)")
+    b = (f"(CASE WHEN COUNT(*) > 1 AND {det} <> 0 THEN "
+         f"(({S1}*{S2} - {S3}*{N})*{num2} + ({S4}*{N} - {S2}*{S2})*{num} "
+         f"+ ({S3}*{S2} - {S4}*{S1})*{asum}) / {det} ELSE 0.0 END)")
+    c = (f"(CASE WHEN COUNT(*) = 1 THEN FIRST(char_len ORDER BY __i) "
+         f"WHEN {det} <> 0 THEN "
+         f"(({S3}*{S1} - {S2}*{S2})*{num2} + ({S3}*{S2} - {S4}*{S1})*{num} "
+         f"+ ({S4}*{S2} - {S3}*{S3})*{asum}) / {det} ELSE 0.0 END)")
+    cen = (f"(CASE WHEN {asum} <> 0 THEN {num} / {asum} ELSE 0.0 END)")
+    return SQL_PREFIX + f"""
+, idx AS (
+  SELECT conv_id, session_id, char_len,
+    CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, session_id
+                            ORDER BY turn_idx) - 1 AS DOUBLE) AS __i
+  FROM sessions
+), coef AS (
+  SELECT conv_id, session_id, COUNT(*) AS n_turns,
+    CAST(COUNT(*) AS DOUBLE) AS nd,
+    {a} AS a, {b} AS b, {c} AS c, {cen} AS cen
+  FROM idx GROUP BY conv_id, session_id
+), err AS (
+  SELECT i.conv_id, i.session_id,
+    SUM(ABS(i.char_len - (k.a*i.__i*i.__i + k.b*i.__i + k.c))) AS qea,
+    SUM(POW(i.char_len - (k.a*i.__i*i.__i + k.b*i.__i + k.c), 2)) AS qeq
+  FROM idx i JOIN coef k USING (conv_id, session_id)
+  GROUP BY i.conv_id, i.session_id
+), ext AS (
+  SELECT k.*,
+    CASE WHEN k.a <> 0
+         THEN LEAST(GREATEST(k.b / (-2*k.a), -k.nd), k.nd)
+         WHEN k.b > 0 THEN -k.nd
+         ELSE k.nd END AS x0,
+    CASE WHEN k.a <> 0 THEN k.c - k.b*k.b/(4*k.a) ELSE 0.0 END AS y0,
+    k.a*(k.nd-1)*(k.nd-1) + k.b*(k.nd-1) + k.c AS yr
+  FROM coef k
+)
+SELECT e.conv_id, e.session_id, e.n_turns,
+  {r("e.a")} AS "char_len_qregc1",
+  {r("e.b")} AS "char_len_qregc2",
+  {r("e.c")} AS "char_len_qregc3",
+  {r("r2.qea / e.nd")} AS "char_len_qregerrA",
+  {r("r2.qeq / e.nd")} AS "char_len_qregerrQ",
+  {r("e.cen")} AS "char_len_centroid",
+  {r("CASE WHEN e.x0 > 0 THEN (e.y0 - e.c) / e.x0 ELSE 0.0 END")}
+      AS "char_len_qregls",
+  {r("CASE WHEN e.x0 < e.nd - 1 THEN (e.yr - e.y0) / (e.nd - 1 - e.x0) "
+     "ELSE 0.0 END")} AS "char_len_qregrs",
+  {r("e.x0")} AS "char_len_qregx0",
+  {r("e.y0")} AS "char_len_qregy0",
+  {r("e.yr")} AS "char_len_qregyr"
+FROM ext e JOIN err r2 USING (conv_id, session_id)
+"""
+
+
+_ORACLES["functionals_qreg"] = _qreg_oracle()
+
 _ORACLES["meta_segments"] = SQL_PREFIX + """
 , chg AS (
   SELECT l.conv_id, l.turn_idx, l.char_len,
@@ -2588,6 +2682,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "spec_scale": q_spec_scale,
     "quantize_embeddings": q_quantize_embeddings,
+    "functionals_qreg": q_functionals_qreg,
     "peaks_legacy": q_peaks_legacy,       # rows-only (hysteresis automaton)
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,  # rows-only (ANN)
     "viterbi_smooth": q_viterbi_smooth,   # rows-only (sequential DP)

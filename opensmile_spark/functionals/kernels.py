@@ -214,7 +214,7 @@ def f_percentiles(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0,
 # ---------------------------------------------------------------------------
 
 def f_regression(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0,
-                 quadratic=True, oldBuggyQerr=False):
+                 quadratic=True, oldBuggyQerr=False, qregExtras=False):
     N = x.size
     Nd = float(N)
     ii = np.arange(N, dtype=np.float64)
@@ -294,6 +294,37 @@ def f_regression(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0,
             out["qregerrA"] = fin(qea / Nd)
             out["qregerrQ"] = fin(qeq / Nd)
     out["centroid"] = centroid
+    if quadratic and qregExtras:
+        # parabola vertex / endpoints / partial slopes
+        # (functionalRegression.cpp:292-395, normRegCoeff=0, normInputs=0):
+        # x0 = b/(-2a) clipped to [-N, N] (non-finite -> N);
+        # y0 = c - b^2/(4a) (non-finite -> 0); yr = a(N-1)^2 + b(N-1) + c;
+        # ls = (y0-c)/x0 when x0 > 0; rs = (yr-y0)/(N-1-x0) when x0 < N-1.
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x0 = np.float64(b) / np.float64(-2.0 * a)
+            if x0 < -Nd:
+                x0 = -Nd
+            if x0 > Nd:
+                x0 = Nd
+            if not math.isfinite(x0):
+                x0 = Nd
+            y0 = np.float64(c) - np.float64(b) * np.float64(b) \
+                / np.float64(4.0 * a)
+            if not math.isfinite(y0):
+                y0 = 0.0
+            yr = a * (Nd - 1.0) * (Nd - 1.0) + b * (Nd - 1.0) + c
+            if not math.isfinite(yr):
+                yr = 0.0
+            ls = (float(y0) - c) / float(x0) if x0 > 0 else 0.0
+            rs = ((yr - float(y0)) / (Nd - 1.0 - float(x0))
+                  if x0 < Nd - 1.0 else 0.0)
+        out["qregls"] = fin(float(ls))
+        out["qregrs"] = fin(float(rs))
+        out["qregx0"] = fin(float(x0))
+        out["qregy0"] = fin(float(y0))
+        out["qregyr"] = fin(float(yr))
+        out["qregy0nn"] = fin(float(y0))   # == y0 with normInputs=0
+        out["qregc3nn"] = fin(c)           # == c  with normInputs=0
     return out
 
 

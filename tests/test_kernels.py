@@ -304,3 +304,28 @@ def test_compat_flags_oldBuggyQerr_and_buggySecNorm():
         or good["upleveltime25"] == 0.0
     assert np.isclose(bug["risetime"] * x.size, good["risetime"]) \
         or good["risetime"] == 0.0
+
+
+def test_qreg_extras_vertex_math():
+    """qregExtras: on an exact parabola the recovered vertex/endpoints must
+    match analytically (x0=b/(-2a), y0=c-b^2/4a, yr=parabola(N-1))."""
+    import numpy as np
+
+    from opensmile_spark.functionals.kernels import compute_all
+
+    i = np.arange(11, dtype=float)
+    a, b, c = 0.5, -4.0, 10.0             # vertex at x0=4, y0=2
+    x = a * i * i + b * i + c
+    out = compute_all(x, ["regression"],
+                      {"regression": {"qregExtras": True}})
+    assert np.isclose(out["qregc1"], a) and np.isclose(out["qregc2"], b)
+    assert np.isclose(out["qregx0"], 4.0)
+    assert np.isclose(out["qregy0"], 2.0)
+    assert np.isclose(out["qregyr"], a * 100 - 40 + 10)
+    assert np.isclose(out["qregls"], (2.0 - 10.0) / 4.0)
+    assert np.isclose(out["qregrs"], (out["qregyr"] - 2.0) / (10 - 4))
+    # zero curvature: x0 clipped by sign rule, y0 -> 0
+    out = compute_all(np.arange(8.0), ["regression"],
+                      {"regression": {"qregExtras": True}})
+    assert out["qregy0"] == 0.0
+    assert abs(out["qregx0"]) == 8.0
