@@ -1198,6 +1198,9 @@ def _sql_functional_aggs(x: str, prefix: str, central: bool = True) -> str:
         "stddevNorm": (f"CASE WHEN {var} <= 0 THEN 0.0 "
                        f"WHEN AVG({x}) <> 0 THEN {sd}/AVG({x}) "
                        f"ELSE {sd} END"),
+        "coeffOfVariation": (f"CASE WHEN {var} <= 0 THEN 0.0 "
+                             f"WHEN AVG({x}) <> 0 THEN {sd}/ABS(AVG({x})) "
+                             f"ELSE {sd} END"),
         "max": f"MAX({x})",
         "min": f"MIN({x})",
         "range": f"MAX({x}) - MIN({x})",

@@ -238,6 +238,9 @@ def functionals_sql(
             F.when(m2 <= 0, 0.0)
             .when(mean != 0.0, sd / mean)
             .otherwise(sd).alias(f"{c}_stddevNorm"),
+            F.when(m2 <= 0, 0.0)
+            .when(mean != 0.0, sd / F.abs(mean))
+            .otherwise(sd).alias(f"{c}_coeffOfVariation"),
             F.max(x).alias(f"{c}_max"),
             F.min(x).alias(f"{c}_min"),
             (F.max(x) - F.min(x)).alias(f"{c}_range"),

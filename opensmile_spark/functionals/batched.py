@@ -262,6 +262,8 @@ def compute_batched(x: np.ndarray, starts: np.ndarray, ends: np.ndarray,
             out["amean"] = mean
         mean1 = np.where(mean != 0.0, mean, 1.0)
         out["stddevNorm"] = np.where(m2 > 0, sqm2 / mean1, 0.0)
+        amean1 = np.where(mean != 0.0, np.abs(mean), 1.0)
+        out["coeffOfVariation"] = np.where(m2 > 0, sqm2 / amean1, 0.0)
 
     if "extremes" in families:
         idx = np.arange(x.size, dtype=np.int64)

@@ -124,13 +124,23 @@ def f_moments(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0,
         if doRatioLimit:
             if xmean != 0.0:
                 out["stddevNorm"] = _ratio_limit(sqm2 / xmean, 10.0, 20.0)
+                out["coeffOfVariation"] = _ratio_limit(
+                    sqm2 / abs(xmean), 10.0, 20.0)
             else:
                 out["stddevNorm"] = 20.0
+                out["coeffOfVariation"] = 20.0
         else:
             mean1 = xmean if xmean != 0.0 else 1.0
             out["stddevNorm"] = sqm2 / mean1
+            # coeffOfVariation = the STDDEV_NORM_ABS variant (|mean|
+            # denominator, functionalMoments.cpp:136-160); the reference
+            # emits only one of the two when both are enabled (shared
+            # output slot quirk) — here both names are first-class
+            amean1 = abs(xmean) if xmean != 0.0 else 1.0
+            out["coeffOfVariation"] = sqm2 / amean1
     else:
         out["stddevNorm"] = 0.0
+        out["coeffOfVariation"] = 0.0
     return out
 
 
