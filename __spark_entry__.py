@@ -983,6 +983,19 @@ def q_dedup_components(spark, sf_dir):
         F.col("id").alias("doc_id"), "component")
 
 
+def q_spectral_moments(spark, sf_dir):
+    """cSpectral completion: distribution moments, slope, alpha ratio,
+    Hammarberg index over the token spectrum."""
+    from opensmile_spark.spectral import spectral_moments, token_spectrum
+    from opensmile_spark.util import round_sig
+
+    out = spectral_moments(token_spectrum(_docs(spark, sf_dir)))
+    cols = ["spec_variance", "spec_skewness", "spec_kurtosis", "spec_slope",
+            "spec_alpha_ratio", "spec_hammarberg"]
+    return out.select("doc_id",
+                      *[round_sig(F.col(c)).alias(c) for c in cols])
+
+
 def q_spec_scale(spark, sf_dir):
     """cSpecScale: log-axis warp of the token spectrum (3 probe bins)."""
     from opensmile_spark.spectral import spec_scale, token_spectrum
@@ -2435,6 +2448,55 @@ FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
 '''
 
+def _spectral_moments_oracle() -> str:
+    r = _rsig
+    return _SPEC_GRID + f"""
+, tot AS (
+  SELECT doc_id, SUM(cnt) AS total, CAST(COUNT(*) AS DOUBLE) AS n,
+    SUM(cnt * bucket) AS sxy,
+    SUM(CASE WHEN bucket < 8 THEN cnt * cnt ELSE 0 END) AS e_low,
+    SUM(CASE WHEN bucket >= 8 THEN cnt * cnt ELSE 0 END) AS e_high,
+    MAX(CASE WHEN bucket < 8 THEN cnt END) AS mx_low,
+    MAX(CASE WHEN bucket >= 8 THEN cnt END) AS mx_high
+  FROM grid GROUP BY doc_id
+), ctr AS (
+  SELECT g.doc_id,
+    SUM(CASE WHEN t.total > 0 THEN g.cnt / t.total ELSE 0.0 END * g.bucket)
+        AS mu
+  FROM grid g JOIN tot t USING (doc_id) GROUP BY g.doc_id
+), mom AS (
+  SELECT g.doc_id,
+    SUM(CASE WHEN t.total > 0 THEN g.cnt / t.total ELSE 0.0 END
+        * POW(g.bucket - c.mu, 2)) AS m2,
+    SUM(CASE WHEN t.total > 0 THEN g.cnt / t.total ELSE 0.0 END
+        * POW(g.bucket - c.mu, 3)) AS m3,
+    SUM(CASE WHEN t.total > 0 THEN g.cnt / t.total ELSE 0.0 END
+        * POW(g.bucket - c.mu, 4)) AS m4
+  FROM grid g JOIN tot t USING (doc_id) JOIN ctr c USING (doc_id)
+  GROUP BY g.doc_id
+)
+SELECT t.doc_id,
+  {r("m.m2")} AS spec_variance,
+  {r("CASE WHEN m.m2 > 0 THEN m.m3 / POW(m.m2, 1.5) ELSE 0.0 END")}
+      AS spec_skewness,
+  {r("CASE WHEN m.m2 > 0 THEN m.m4 / (m.m2 * m.m2) ELSE 0.0 END")}
+      AS spec_kurtosis,
+  {r("CASE WHEN t.n * ((t.n-1)*t.n*(2*t.n-1)/6.0) "
+     "- POW((t.n-1)*t.n/2.0, 2) <> 0 THEN "
+     "(t.n * t.sxy - ((t.n-1)*t.n/2.0) * t.total) "
+     "/ (t.n * ((t.n-1)*t.n*(2*t.n-1)/6.0) - POW((t.n-1)*t.n/2.0, 2)) "
+     "ELSE 0.0 END")} AS spec_slope,
+  {r("CASE WHEN t.e_high > 0 THEN t.e_low / t.e_high ELSE 0.0 END")}
+      AS spec_alpha_ratio,
+  {r("CASE WHEN t.mx_high > 0 THEN t.mx_low / t.mx_high ELSE 0.0 END")}
+      AS spec_hammarberg
+FROM tot t JOIN mom m USING (doc_id)
+"""
+
+
+_ORACLES["spectral_moments"] = _spectral_moments_oracle()
+
+
 def _spec_scale_oracle() -> str:
     import math as _m
 
@@ -2686,6 +2748,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spec_scale": q_spec_scale,
     "quantize_embeddings": q_quantize_embeddings,
     "functionals_qreg": q_functionals_qreg,
+    "spectral_moments": q_spectral_moments,
     "peaks_legacy": q_peaks_legacy,       # rows-only (hysteresis automaton)
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,  # rows-only (ANN)
     "viterbi_smooth": q_viterbi_smooth,   # rows-only (sequential DP)

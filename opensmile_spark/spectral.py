@@ -180,3 +180,65 @@ def spec_scale(df: DataFrame, spec_col: str = "spec", n_out: int = 8,
         e2 = F.element_at(v, i2 + 1)
         outs.append(e1 * F.lit(1.0 - w2) + e2 * F.lit(w2))
     return df.withColumn(out_col or f"{spec_col}_log", F.array(*outs))
+
+
+def spectral_moments(df: DataFrame, spec_col: str = "spec",
+                     split_bucket: int | None = None) -> DataFrame:
+    """The rest of the cSpectral surface (/root/reference/src/lldcore/
+    spectral.cpp:31-63): distribution moments over the bucket axis
+    (variance/skewness/kurtosis around the centroid), the spectral SLOPE
+    (least-squares fit of magnitude over bucket index), the alpha-ratio
+    analogue (low-band / high-band energy) and the Hammarberg-index
+    analogue (low-band peak / high-band peak), split at `split_bucket`
+    (default: half the spectrum). Pure array expressions."""
+    v = F.col(spec_col)
+    n = F.size(v)
+    nd = n.cast("double")
+    idx = F.sequence(F.lit(0), n - 1)
+    total = F.aggregate(v, F.lit(0.0), lambda a, x: a + x)
+    p = F.transform(v, lambda x: F.when(total > 0, x / total).otherwise(0.0))
+
+    def pmom(k, mu):
+        return F.aggregate(
+            F.zip_with(p, idx,
+                       lambda pi, i: pi * F.pow(i.cast("double") - mu, k)),
+            F.lit(0.0), lambda a, x: a + x)
+
+    mu = F.aggregate(
+        F.zip_with(p, idx, lambda pi, i: pi * i.cast("double")),
+        F.lit(0.0), lambda a, x: a + x)
+    m2 = pmom(2, mu)
+    m3 = pmom(3, mu)
+    m4 = pmom(4, mu)
+    var_ = m2
+    skew = F.when(m2 > 0, m3 / F.pow(m2, 1.5)).otherwise(0.0)
+    kurt = F.when(m2 > 0, m4 / (m2 * m2)).otherwise(0.0)
+
+    # least-squares slope of magnitude over bucket index
+    si = (nd - 1.0) * nd / 2.0
+    si2 = (nd - 1.0) * nd * (2.0 * nd - 1.0) / 6.0
+    sxy = F.aggregate(
+        F.zip_with(v, idx, lambda x, i: x * i.cast("double")),
+        F.lit(0.0), lambda a, x: a + x)
+    denom = nd * si2 - si * si
+    slope = F.when(denom != 0, (nd * sxy - si * total) / denom) \
+        .otherwise(0.0)
+
+    split = F.lit(split_bucket).cast("int") if split_bucket is not None \
+        else (n / 2).cast("int")
+    low = F.slice(v, 1, split)
+    high = F.slice(v, split + 1, n - split)
+    e_low = F.aggregate(low, F.lit(0.0), lambda a, x: a + x * x)
+    e_high = F.aggregate(high, F.lit(0.0), lambda a, x: a + x * x)
+    alpha = F.when(e_high > 0, e_low / e_high).otherwise(0.0)
+    hamm = F.when(F.array_max(high) > 0,
+                  F.array_max(low) / F.array_max(high)).otherwise(0.0)
+
+    return (
+        df.withColumn("spec_variance", var_)
+        .withColumn("spec_skewness", skew)
+        .withColumn("spec_kurtosis", kurt)
+        .withColumn("spec_slope", slope)
+        .withColumn("spec_alpha_ratio", alpha)
+        .withColumn("spec_hammarberg", hamm)
+    )
