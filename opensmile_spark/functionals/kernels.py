@@ -184,13 +184,21 @@ def _interp_pctl(p: float, s: np.ndarray) -> float:
     return float(s[i1])
 
 
+def _round_pctl(p: float, s: np.ndarray) -> float:
+    """interp=0 mode (functionalPercentiles.cpp:288-294 getPctlIdx):
+    sorted[round(p*(N-1))] clipped — C round() = half away from zero."""
+    idx = int(math.floor(p * (s.size - 1) + 0.5))
+    return float(s[min(max(idx, 0), s.size - 1)])
+
+
 def f_percentiles(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0,
                   percentiles=(0.20, 0.50, 0.80),
-                  pctlranges=((0, 2),), pctlquotients=()):
+                  pctlranges=((0, 2),), pctlquotients=(), interp=True):
+    pick = _interp_pctl if interp else _round_pctl
     out = {}
-    q1 = _interp_pctl(0.25, xsorted)
-    q2 = _interp_pctl(0.50, xsorted)
-    q3 = _interp_pctl(0.75, xsorted)
+    q1 = pick(0.25, xsorted)
+    q2 = pick(0.50, xsorted)
+    q3 = pick(0.75, xsorted)
     out["quartile1"] = q1
     out["quartile2"] = q2
     out["quartile3"] = q3
@@ -199,7 +207,7 @@ def f_percentiles(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0,
     out["iqr1-3"] = q3 - q1
     vals = []
     for p in percentiles:
-        v = _interp_pctl(p, xsorted)
+        v = pick(p, xsorted)
         out[f"percentile{p * 100:.1f}"] = v
         vals.append(v)
     for a, b in pctlranges:
@@ -612,6 +620,27 @@ def f_segments(x, xsorted, xmin, xmax, xmean, timeNorm="segment", T=1.0,
     return out
 
 
+def _p2_unity(x: float, doRatioLimit: bool) -> float:
+    """peaks2 ratioLimitUnity (functionalPeaks2.hpp:78-88): clamp to
+    [-1, 1] when doRatioLimit, identity otherwise."""
+    if doRatioLimit:
+        if x > 1.0:
+            return 1.0
+        if x < -1.0:
+            return -1.0
+    return x
+
+
+def _p2_mean_ratio(v: float, mean: float, doRatioLimit: bool) -> float:
+    """peaks2 peakMeanMeanRatio/minMeanMeanRatio (functionalPeaks2.cpp:
+    803-816, 851-857): ratioLimit(v/mean, 10, 10) when mean != 0, else
+    ratioLimitMax (20 when limiting, the raw v in compat mode)."""
+    if mean != 0.0:
+        q = v / mean
+        return _ratio_limit(q, 10.0, 10.0) if doRatioLimit else q
+    return 20.0 if doRatioLimit else v
+
+
 # ---------------------------------------------------------------------------
 # cFunctionalPeaks2 (functionalPeaks2.cpp:314-919) — full automaton.
 # relThresh=0.1, dynRelThresh=0, doRatioLimit=0, norm=frames, T=1
@@ -619,7 +648,7 @@ def f_segments(x, xsorted, xmin, xmax, xmean, timeNorm="segment", T=1.0,
 
 def f_peaks2_dictref(x, xsorted, xmin, xmax, xmean, timeNorm="frames",
                      T=1.0, relThresh=0.1, dynRelThresh=False,
-                     absThreshIn=None):
+                     absThreshIn=None, doRatioLimit=False):
     N = x.size
     rng = float(xmax - xmin)
     absThresh = absThreshIn if absThreshIn is not None else relThresh * rng
@@ -927,23 +956,33 @@ def f_peaks2_dictref(x, xsorted, xmin, xmax, xmean, timeNorm="frames",
         "meanPeakDist": peakDist,
         "peakDistStddev": peakStddevDist,
         "peakRangeAbs": peakMax - peakMin,
-        "peakRangeRel": (abs((peakMax - peakMin) / rng) if rng != 0.0
+        "peakRangeRel": (_p2_unity(abs((peakMax - peakMin) / rng),
+                                   doRatioLimit) if rng != 0.0
                          else peakMax - peakMin),
         "peakMean": peakMean,
         "peakMeanMeanDist": peakMean - float(xmean),
+        "peakMeanMeanRatio": _p2_mean_ratio(peakMean, float(xmean),
+                                            doRatioLimit),
         "ptpAmpMeanAbs": peakDiff,
-        "ptpAmpMeanRel": (peakDiff / rng) if rng != 0.0 else peakDiff,
+        "ptpAmpMeanRel": (_p2_unity(peakDiff / rng, doRatioLimit)
+                          if rng != 0.0 else peakDiff),
         "ptpAmpStddevAbs": peakStddevDiff,
-        "ptpAmpStddevRel": (peakStddevDiff / rng) if rng != 0.0 else peakStddevDiff,
+        "ptpAmpStddevRel": (_p2_unity(peakStddevDiff / rng, doRatioLimit)
+                            if rng != 0.0 else peakStddevDiff),
         "minRangeAbs": minMax - minMin,
-        "minRangeRel": (abs((minMax - minMin) / rng) if rng != 0.0
+        "minRangeRel": (_p2_unity(abs((minMax - minMin) / rng),
+                                  doRatioLimit) if rng != 0.0
                         else minMax - minMin),
         "minMean": minMean,
         "minMeanMeanDist": float(xmean) - minMean,
+        "minMeanMeanRatio": _p2_mean_ratio(minMean, float(xmean),
+                                           doRatioLimit),
         "mtmAmpMeanAbs": minDiff,
-        "mtmAmpMeanRel": (minDiff / rng) if rng != 0.0 else minDiff,
+        "mtmAmpMeanRel": (_p2_unity(minDiff / rng, doRatioLimit)
+                          if rng != 0.0 else minDiff),
         "mtmAmpStddevAbs": minStddevDiff,
-        "mtmAmpStddevRel": (minStddevDiff / rng) if rng != 0.0 else minStddevDiff,
+        "mtmAmpStddevRel": (_p2_unity(minStddevDiff / rng, doRatioLimit)
+                            if rng != 0.0 else minStddevDiff),
         "meanRisingSlope": meanRS,
         "maxRisingSlope": maxRS,
         "minRisingSlope": minRS,
@@ -959,7 +998,8 @@ def f_peaks2_dictref(x, xsorted, xmin, xmax, xmean, timeNorm="frames",
 
 
 def f_peaks2(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0,
-             relThresh=0.1, dynRelThresh=False, absThreshIn=None):
+             relThresh=0.1, dynRelThresh=False, absThreshIn=None,
+             doRatioLimit=False):
     """Optimized transcription of f_peaks2_dictref (same automaton, parallel
     lists + branch min/max instead of dict elements — the per-group Python
     passes dominated kernel CPU). Equality with the dict reference is pinned
@@ -1318,24 +1358,33 @@ def f_peaks2(x, xsorted, xmin, xmax, xmean, timeNorm="frames", T=1.0,
         "meanPeakDist": float(peakDist),
         "peakDistStddev": peakStddevDist,
         "peakRangeAbs": peakMax - peakMin,
-        "peakRangeRel": (abs((peakMax - peakMin) / rng) if rng != 0.0
+        "peakRangeRel": (_p2_unity(abs((peakMax - peakMin) / rng),
+                                   doRatioLimit) if rng != 0.0
                          else peakMax - peakMin),
         "peakMean": peakMean,
         "peakMeanMeanDist": peakMean - float(xmean),
+        "peakMeanMeanRatio": _p2_mean_ratio(peakMean, float(xmean),
+                                            doRatioLimit),
         "ptpAmpMeanAbs": peakDiff,
-        "ptpAmpMeanRel": (peakDiff / rng) if rng != 0.0 else peakDiff,
+        "ptpAmpMeanRel": (_p2_unity(peakDiff / rng, doRatioLimit)
+                          if rng != 0.0 else peakDiff),
         "ptpAmpStddevAbs": peakStddevDiff,
-        "ptpAmpStddevRel": (peakStddevDiff / rng) if rng != 0.0
-        else peakStddevDiff,
+        "ptpAmpStddevRel": (_p2_unity(peakStddevDiff / rng, doRatioLimit)
+                            if rng != 0.0 else peakStddevDiff),
         "minRangeAbs": minMax - minMin,
-        "minRangeRel": (abs((minMax - minMin) / rng) if rng != 0.0
+        "minRangeRel": (_p2_unity(abs((minMax - minMin) / rng),
+                                  doRatioLimit) if rng != 0.0
                         else minMax - minMin),
         "minMean": minMean,
         "minMeanMeanDist": float(xmean) - minMean,
+        "minMeanMeanRatio": _p2_mean_ratio(minMean, float(xmean),
+                                           doRatioLimit),
         "mtmAmpMeanAbs": minDiff,
-        "mtmAmpMeanRel": (minDiff / rng) if rng != 0.0 else minDiff,
+        "mtmAmpMeanRel": (_p2_unity(minDiff / rng, doRatioLimit)
+                          if rng != 0.0 else minDiff),
         "mtmAmpStddevAbs": minStddevDiff,
-        "mtmAmpStddevRel": (minStddevDiff / rng) if rng != 0.0 else minStddevDiff,
+        "mtmAmpStddevRel": (_p2_unity(minStddevDiff / rng, doRatioLimit)
+                            if rng != 0.0 else minStddevDiff),
         "meanRisingSlope": meanRS,
         "maxRisingSlope": maxRS,
         "minRisingSlope": minRS,

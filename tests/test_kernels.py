@@ -329,3 +329,27 @@ def test_qreg_extras_vertex_math():
                       {"regression": {"qregExtras": True}})
     assert out["qregy0"] == 0.0
     assert abs(out["qregx0"]) == 8.0
+
+
+def test_percentile_interp0_and_peaks2_ratio_outputs():
+    import numpy as np
+
+    from opensmile_spark.functionals.kernels import compute_all
+
+    x = np.array([1.0, 2.0, 3.0, 4.0])
+    # interp=0: sorted[round(p*(N-1))] — p=0.5 -> round(1.5)=2 (half away)
+    out = compute_all(x, ["percentiles"],
+                      {"percentiles": {"interp": False}})
+    assert out["quartile2"] == 3.0
+    out_i = compute_all(x, ["percentiles"])
+    assert out_i["quartile2"] == 2.5
+    # peaks2 ratio outputs: compat (default) emits the raw quotient; with
+    # doRatioLimit the unity clamp and ratioLimit(10,10) engage
+    y = np.array([0.0, 1.0, 5.0, 1.0, 0.0, 1.0, 6.0, 1.0, 0.0, 0.5, 0.1])
+    raw = compute_all(y, ["peaks2"])
+    lim = compute_all(y, ["peaks2"], {"peaks2": {"doRatioLimit": True}})
+    assert "peakMeanMeanRatio" in raw and "minMeanMeanRatio" in raw
+    assert np.isclose(raw["peakMeanMeanRatio"],
+                      raw["peakMean"] / y.mean())
+    assert abs(lim["peakRangeRel"]) <= 1.0
+    assert abs(lim["mtmAmpMeanRel"]) <= 1.0
