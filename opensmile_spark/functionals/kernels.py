@@ -520,6 +520,57 @@ def _segment_runs_chx(x, Xval, segMinLng, maxNumSeg):
     return seg_lens
 
 
+def _segment_runs_old_buggy(x, Xval, mode, maxNumSeg):
+    """process_Seg{ChX,NonX,EqX}_oldBuggy (functionalSegments.cpp:415-540,
+    configs up to 2012-06-12, kept behind useOldBuggyChX): a 3-frame
+    running average compared for EXACT equality with X; segMinLng is
+    recomputed as N/maxNumSeg - 1 (>= 2) regardless of the option, and
+    lastSeg starts at -segMinLng/2 (C truncating division)."""
+    N = x.size
+    segMinLng = N // maxNumSeg - 1
+    if segMinLng < 2:
+        segMinLng = 2
+    ravgLng = 3
+    lastSeg = -(segMinLng // 2)
+    ravg = 0.0
+    raLast = 0.0
+    seg_lens = []
+
+    def add_segment(i, last):
+        if len(seg_lens) < maxNumSeg:
+            seg_lens.append(i - last)
+        return i
+
+    for i in range(N):
+        ravg += float(x[i])
+        if i >= ravgLng:
+            ravg -= float(x[i - ravgLng])
+        ra = ravg / float(min(i + 1, ravgLng))
+        if mode == "chX":
+            cross = (ra != Xval and raLast == Xval) or \
+                    (ra == Xval and raLast != Xval)
+            raLast = ra
+            if cross and i - lastSeg > segMinLng:
+                lastSeg = add_segment(i, lastSeg)
+        elif mode == "nonX":
+            seg_start = ra != Xval and raLast == Xval
+            seg_end = ra == Xval and raLast != Xval
+            raLast = ra
+            if seg_start:
+                lastSeg = i
+            if seg_end and i - lastSeg > segMinLng:
+                lastSeg = add_segment(i - 1, lastSeg)
+        else:  # eqX
+            seg_end = ra != Xval and raLast == Xval
+            seg_start = ra == Xval and raLast != Xval
+            raLast = ra
+            if seg_start:
+                lastSeg = i
+            if seg_end and i - lastSeg > segMinLng:
+                lastSeg = add_segment(i, lastSeg)
+    return seg_lens
+
+
 def _segment_runs(x, Xval, mode, segMinLng, pauseMinLng, maxNumSeg):
     """State machine transcription of process_SegNonX / process_SegEqX."""
     if mode == "chX":
@@ -574,12 +625,16 @@ def _segment_runs(x, Xval, mode, segMinLng, pauseMinLng, maxNumSeg):
 
 def f_segments(x, xsorted, xmin, xmax, xmean, timeNorm="segment", T=1.0,
                algorithm="nonX", X=0.0, XisRel=False,
-               segMinLng=3, pauseMinLng=2, maxNumSeg=20):
+               segMinLng=3, pauseMinLng=2, maxNumSeg=20,
+               useOldBuggyChX=False):
     N = x.size
     rng = xmax - xmin
     Xval = (xmin + rng * X) if XisRel else X
-    seg_lens = _segment_runs(x, Xval, algorithm, segMinLng, pauseMinLng,
-                             maxNumSeg)
+    if useOldBuggyChX:
+        seg_lens = _segment_runs_old_buggy(x, Xval, algorithm, maxNumSeg)
+    else:
+        seg_lens = _segment_runs(x, Xval, algorithm, segMinLng, pauseMinLng,
+                                 maxNumSeg)
     nSeg = len(seg_lens)
     sumLen = float(sum(seg_lens))
     maxLen = float(max(seg_lens)) if seg_lens else 0.0

@@ -353,3 +353,31 @@ def test_percentile_interp0_and_peaks2_ratio_outputs():
                       raw["peakMean"] / y.mean())
     assert abs(lim["peakRangeRel"]) <= 1.0
     assert abs(lim["mtmAmpMeanRel"]) <= 1.0
+
+
+def test_segments_old_buggy_variant():
+    """useOldBuggyChX: 3-frame running average + exact-equality threshold,
+    segMinLng recomputed as N/maxNumSeg-1 (>=2) — hand-traced on a binary
+    contour with long zero runs."""
+    import numpy as np
+
+    from opensmile_spark.functionals.kernels import compute_all
+
+    # 40 frames: zeros with two bursts of ones
+    x = np.zeros(40)
+    x[10:14] = 1.0
+    x[25:30] = 1.0
+    opts = {"segments": {"algorithm": "eqX", "X": 0.0,
+                         "useOldBuggyChX": True, "timeNorm": "frames"}}
+    out = compute_all(x, ["segments"], opts)
+    # eqX buggy: segments start when the 3-avg returns to EXACTLY 0 (i.e.
+    # 3 zeros after a burst) and end when it leaves 0; both bursts create
+    # detectable zero-segments between them
+    assert out["numSegments"] >= 1
+    assert out["meanSegLen"] > 2  # segMinLng = 40//20-1 -> min 2 enforced
+    # non-buggy on the same input differs (different algorithm entirely)
+    out2 = compute_all(x, ["segments"],
+                       {"segments": {"algorithm": "eqX", "X": 0.0,
+                                     "timeNorm": "frames"}})
+    assert out["numSegments"] != out2["numSegments"] or \
+        out["meanSegLen"] != out2["meanSegLen"]
