@@ -835,6 +835,16 @@ def q_egemaps_core(spark, sf_dir):
     )
 
 
+def q_median_smooth(spark, sf_dir):
+    """cPitchSmoother-style median filter (win=5, centered, shrinking
+    edges) — interpolated median == DuckDB windowed quantile_cont 0.5."""
+    from opensmile_spark.operators import median_smooth
+
+    out = median_smooth(_lld(spark, sf_dir), ["char_len"], 5)
+    return out.select("conv_id", "turn_idx",
+                      F.round("char_len_med5", 6).alias("char_len_med5"))
+
+
 def q_windowed_hamming(spark, sf_dir):
     """cWindower as a recency-weighted trailing smoother (hamming, L=5) —
     weights transcribed from smileDsp_winHam; SQL twin embeds the exact
@@ -2051,6 +2061,14 @@ WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
 
 _ORACLES["windowed_hamming"] = _windowed_hamming_oracle()
 
+_ORACLES["median_smooth"] = SQL_PREFIX + """
+SELECT conv_id, turn_idx,
+  ROUND(quantile_cont(char_len, 0.5) OVER (
+    PARTITION BY conv_id ORDER BY turn_idx
+    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS char_len_med5
+FROM lld
+"""
+
 _ORACLES["contour_direction"] = SQL_PREFIX + f"""
 , ml AS (
   SELECT conv_id, turn_idx,
@@ -2735,6 +2753,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mvn_pretrained": q_mvn_pretrained,
     "egemaps_core": q_egemaps_core,
     "windowed_hamming": q_windowed_hamming,
+    "median_smooth": q_median_smooth,
     "contour_direction": q_contour_direction,
     "plp_aud": q_plp_aud,
     "harmonics": q_harmonics,

@@ -3,6 +3,7 @@ from opensmile_spark.operators.windows import (  # noqa: F401
     clamped_lead,
     contour_direction,
     delta_regression,
+    median_smooth,
     preemphasis,
     sma,
     trailing_agg,

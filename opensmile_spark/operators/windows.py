@@ -236,3 +236,31 @@ def contour_direction(
         df.withColumn(f"{col}_direction", direction)
         .withColumn(f"{col}_dirscore", smean - lmean)
     )
+
+
+def median_smooth(
+    df: DataFrame,
+    cols: list[str],
+    win: int = 5,
+    partition_cols=("conv_id",),
+    order_col: str = "turn_idx",
+    suffix: str | None = None,
+) -> DataFrame:
+    """cPitchSmoother / cFormantSmoother median filtering analogue
+    (/root/reference/src/lldcore/pitchSmoother.cpp, lld/formantSmoother.cpp:
+    median smoothing of noisy contours): centered window of `win` frames
+    (shrinking at partition edges), interpolated median (mean of the two
+    middle order statistics for even counts — equals quantile_cont 0.5).
+    Built-in exprs only: collect_list window + sort_array + element_at."""
+    assert win % 2 == 1, "median window must be odd"
+    half = win // 2
+    w = _w(partition_cols, order_col).rowsBetween(-half, half)
+    out = df
+    suffix = suffix or f"_med{win}"
+    for c in cols:
+        arr = F.sort_array(F.collect_list(F.col(c)).over(w))
+        n = F.size(arr)
+        lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+        hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+        out = out.withColumn(c + suffix, (lo + hi) / 2.0)
+    return out
