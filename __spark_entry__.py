@@ -835,6 +835,16 @@ def q_egemaps_core(spark, sf_dir):
     )
 
 
+def q_turn_detector(spark, sf_dir):
+    """cTurnDetector hysteresis on the token_cnt 'energy': n_pre=2 to
+    open, n_post=2 to close; per-row turn labels."""
+    from opensmile_spark.operators import turn_detector
+
+    out = turn_detector(_lld(spark, sf_dir), "token_cnt", threshold=6.0,
+                        n_pre=2, n_post=2)
+    return out.select("conv_id", "turn_idx", "turn_id")
+
+
 def q_median_smooth(spark, sf_dir):
     """cPitchSmoother-style median filter (win=5, centered, shrinking
     edges) — interpolated median == DuckDB windowed quantile_cont 0.5."""
@@ -2061,6 +2071,35 @@ WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
 
 _ORACLES["windowed_hamming"] = _windowed_hamming_oracle()
 
+_ORACLES["turn_detector"] = SQL_PREFIX + """
+, act AS (
+  SELECT conv_id, turn_idx,
+    CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS i,
+    (token_cnt > 6.0) AS a
+  FROM lld
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), grp AS (
+  SELECT conv_id, i,
+    SUM(CASE WHEN prev_ai IS NULL OR i - prev_ai - 1 >= 2
+             THEN 1 ELSE 0 END)
+        OVER (PARTITION BY conv_id ORDER BY i) AS g
+  FROM (
+    SELECT conv_id, i,
+      lag(i) OVER (PARTITION BY conv_id ORDER BY i) AS prev_ai
+    FROM act WHERE a
+  )
+), valid AS (
+  SELECT conv_id, g,
+    CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY g) - 1
+         AS INTEGER) AS turn_id
+  FROM grp GROUP BY conv_id, g HAVING COUNT(*) >= 2
+)
+SELECT a.conv_id, a.turn_idx, v.turn_id
+FROM act a
+LEFT JOIN grp gr ON gr.conv_id = a.conv_id AND gr.i = a.i
+LEFT JOIN valid v ON v.conv_id = a.conv_id AND v.g = gr.g
+"""
+
 _ORACLES["median_smooth"] = SQL_PREFIX + """
 SELECT conv_id, turn_idx,
   ROUND(quantile_cont(char_len, 0.5) OVER (
@@ -2754,6 +2793,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "egemaps_core": q_egemaps_core,
     "windowed_hamming": q_windowed_hamming,
     "median_smooth": q_median_smooth,
+    "turn_detector": q_turn_detector,
     "contour_direction": q_contour_direction,
     "plp_aud": q_plp_aud,
     "harmonics": q_harmonics,

@@ -13,7 +13,9 @@ from opensmile_spark.operators.windower import (  # noqa: F401
     weighted_sma,
     window_weights,
 )
-from opensmile_spark.operators.sessionize import sessionize, session_bounds  # noqa: F401
+from opensmile_spark.operators.sessionize import (  # noqa: F401
+    session_bounds, sessionize, turn_detector,
+)
 from opensmile_spark.operators.asof import asof_join, backfill_functionals  # noqa: F401
 from opensmile_spark.operators.select import (  # noqa: F401
     data_selector,

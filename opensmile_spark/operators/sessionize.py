@@ -74,3 +74,54 @@ def session_bounds(
         F.max(ts_col).alias("session_end"),
         F.count("*").alias("n_turns"),
     )
+
+
+def turn_detector(
+    df: DataFrame,
+    energy_col: str,
+    threshold: float = 0.0,
+    n_pre: int = 2,
+    n_post: int = 2,
+    partition_cols=("conv_id",),
+    order_col: str = "turn_idx",
+    out_col: str = "turn_id",
+) -> DataFrame:
+    """cTurnDetector hysteresis (/root/reference/src/dspcore/turnDetector.cpp:
+    35-72): a turn opens after `n_pre` above-threshold frames and closes
+    after `n_post` below-threshold frames. Equivalently (the frameMode=var
+    automaton): a turn is a maximal group of above-threshold frames whose
+    internal below-threshold gaps are < n_post, valid when it contains
+    >= n_pre above-threshold frames. Window expressions only: gap-group the
+    active frames, count per group, label member rows (inactive / invalid
+    rows get null). One shuffle on the (conv, order) window the LLD chain
+    already uses."""
+    w = Window.partitionBy(*partition_cols).orderBy(order_col)
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    active = F.col(energy_col) > threshold
+    # index within conv + previous-active index via last-non-null
+    idx = F.row_number().over(w) - 1
+    d = df.withColumn("__i", idx)
+    prev_act = F.last(F.when(active, F.col("__i")), ignorenulls=True) \
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    new_grp = F.when(
+        active & (prev_act.isNull()
+                  | (F.col("__i") - prev_act - 1 >= n_post)), 1).otherwise(0)
+    d = d.withColumn("__grp",
+                     F.when(active, F.sum(new_grp).over(cum)).otherwise(None))
+    wg = Window.partitionBy(*partition_cols, "__grp")
+    n_active = F.count(F.when(active, 1)).over(wg)
+    d = d.withColumn(
+        out_col,
+        F.when(F.col("__grp").isNotNull() & (n_active >= n_pre),
+               (F.col("__grp") - 1).cast("int")).otherwise(None),
+    )
+    # re-number valid turns densely per conv (invalid groups leave gaps);
+    # nulls sort last so the first valid turn ranks 1 -> id 0
+    wd = Window.partitionBy(*partition_cols) \
+        .orderBy(F.col(out_col).asc_nulls_last())
+    d = d.withColumn(
+        out_col,
+        F.when(F.col(out_col).isNotNull(),
+               (F.dense_rank().over(wd) - 1).cast("int")),
+    )
+    return d.drop("__i", "__grp")

@@ -43,3 +43,28 @@ def test_session_bounds(spark):
 def test_single_turn_conv(spark):
     out = sessionize(make_conv(spark, "s", [42.0]), gap_seconds=300.0)
     assert [r["session_id"] for r in out.collect()] == [0]
+
+
+def test_turn_detector_hysteresis(spark):
+    """cTurnDetector: n_pre frames above threshold to open, n_post below to
+    close — hand-traced: an isolated single spike (< n_pre) is no turn; a
+    short internal dip (< n_post) does not split a turn; a long dip does."""
+    from pyspark.sql import functions as F
+
+    from opensmile_spark.operators import turn_detector
+    from tests.conftest import make_conv
+
+    #        0  1  2  3  4  5  6  7  8  9 10 11 12 13 14 15
+    vals = [0, 5, 0, 0, 5, 5, 0, 5, 5, 0, 0, 0, 5, 5, 5, 0]
+    df = make_conv(spark, "a", [float(v) for v in vals])
+    out = turn_detector(df, "x", threshold=1.0, n_pre=2, n_post=2) \
+        .orderBy("turn_idx").collect()
+    ids = [r["turn_id"] for r in out]
+    # spike at 1: alone (gaps >= 2 both sides), 1 frame < n_pre -> no turn
+    assert ids[1] is None
+    # 4,5 + single-dip 6 + 7,8: one group of 4 active frames -> turn 0
+    assert ids[4] == ids[5] == ids[7] == ids[8] == 0
+    assert ids[6] is None            # inactive frame inside the turn
+    # 12,13,14 after a 3-frame gap (>= n_post) -> new turn 1
+    assert ids[12] == ids[13] == ids[14] == 1
+    assert ids[0] is None and ids[15] is None
