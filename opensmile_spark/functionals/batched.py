@@ -44,18 +44,145 @@ def _seg_sum(v, starts):
     return np.add.reduceat(v, starts)
 
 
-EXPANDING_FAMILIES = {"means", "extremes"}
+EXPANDING_FAMILIES = {"means", "extremes", "moments", "regression"}
+
+# outputs of an expanding family that are NOT prefix-expressible: per-window
+# mean |residual| needs the fitted line/parabola of THAT window applied to
+# every element, so these two keys keep the bounded-gather path while the
+# rest of the regression family runs O(N + A)
+EXPANDING_UNSUPPORTED_KEYS = {"linregerrA", "qregerrA"}
+
+# ---------------------------------------------------------------------------
+# exact expanding-window central statistics: blocked two-pass + Chan merge.
+#
+# Central moments over every prefix x[0:h] cannot use raw-moment expansion
+# (module discipline above) and a per-element Welford scan is a Python loop.
+# Instead: split the series into blocks of B, compute each block's central
+# stats EXACTLY (two-pass, vectorized), cumulate blocks with Chan/Pébay
+# parallel combines (N/B-step Python loop over scalars), then for each
+# anchor h merge cum-stats of the h//B full blocks with the exact two-pass
+# stats of the <=B-element remainder (vectorized across anchors). Work is
+# O(N + A*B + N/B); every sum is centered — the same discipline as the
+# salted combine in operators/salt.py:82-123.
+# ---------------------------------------------------------------------------
+
+_CHAN_B = 256
+
+
+def _chan_merge(sa, sb, names, m34, pairs):
+    """Chan/Pébay parallel combine of central-stat dicts (vectorized or
+    scalar): n, ("mean", c), ("M2", c) per col; ("M3"/"M4", c) for m34 cols;
+    ("C", a, b) co-moments per pair. Empty sides (n == 0) must carry zeros —
+    the formulas then reduce to the other side exactly."""
+    na, nb = sa["n"], sb["n"]
+    n = na + nb
+    safe = np.where(n > 0, n, 1.0)
+    out = {"n": n}
+    delta = {c: sb[("mean", c)] - sa[("mean", c)] for c in names}
+    for c in names:
+        out[("mean", c)] = sa[("mean", c)] + delta[c] * nb / safe
+    for c in m34:
+        d = delta[c]
+        M2a, M2b = sa[("M2", c)], sb[("M2", c)]
+        M3a, M3b = sa[("M3", c)], sb[("M3", c)]
+        out[("M4", c)] = (
+            sa[("M4", c)] + sb[("M4", c)]
+            + d ** 4 * na * nb * (na * na - na * nb + nb * nb) / safe ** 3
+            + 6.0 * d * d * (na * na * M2b + nb * nb * M2a) / safe ** 2
+            + 4.0 * d * (na * M3b - nb * M3a) / safe)
+        out[("M3", c)] = (
+            M3a + M3b + d ** 3 * na * nb * (na - nb) / safe ** 2
+            + 3.0 * d * (na * M2b - nb * M2a) / safe)
+    for c in names:
+        out[("M2", c)] = (sa[("M2", c)] + sb[("M2", c)]
+                          + delta[c] ** 2 * na * nb / safe)
+    for a, b in pairs:
+        out[("C", a, b)] = (sa[("C", a, b)] + sb[("C", a, b)]
+                            + delta[a] * delta[b] * na * nb / safe)
+    return out
+
+
+def _two_pass_stats(cols, starts, sizes, names, m34, pairs):
+    """Exact central stats of the (non-empty) segments [starts[i],
+    starts[i]+sizes[i]) of the concatenated arrays in `cols`."""
+    st = {"n": sizes.astype(np.float64)}
+    centered = {}
+    for c in names:
+        v = cols[c]
+        mu = np.add.reduceat(v, starts) / st["n"]
+        st[("mean", c)] = mu
+        d = v - np.repeat(mu, sizes)
+        centered[c] = d
+        d2 = d * d
+        st[("M2", c)] = np.add.reduceat(d2, starts)
+        if c in m34:
+            st[("M3", c)] = np.add.reduceat(d2 * d, starts)
+            st[("M4", c)] = np.add.reduceat(d2 * d2, starts)
+    for a, b in pairs:
+        st[("C", a, b)] = np.add.reduceat(centered[a] * centered[b], starts)
+    return st
+
+
+def _expanding_stats(cols, his, m34=(), pairs=(), B=_CHAN_B):
+    """Exact central stats over every prefix x[0:h], h in his (h >= 1)."""
+    names = list(cols)
+    n = next(iter(cols.values())).size
+    nb = (n + B - 1) // B
+    bstarts = (np.arange(nb) * B).astype(np.int64)
+    bsizes = np.minimum(bstarts + B, n) - bstarts
+    blk = _two_pass_stats(cols, bstarts, bsizes, names, m34, pairs)
+
+    keys = [k for k in blk if k != "n"]
+    cum = {k: np.zeros(nb + 1) for k in keys}
+    cum["n"] = np.zeros(nb + 1)
+    run = {k: 0.0 for k in keys}
+    run["n"] = 0.0
+    for i in range(nb):
+        sb = {k: blk[k][i] for k in blk}
+        run = _chan_merge(run, sb, names, m34, pairs)
+        for k in run:
+            cum[k][i + 1] = run[k]
+
+    his = np.asarray(his, dtype=np.int64)
+    kk = his // B
+    rr = his - kk * B
+    A = his.size
+    rem = {k: np.zeros(A) for k in keys}
+    rem["n"] = rr.astype(np.float64)
+    nz = np.flatnonzero(rr > 0)
+    if nz.size:
+        sizes = rr[nz]
+        starts_out = np.zeros(nz.size, dtype=np.int64)
+        starts_out[1:] = np.cumsum(sizes)[:-1]
+        gather = (np.arange(int(sizes.sum()), dtype=np.int64)
+                  + np.repeat(kk[nz] * B - starts_out, sizes))
+        gcols = {c: cols[c][gather] for c in names}
+        rs = _two_pass_stats(gcols, starts_out, sizes, names, m34, pairs)
+        for k in keys:
+            rem[k][nz] = rs[k]
+    sa = {k: cum[k][kk] for k in cum}
+    return _chan_merge(sa, rem, names, m34, pairs)
 
 
 def compute_expanding(x: np.ndarray, his: np.ndarray,
                       families, options=None) -> dict[str, np.ndarray]:
     """Expanding-window functionals: window j = x[0:his[j]] (his >= 1,
-    ascending not required). O(N + A) prefix scans instead of the O(sum his)
-    gather — the difference between linear and quadratic work for
-    point-in-time backfills with unbounded lookback. Only the families
-    whose kernel formulas are pure raw sums / running extrema are supported
-    (EXPANDING_FAMILIES); centered/moment/order-statistics families need
-    the gather path. Same output names and formulas as kernels.py."""
+    ascending not required). O(N + A*B) prefix/blocked scans instead of the
+    O(sum his) gather — the difference between linear and quadratic work
+    for point-in-time backfills with unbounded lookback.
+
+    means/extremes are pure raw sums / running extrema (plain prefix
+    scans); moments and regression use the exact blocked-Chan central-stat
+    machinery above (variance/skew/kurtosis from centered M2/M3/M4;
+    regression coefficients and quadratic errors from centered co-moments
+    Cuy/Cvy/Cuv with u=i, v=i^2 — valid because every expanding window
+    shares origin 0, so the regressors are global prefixes too). The two
+    mean-|residual| outputs (EXPANDING_UNSUPPORTED_KEYS) are irreducibly
+    per-window and are NOT returned — the caller routes them to the gather.
+    Order-statistics families (percentiles) need the gather path. Same
+    output names, guards, and formulas as kernels.py f_moments /
+    f_regression (functionalRegression.cpp:219-246 closed forms expressed
+    via the algebraically-identical centered normal equations)."""
     options = options or {}
     if not (np.asarray(his) >= 1).all():
         raise ValueError("compute_expanding: windows must be non-empty")
@@ -152,6 +279,82 @@ def compute_expanding(x: np.ndarray, his: np.ndarray,
             out["amean"] = mean
         out["maxameandist"] = gmax - mean
         out["minameandist"] = mean - gmin
+
+    if "moments" in families or "regression" in families:
+        scols = {"y": x}
+        m34 = ("y",) if "moments" in families else ()
+        pairs = []
+        if "regression" in families:
+            u = np.arange(n, dtype=np.float64)
+            scols["u"] = u
+            scols["v"] = u * u
+            pairs = [("u", "y"), ("v", "y"), ("u", "v")]
+        st = _expanding_stats(scols, his, m34=m34, pairs=pairs)
+
+    if "moments" in families:
+        m2 = st[("M2", "y")] / N
+        sqm2 = np.where(m2 > 0, np.sqrt(np.where(m2 > 0, m2, 1.0)), 0.0)
+        m3 = st[("M3", "y")]
+        m4 = st[("M4", "y")]
+        out["variance"] = m2
+        out["stddev"] = sqm2
+        d3 = N * m2 * sqm2
+        d4 = N * m2 * m2
+        out["skewness"] = np.where(d3 > 0, m3 / np.where(d3 > 0, d3, 1.0), 0.0)
+        out["kurtosis"] = np.where(d4 > 0, m4 / np.where(d4 > 0, d4, 1.0), 0.0)
+        mean = st[("mean", "y")]
+        if "amean" not in out:
+            out["amean"] = mean
+        mean1 = np.where(mean != 0.0, mean, 1.0)
+        out["stddevNorm"] = np.where(m2 > 0, sqm2 / mean1, 0.0)
+        amean1 = np.where(mean != 0.0, np.abs(mean), 1.0)
+        out["coeffOfVariation"] = np.where(m2 > 0, sqm2 / amean1, 0.0)
+
+    if "regression" in families:
+        mean_y = st[("mean", "y")]
+        mean_u = st[("mean", "u")]
+        mean_v = st[("mean", "v")]
+        M2u, M2v, M2y = st[("M2", "u")], st[("M2", "v")], st[("M2", "y")]
+        Cuy, Cvy, Cuv = (st[("C", "u", "y")], st[("C", "v", "y")],
+                         st[("C", "u", "v")])
+        multi = N > 1
+        x0 = x[0] if n else 0.0
+        safeM2u = np.where(M2u > 0, M2u, 1.0)
+        m = np.where(multi & (M2u > 0), Cuy / safeM2u, 0.0)
+        t = np.where(multi, mean_y - m * mean_u, x0)
+        # SSE at the LS optimum (= kernel residual pass to 2nd order in eps)
+        leq = np.where(multi, np.maximum(M2y - m * Cuy, 0.0) / N, 0.0)
+        # quadratic 2x2 centered normal equations; det is a pure function of
+        # N: exactly 0 for N == 2 (the kernel's closed-form det is exactly 0
+        # there too -> a=b=c=0), strictly positive for N >= 3
+        det = M2u * M2v - Cuv * Cuv
+        det_ok = multi & (N > 2) & (det > 0)
+        safed = np.where(det_ok, det, 1.0)
+        b = np.where(det_ok, (Cuy * M2v - Cvy * Cuv) / safed, 0.0)
+        a = np.where(det_ok, (Cvy * M2u - Cuy * Cuv) / safed, 0.0)
+        c = np.where(multi,
+                     np.where(det_ok, mean_y - a * mean_v - b * mean_u, 0.0),
+                     x0)
+        # residual vs the zero-fit (a=b=c=0) when the kernel emits zeros
+        qeq = np.where(
+            det_ok, np.maximum(M2y - b * Cuy - a * Cvy, 0.0) / N,
+            np.where(multi, M2y / N + mean_y * mean_y, 0.0))
+        asum = N * mean_y
+        num = Cuy + N * mean_u * mean_y
+        centroid = np.where(asum != 0.0,
+                            num / np.where(asum != 0.0, asum, 1.0), 0.0)
+
+        def fin(v):
+            return np.where(np.isfinite(v), v, 0.0)
+
+        out["linregc1"] = fin(m)
+        out["linregc2"] = fin(t)
+        out["linregerrQ"] = fin(leq)
+        out["qregc1"] = fin(a)
+        out["qregc2"] = fin(b)
+        out["qregc3"] = fin(c)
+        out["qregerrQ"] = fin(qeq)
+        out["centroid"] = fin(centroid)
 
     return out
 

@@ -121,7 +121,7 @@ def backfill_functionals(
 
     from opensmile_spark.functionals.batched import (
         BATCHED_FAMILIES, BATCHED_SUPPORTED_OPTIONS, EXPANDING_FAMILIES,
-        compute_batched, compute_expanding,
+        EXPANDING_UNSUPPORTED_KEYS, compute_batched, compute_expanding,
     )
 
     families = families or ["means", "moments", "extremes", "percentiles",
@@ -141,8 +141,12 @@ def backfill_functionals(
         if f in BATCHED_FAMILIES
         and set(options.get(f, {})) <= BATCHED_SUPPORTED_OPTIONS[f]
     ]
-    # raw-sum families on EXPANDING windows (no trailing bound) take the
-    # O(N + A) prefix-scan path — linear, not O(sum of window sizes)
+    # sum/central-stat families on EXPANDING windows (no trailing bound)
+    # take the O(N + A) prefix/blocked-Chan path — linear, not O(sum of
+    # window sizes). Routing is per OUTPUT KEY: the two mean-|residual|
+    # regression outputs (EXPANDING_UNSUPPORTED_KEYS) are irreducibly
+    # per-window, so their family additionally joins the bounded gather,
+    # which then fills ONLY those keys.
     exp_fams = [f for f in batched_fams if f in EXPANDING_FAMILIES] \
         if window_seconds is None else []
     gather_fams = [f for f in batched_fams if f not in exp_fams]
@@ -152,8 +156,15 @@ def backfill_functionals(
         sample = compute_all(np.arange(1.0, 9.0), [fam], options)
         src = ("exp" if fam in exp_fams else
                "batched" if fam in batched_fams else "loop")
+        residual = False
         for k in sample:
-            key_src.setdefault(k, src)
+            if src == "exp" and k in EXPANDING_UNSUPPORTED_KEYS:
+                key_src.setdefault(k, "batched")
+                residual = True
+            else:
+                key_src.setdefault(k, src)
+        if residual and fam not in gather_fams:
+            gather_fams.append(fam)
 
     def kernel(key, ldf, adf):
         if adf.empty:

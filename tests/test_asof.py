@@ -89,6 +89,25 @@ def test_backfill_bounded_trailing_window(spark):
     assert r["x_amean"] == 6.0
 
 
+def test_backfill_regression_split_routing(spark):
+    """families=['regression'] on an unbounded grid: coefficient/errQ/
+    centroid keys come from the O(N+A) prefix path, the two |residual|
+    means from the gather — every output must equal the per-window kernel,
+    including the N=1 and N=2 guard windows."""
+    t0 = 1_704_067_200.0
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    lld = make_conv(spark, "c", vals, gap_s=10.0)
+    anchors = _anchors(spark, "c", [t0 + 10.0 * j for j in range(len(vals))])
+    out = backfill_functionals(lld, anchors, ["x"], families=["regression"])
+    rows = sorted(out.collect(), key=lambda r: r["anchor_ts"])
+    for j, r in enumerate(rows):
+        assert r["n_visible"] == j + 1
+        want = compute_all(np.array(vals[: j + 1]), ["regression"])
+        for k, v in want.items():
+            assert np.isclose(r[f"x_{k}"], v, rtol=1e-9, atol=1e-12), \
+                (j, k, r[f"x_{k}"], v)
+
+
 def test_asof_multi_conv_no_crosstalk(spark):
     t0 = 1_704_067_200.0
     a = make_conv(spark, "a", [1.0])

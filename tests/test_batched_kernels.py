@@ -215,3 +215,47 @@ def test_expanding_equals_pergroup(seed):
         for k, v in want.items():
             got = float(ex[k][gi])
             assert np.isclose(got, v, rtol=1e-9, atol=1e-12), (h, k, got, v)
+
+
+@pytest.mark.parametrize("case", ["randn", "epoch_offset", "constant",
+                                  "linear", "quadratic", "drift"])
+def test_expanding_moments_regression_equals_pergroup(case):
+    """Blocked-Chan expanding path == per-window kernel for moments and
+    regression (all keys except the gather-routed |residual| means),
+    including the classic killers of raw-moment expansion: epoch-scale
+    offsets, constant prefixes, exactly-(anti)fitting contours, and slow
+    drift. Spans several Chan blocks (N > 3*B) and pins N=1/N=2 guards."""
+    from opensmile_spark.functionals.batched import (
+        EXPANDING_UNSUPPORTED_KEYS, compute_expanding)
+
+    rng = np.random.RandomState(7)
+    n = 900                                    # > 3 blocks of 256
+    i = np.arange(n, dtype=np.float64)
+    x = {
+        "randn": rng.randn(n) * 10,
+        # 1.7e9-scale mean, unit variance: raw expansion loses ~all digits
+        "epoch_offset": 1.7e9 + rng.randn(n),
+        "constant": np.full(n, 123.25),
+        "linear": 3.0 * i - 40.0,              # linreg residuals exactly 0
+        "quadratic": 0.5 * i * i - 2.0 * i + 7.0,   # qreg residuals 0
+        "drift": 1e4 + np.cumsum(rng.randn(n)),
+    }[case]
+    his = np.unique(np.concatenate([
+        np.array([1, 2, 3, 4]), rng.randint(1, n + 1, 50), np.array([n])]))
+    fams = ["moments", "regression"]
+    ex = compute_expanding(x, his, fams)
+    for gi, h in enumerate(his):
+        want = compute_all(x[:h], fams)
+        scale = max(abs(float(x[:h].max())), abs(float(x[:h].min())), 1.0)
+        for k, v in want.items():
+            if k in EXPANDING_UNSUPPORTED_KEYS:
+                assert k not in ex
+                continue
+            got = float(ex[k][gi])
+            # errQ keys compare the LS-optimum SSE against the kernel's
+            # residual pass: identical to 2nd order, so the absolute floor
+            # scales with eps * value^2
+            atol = 1e-13 * scale * scale if k.endswith("errQ") \
+                else 1e-9 * scale
+            assert np.isclose(got, v, rtol=1e-8, atol=atol), \
+                (case, h, k, got, v)
