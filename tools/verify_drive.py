@@ -1,0 +1,117 @@
+"""Drive the library surface end-to-end (the .claude/skills/verify recipe).
+
+Flows (see .claude/skills/verify/SKILL.md):
+  1. transcripts -> LLD -> sma/delta -> sessionize -> functionals via BOTH
+     the kernel and the SQL path; assert allclose on shared columns.
+  2. Leakage probe: first-ts anchors see exactly 1 turn; perturbing every
+     future row leaves anchor features bit-identical.
+  3. asof_join tie semantics (default visible, strict invisible).
+  4. Single-turn conversation through the FULL kernel family list.
+  5. __spark_entry__.entry() runs and returns rows.
+  6. Multimodal: real WAV synth -> decode -> features -> ANN top-k.
+
+Usage: python tools/verify_drive.py   (exits nonzero on any failure)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import pyspark.sql.functions as F
+
+    from opensmile_spark import get_spark
+
+    spark = get_spark("verify", master="local[8]", shuffle_partitions=8)
+    sf = "/root/testdata/sf0.001"
+    ok = True
+
+    def check(name, cond):
+        nonlocal ok
+        print(f"STEP {name}: {'OK' if cond else 'FAIL'}")
+        ok = ok and bool(cond)
+
+    from opensmile_spark.functionals import functionals_kernel, functionals_sql
+    from opensmile_spark.lld import compute_lld
+    from opensmile_spark.operators import (
+        asof_join, backfill_functionals, delta_regression, sessionize, sma,
+    )
+    from opensmile_spark.transcripts import transcripts_from_events
+
+    t = transcripts_from_events(spark, sf)
+    lld = compute_lld(t)
+    lld2 = sessionize(
+        delta_regression(sma(lld, ["char_len"], 3), ["char_len"], 2),
+        gap_seconds=43200.0)
+    fk = functionals_kernel(
+        lld2, ["char_len"], ("conv_id",),
+        families=["means", "moments", "percentiles", "regression"],
+    ).toPandas().set_index("conv_id").sort_index()
+    fs = functionals_sql(lld2, ["char_len"]) \
+        .toPandas().set_index("conv_id").sort_index()
+    shared = [c for c in fk.columns if c in fs.columns and c != "n_turns"]
+    check("1 kernel-vs-sql allclose", len(shared) > 10 and all(
+        np.allclose(fk[c].astype(float), fs[c].astype(float),
+                    rtol=1e-8, atol=1e-10) for c in shared))
+
+    first = lld.groupBy("conv_id").agg(F.min("ts").alias("anchor_ts"))
+    fams = ["means", "moments", "regression"]
+    bf = backfill_functionals(lld, first, ["char_len"], families=fams)
+    nv = sorted(r[0] for r in bf.select("n_visible").distinct().collect())
+    base = bf.orderBy("conv_id").toPandas()
+    pert = lld.withColumn(
+        "char_len",
+        F.when(F.col("turn_idx") > 0, F.col("char_len") + 1000.0)
+        .otherwise(F.col("char_len")))
+    bf2 = backfill_functionals(pert, first, ["char_len"], families=fams) \
+        .orderBy("conv_id").toPandas()
+    cols = [c for c in base.columns if c.startswith("char_len_")]
+    check("2 zero leakage", nv == [1] and all(
+        (base[c].fillna(-1).values == bf2[c].fillna(-1).values).all()
+        for c in cols))
+
+    anchors = lld.select("conv_id", F.col("ts").alias("anchor_ts")).limit(200)
+    d = asof_join(anchors, lld.select("conv_id", "ts", "char_len"),
+                  value_cols=["char_len"])
+    ds = asof_join(first, lld.select("conv_id", "ts", "char_len"),
+                   value_cols=["char_len"], strict=True)
+    check("3 asof ties", d.filter(F.col("char_len").isNull()).count() == 0
+          and ds.filter(F.col("char_len").isNotNull()).count() == 0)
+
+    one = lld.filter(F.col("turn_idx") == 0).limit(3)
+    fam_all = ["means", "moments", "extremes", "percentiles", "regression",
+               "crossings", "times", "onset", "segments", "peaks", "peaks2",
+               "samples", "dct", "lpc", "lsp", "acf", "amdf", "modulation"]
+    f1 = functionals_kernel(one, ["char_len"], ("conv_id",), families=fam_all)
+    check("4 N=1 full families", f1.count() == 3)
+
+    import __spark_entry__ as e
+    check("5 entry()", e.entry(spark).count() > 0)
+
+    from opensmile_spark.multimodal import (
+        extract_media_features, synthetic_media,
+    )
+    from opensmile_spark.similarity import cosine_topk
+
+    media = synthetic_media(spark, n=24, real_audio=True) \
+        .filter(F.col("kind") == "audio")
+    feats = extract_media_features(media, n_features=8, fake=False)
+    emb = feats.select(
+        F.col("media_id").alias("vec_id"),
+        F.array(*[F.col(f"feat_{i}") for i in range(8)]).alias("embedding"))
+    top = cosine_topk(emb, emb.limit(1), k=3)
+    check("6 media->decode->ANN", top.count() == 3)
+
+    spark.stop()
+    print("VERIFY " + ("PASS" if ok else "FAIL"))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
