@@ -251,56 +251,39 @@ def lsh_topk(
     )
 
 
-def ivf_topk(
-    index: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    n_centroids: int = 16,
-    n_probe: int = 4,
-    seed: int = 42,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF (inverted-file) ANN top-k — the coarse-quantizer scale path
-    complementing the LSH one: k-means centroids partition the index; each
-    query probes its `n_probe` nearest centroids and exact-rescans only
-    those cells (expected candidate fraction ~ n_probe/n_centroids).
-
-    Spark-first mechanics: Spark ML KMeans (seeded, deterministic) trains
-    the codebook; cell assignment is one model.transform pass over the
-    index (at production scale the assignment is written once as a
-    partition column — partition pruning then makes each probe a selective
-    scan); query->cell probing is a broadcast join against the tiny
-    centroid table; candidates get exact cosine + window top-k, so like
-    the LSH path the approximation lives ONLY in candidate generation."""
-    import numpy as np
-
+def _ivf_fit(index: DataFrame, n_centroids: int, seed: int, vec_col: str,
+             fit_fraction: float | None):
+    """Fit the IVF codebook on a SAMPLE of the index — Spark ML KMeans is
+    iterative full scans, so at production scale it must never see the
+    whole table. fit_fraction=None targets ~200 samples per centroid (one
+    count job to size the fraction); 1.0 forces a full fit (tests)."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     idx = index.withColumn("__fv", array_to_vector(F.col(vec_col)))
+    fit_input = idx.select("__fv")
+    if fit_fraction is None:
+        n = index.count()
+        fit_fraction = min(1.0, (200.0 * n_centroids) / max(n, 1))
+    if fit_fraction < 1.0:
+        fit_input = fit_input.sample(fraction=fit_fraction, seed=seed)
     km = KMeans(k=n_centroids, seed=seed, featuresCol="__fv",
                 predictionCol="__cell")
-    model = km.fit(idx.select("__fv"))
-    assigned = model.transform(idx).select(
-        F.col(id_col).alias("item_id"),
-        F.col(vec_col).alias("i_vec"),
-        F.col("__cell"),
-    )
+    model = km.fit(fit_input)
+    return idx, model
 
-    # tiny centroid table -> broadcast; per query: n_probe nearest cells
-    cents = [(ci, [float(x) for x in c])
-             for ci, c in enumerate(model.clusterCenters())]
-    spark = index.sparkSession
-    cent_df = spark.createDataFrame(
-        cents, f"__cell int, c_vec array<double>")
+
+def _ivf_probes(queries: DataFrame, cent_df: DataFrame, n_probe: int,
+                id_col: str, vec_col: str) -> DataFrame:
+    """Per query: the n_probe nearest centroids (broadcast of the tiny
+    centroid table, deterministic ties)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     d2 = F.aggregate(
         F.zip_with("q_vec", "c_vec",
                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
         F.lit(0.0), lambda a, v: a + v)
-    probes = (
+    return (
         q.crossJoin(F.broadcast(cent_df))
         .withColumn("__d2", d2)
         .withColumn("__r", F.row_number().over(
@@ -309,6 +292,9 @@ def ivf_topk(
         .filter(F.col("__r") <= n_probe)
         .select("query_id", "q_vec", "__cell")
     )
+
+
+def _ivf_rescore(assigned: DataFrame, probes: DataFrame, k: int) -> DataFrame:
     cand = assigned.join(F.broadcast(probes), "__cell") \
         .filter(F.col("item_id") != F.col("query_id"))
     scored = cand.withColumn(
@@ -323,6 +309,100 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "item_id", "cosine", "rank")
     )
+
+
+def ivf_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_fraction: float | None = 1.0,
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k — the coarse-quantizer scale path
+    complementing the LSH one: k-means centroids partition the index; each
+    query probes its `n_probe` nearest centroids and exact-rescans only
+    those cells (expected candidate fraction ~ n_probe/n_centroids).
+
+    Spark-first mechanics: Spark ML KMeans (seeded, deterministic) trains
+    the codebook on a SAMPLE (fit_fraction; None auto-sizes to ~200 points
+    per centroid — never iterate the full table); cell assignment is one
+    model.transform pass over the index. This in-memory form re-assigns per
+    call — the production layout is ivf_build/ivf_probe, which persists the
+    assignment as a partition column so each probe is a partition-pruned
+    selective scan. Query->cell probing is a broadcast join against the
+    tiny centroid table; candidates get exact cosine + window top-k, so
+    like the LSH path the approximation lives ONLY in candidate
+    generation."""
+    idx, model = _ivf_fit(index, n_centroids, seed, vec_col, fit_fraction)
+    assigned = model.transform(idx).select(
+        F.col(id_col).alias("item_id"),
+        F.col(vec_col).alias("i_vec"),
+        F.col("__cell"),
+    )
+    cents = [(ci, [float(x) for x in c])
+             for ci, c in enumerate(model.clusterCenters())]
+    cent_df = index.sparkSession.createDataFrame(
+        cents, "__cell int, c_vec array<double>")
+    probes = _ivf_probes(queries, cent_df, n_probe, id_col, vec_col)
+    return _ivf_rescore(assigned, probes, k)
+
+
+def ivf_build(
+    index: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_fraction: float | None = None,
+) -> None:
+    """Build the PERSISTED IVF layout — the production form: fit the
+    codebook on a sample (never the full index), assign every vector its
+    cell once, and write the index `partitionBy("__cell")` plus the tiny
+    centroid table next to it. Probing then reads only the probed cell
+    directories: Spark's static partition pruning turns every query batch
+    into a selective scan of ~n_probe/n_centroids of the data — the
+    Iceberg/Hive-layout answer to an ANN index at 100 TB (demonstrated by
+    tools/plan_audit.py: PartitionFilters on __cell, inputFiles strictly
+    below the unpruned scan)."""
+    idx, model = _ivf_fit(index, n_centroids, seed, vec_col, fit_fraction)
+    assigned = model.transform(idx).select(
+        F.col(id_col).alias("item_id"),
+        F.col(vec_col).alias("i_vec"),
+        F.col("__cell"),
+    )
+    assigned.write.mode("overwrite").partitionBy("__cell") \
+        .parquet(f"{path}/index")
+    cents = [(ci, [float(x) for x in c])
+             for ci, c in enumerate(model.clusterCenters())]
+    index.sparkSession.createDataFrame(
+        cents, "__cell int, c_vec array<double>") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF layout (ivf_build): per query the n_probe
+    nearest cells, then an index scan filtered to `__cell IN (probed)` —
+    a PARTITION-PRUNED read (the probed-cell set is tiny driver metadata),
+    exact cosine + window top-k on the candidates."""
+    cent_df = spark.read.parquet(f"{path}/centroids")
+    probes = _ivf_probes(queries, cent_df, n_probe, id_col, vec_col)
+    cells = [int(r[0]) for r in probes.select("__cell").distinct().collect()]
+    assigned = spark.read.parquet(f"{path}/index") \
+        .filter(F.col("__cell").isin(cells))
+    return _ivf_rescore(assigned, probes, k)
 
 
 def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",

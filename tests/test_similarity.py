@@ -179,6 +179,47 @@ def test_ivf_topk_recall_and_exact_scores(spark, emb):
         assert np.allclose(merged.cosine_ivf, merged.cosine_exact)
 
 
+def test_ivf_persisted_layout_sample_fit(spark, emb, tmp_path):
+    """Production IVF form: sample-fit codebook (never the full index) +
+    partitionBy(__cell) persisted layout; ivf_probe must read a PRUNED
+    subset of the cell directories and keep the in-memory path's recall."""
+    from opensmile_spark.similarity import cosine_topk, ivf_build, ivf_probe
+
+    path = str(tmp_path / "ivf")
+    ivf_build(emb, path, n_centroids=8, fit_fraction=0.5)
+
+    # the persisted layout is physically partitioned by cell
+    import os
+    cells = [d for d in os.listdir(f"{path}/index")
+             if d.startswith("__cell=")]
+    assert len(cells) == 8
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = ivf_probe(spark, path, queries, k=10, n_probe=4).toPandas()
+    exact = cosine_topk(emb, queries, k=10).toPandas()
+    recalls = []
+    for qid, grp in exact.groupby("query_id"):
+        truth = set(grp.item_id)
+        found = set(got[got.query_id == qid].item_id)
+        recalls.append(len(truth & found) / len(truth))
+    assert np.mean(recalls) > 0.5, recalls
+    merged = got.merge(exact, on=["query_id", "item_id"],
+                       suffixes=("_ivf", "_exact"))
+    if len(merged):
+        assert np.allclose(merged.cosine_ivf, merged.cosine_exact)
+
+    # pruning is physical: the executed scan of 1 cell reads 1 partition
+    # (inputFiles() lists the relation pre-pruning, so use scan SQLMetrics)
+    one = spark.read.parquet(f"{path}/index").filter(F.col("__cell") == 0)
+    one.collect()
+    leaf = one._jdf.queryExecution().executedPlan().collectLeaves().head()
+    metrics, it = {}, leaf.metrics().iterator()
+    while it.hasNext():
+        kv = it.next()
+        metrics[kv._1()] = kv._2().value()
+    assert metrics["numPartitions"] == 1, metrics
+
+
 def test_quantize_roundtrip_cosine(spark, emb):
     """int8 quantize/dequantize: max abs error <= scale/2 per element and
     cosine against the original within 1e-2."""

@@ -151,6 +151,35 @@ def main():
           n_op("Window", p) >= 1 and "pythonUDF" not in p
           and "ArrowEval" not in p)
 
+    # round-3 additions -----------------------------------------------------
+    from opensmile_spark.similarity import ivf_build, ivf_probe
+
+    ivf_build(emb, "/tmp/plan_audit_ivf", n_centroids=8, fit_fraction=0.5)
+    pr = ivf_probe(spark, "/tmp/plan_audit_ivf",
+                   emb.filter(F.col("vec_id") < 3), k=5, n_probe=2)
+    p = plan_str(pr)
+
+    def scan_metrics(df):
+        """Executed-plan leaf (FileScan) SQLMetrics — the physical truth of
+        how many partition dirs/files the pruned scan actually read."""
+        df.collect()
+        leaf = df._jdf.queryExecution().executedPlan().collectLeaves().head()
+        out, it = {}, leaf.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            out[kv._1()] = kv._2().value()
+        return out
+
+    two = scan_metrics(spark.read.parquet("/tmp/plan_audit_ivf/index")
+                       .filter(F.col("__cell").isin([0, 1])))
+    check("ivf_probe partition-pruned scan",
+          "PartitionFilters: [" in p and "__cell" in p
+          and two.get("numPartitions", 99) == 2
+          and two.get("numFiles", 99) <= 2,
+          f"(scan of 2/8 cells physically read numPartitions="
+          f"{two.get('numPartitions')}, numFiles={two.get('numFiles')}; "
+          f"PartitionFilters on __cell in plan)")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
