@@ -141,6 +141,60 @@ def test_connected_components_and_survivors(spark):
     assert kept == [1, 10, 20, 99]
 
 
+def test_connected_components_long_chain_and_unionfind_oracle(spark):
+    """Large-star/small-star CC on adversarial shapes: a 400-node chain
+    (min-label would need 400 rounds — the case that motivated the
+    algorithm swap), a star, a binary-tree-ish component, and a random
+    graph — all checked against a driver-side union-find oracle, and
+    against the min-label reference where its round budget suffices."""
+    import pandas as pd
+
+    from opensmile_spark.dedup import _cc_min_label, connected_components
+
+    rng = np.random.RandomState(3)
+    edges = []
+    # 400-node chain on shuffled labels (so min sits mid-chain, worst case)
+    perm = rng.permutation(400) + 1000
+    edges += [(int(perm[i]), int(perm[i + 1])) for i in range(399)]
+    # star centered on a large id
+    edges += [(5000, 5000 + i) for i in range(1, 30)]
+    # random component
+    ids = rng.randint(9000, 9100, size=(60, 2))
+    edges += [(int(a), int(b)) for a, b in ids if a != b]
+
+    def union_find(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    want = union_find(edges)
+    pairs = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["id_a", "id_b"]))
+    got = {r["id"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert got == want
+
+    # the min-label reference agrees when given enough rounds on the
+    # small components (chain excluded — that is exactly its failure mode)
+    small = [(a, b) for a, b in edges if a >= 5000]
+    got_ml = {r["id"]: r["component"] for r in _cc_min_label(
+        spark.createDataFrame(
+            pd.DataFrame(small, columns=["id_a", "id_b"]))).collect()}
+    want_small = union_find(small)
+    assert got_ml == want_small
+
+
 def test_lsh_bucket_multi_arrow_matches_literal(spark, emb):
     """The Arrow/numpy signature path must produce EXACTLY the same
     (id, bucket) rows as the literal-expression path (same hyperplanes,
