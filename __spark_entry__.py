@@ -1004,6 +1004,19 @@ def q_functionals_qreg(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs sharing >= 2 distinct 3-gram
+    shingles with the benchmark set (every doc_id % 7 == 0 doc plays the
+    benchmark). Corpus scans once; benchmark shingle set broadcasts.
+    Past the driver's 50-entry window, but fully oracle-checked by
+    tools/check_correctness.py (same compare)."""
+    from opensmile_spark.dedup import ngram_decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    return ngram_decontaminate(docs, bench, k_shingle=3, min_overlap=2)
+
+
 def q_datagen(spark, sf_dir):
     """Deterministic synthetic corpus (rows-only: xxhash64 has no DuckDB
     twin). Demonstrates the generator the bench uses."""
@@ -2865,6 +2878,18 @@ FROM mu m JOIN vr USING (conv_id, session_id)
 
 _ORACLES["compare_core"] = _compare_core_oracle()
 
+_ORACLES["decontaminate"] = f"""
+WITH t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+b AS (
+  SELECT DISTINCT unnest(sh) AS shingle FROM t WHERE doc_id % 7 = 0
+),
+d AS (SELECT doc_id, unnest(sh) AS shingle FROM t)
+SELECT d.doc_id, COUNT(*) AS n_contaminated
+FROM d JOIN b USING (shingle)
+GROUP BY d.doc_id
+HAVING COUNT(*) >= 2
+"""
+
 
 # ---------------------------------------------------------------------------
 # contract functions
@@ -2946,6 +2971,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,       # rows-only (approximate ANN)
     "ann_ivf_topk": q_ann_ivf_topk,       # rows-only (approximate ANN)
     "datagen": q_datagen,                 # rows-only (xxhash64 has no twin)
+    "decontaminate": q_decontaminate,     # oracle-checked (replica; window full)
 }
 
 

@@ -388,6 +388,46 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     )
 
 
+def ngram_decontaminate(docs: DataFrame, benchmark: DataFrame,
+                        k_shingle: int = 3, min_overlap: int = 2,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination (the GPT-3 / Pile 13-gram recipe shape):
+    flag training documents sharing >= min_overlap DISTINCT k-token
+    n-grams with ANY benchmark document — the standard guard against
+    eval-set leakage into a training corpus.
+
+    Spark-first shape for 100 TB: the corpus side explodes to distinct
+    (doc_id, shingle) in ONE scan; the benchmark side (tiny vs the corpus
+    — eval sets are MBs, corpora are TBs) collapses to a distinct shingle
+    set and BROADCASTS, so flagging is a single corpus pass + broadcast
+    hash join + map-side-combinable count — the corpus itself never
+    shuffles. Returns (doc_id, n_contaminated) for flagged docs only;
+    remove them with a left_anti join (decontaminate_survivors)."""
+    d = docs.select(
+        F.col(id_col),
+        F.explode(_shingles(text_col, k_shingle)).alias("__sh"))
+    b = benchmark.select(
+        F.explode(_shingles(text_col, k_shingle)).alias("__sh")).distinct()
+    return (
+        d.join(F.broadcast(b), "__sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+        .filter(F.col("n_contaminated") >= min_overlap)
+    )
+
+
+def decontaminate_survivors(docs: DataFrame, benchmark: DataFrame,
+                            k_shingle: int = 3, min_overlap: int = 2,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """The corpus minus every benchmark-contaminated document."""
+    flagged = ngram_decontaminate(
+        docs, benchmark, k_shingle, min_overlap, id_col, text_col
+    ).select(id_col)
+    return docs.join(flagged, id_col, "left_anti")
+
+
 def dedup_survivors(df: DataFrame, pairs: DataFrame,
                     id_col: str = "doc_id") -> DataFrame:
     """End-to-end near-dup removal: keep one document per connected

@@ -141,6 +141,41 @@ def test_connected_components_and_survivors(spark):
     assert kept == [1, 10, 20, 99]
 
 
+def test_ngram_decontaminate_planted(spark):
+    """Planted eval-set leakage: docs that embed a benchmark sentence must
+    be flagged (>= 2 shared 3-grams), clean docs must not, and the corpus
+    side must join the benchmark via BROADCAST (the corpus never
+    shuffles)."""
+    import pandas as pd
+
+    from opensmile_spark.dedup import (
+        decontaminate_survivors, ngram_decontaminate,
+    )
+
+    bench_sentence = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            f"intro words {bench_sentence} trailing words",   # contaminated
+            bench_sentence,                                    # verbatim
+            "completely unrelated content about spark plans",  # clean
+            "the quick red car",  # shares only ONE 3-gram span -> clean
+        ],
+    }))
+    bench = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100], "text": [bench_sentence]}))
+    flagged = ngram_decontaminate(docs, bench, k_shingle=3, min_overlap=2)
+    got = {r["doc_id"]: r["n_contaminated"] for r in flagged.collect()}
+    assert set(got) == {1, 2}
+    assert got[2] == 7          # 9 tokens -> 7 distinct 3-grams, all shared
+    kept = sorted(r["doc_id"] for r in
+                  decontaminate_survivors(docs, bench).collect())
+    assert kept == [3, 4]
+
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
 def test_connected_components_long_chain_and_unionfind_oracle(spark):
     """Large-star/small-star CC on adversarial shapes: a 400-node chain
     (min-label would need 400 rounds — the case that motivated the
