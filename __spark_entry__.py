@@ -1004,6 +1004,24 @@ def q_functionals_qreg(spark, sf_dir):
     )
 
 
+def q_emo_large(spark, sf_dir):
+    """emo_large-style preset (config/misc/emo_large.conf): 11 families
+    over sma3+delta channels of 5 LLDs per session — rows-only (includes
+    the legacy peaks hysteresis automaton; component formulas are
+    oracle-gated individually)."""
+    from opensmile_spark.presets import emo_large_style
+    from opensmile_spark.util import round_sig
+
+    out = emo_large_style(_transcripts(spark, sf_dir),
+                          gap_seconds=SESSION_GAP_S)
+    keep = out.columns[:40]  # stable probe subset of the ~550-col bank
+    return out.select(*[
+        round_sig(F.col(f"`{c}`")).alias(c)
+        if c not in ("conv_id", "session_id", "n_turns") else F.col(c)
+        for c in keep
+    ])
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs sharing >= 2 distinct 3-gram
     shingles with the benchmark set (every doc_id % 7 == 0 doc plays the
@@ -2972,6 +2990,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,       # rows-only (approximate ANN)
     "datagen": q_datagen,                 # rows-only (xxhash64 has no twin)
     "decontaminate": q_decontaminate,     # oracle-checked (replica; window full)
+    "emo_large": q_emo_large,             # rows-only (named preset bundle)
 }
 
 

@@ -9,10 +9,13 @@ AUDIO decode is REAL: WAV/PCM payloads are parsed with the stdlib `wave`
 module (the cWaveSource analogue — header fields + PCM normalization per
 /root/reference/src/iocore/waveSource.cpp:298-361, multi-channel collapsed
 like cMonoMixdown) and featurized with numpy (RMS/ZCR/spectral moments —
-the cEnergy/cMZcr/cSpectral LLD shapes). Image/video decoders (PIL, av)
-are NOT in this container, so those kinds remain a clearly marked stub
-with a deterministic fake behind `fake=True`: batch shapes, schemas and
-partitioning are real and tested; only the codec call is replaced.
+the cEnergy/cMZcr/cSpectral LLD shapes). IMAGE decode is REAL for
+uncompressed 24-bit BMP (pure-struct header parse + numpy pixel view;
+channel means / luma stats / edge energy / histogram entropy). Video and
+compressed-image decoders (PIL, av) are NOT in this container, so those
+payloads remain a clearly marked stub with a deterministic fake behind
+`fake=True`: batch shapes, schemas and partitioning are real and tested;
+only the codec call is replaced.
 """
 
 from __future__ import annotations
@@ -120,8 +123,87 @@ def wav_features(x, sr: int, n_features: int = 8):
     return feats + [0.0] * (n_features - len(feats))
 
 
+def synthesize_bmp_bytes(media_id: int, width: int = 64,
+                         height: int = 48) -> bytes:
+    """Deterministic 24-bit uncompressed BMP (pure struct): a seeded
+    two-axis gradient + one bright rectangle, so real-decode tests see
+    nontrivial channel means, edges, and histogram."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.RandomState(int(media_id) % (2 ** 31))
+    yy, xx = np.mgrid[0:height, 0:width]
+    img = np.empty((height, width, 3), dtype=np.uint8)
+    img[..., 0] = (xx * 255 // max(width - 1, 1)).astype(np.uint8)
+    img[..., 1] = (yy * 255 // max(height - 1, 1)).astype(np.uint8)
+    img[..., 2] = int(rng.randint(0, 256))
+    x0, y0 = int(rng.randint(0, width // 2)), int(rng.randint(0, height // 2))
+    img[y0:y0 + height // 4, x0:x0 + width // 4] = 255
+    row_pad = (-(width * 3)) % 4
+    # bottom-up rows, BGR order, each row padded to a 4-byte boundary
+    rows = b"".join(
+        img[r, :, ::-1].tobytes() + b"\x00" * row_pad
+        for r in range(height - 1, -1, -1))
+    pixel_off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", pixel_off + len(rows), 0, 0,
+                         pixel_off)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(rows), 2835, 2835, 0, 0)
+    return header + info + rows
+
+
+def decode_bmp(payload: bytes):
+    """Pure-struct decode of uncompressed 24-bit BMP (BITMAPINFOHEADER):
+    returns an (height, width, 3) uint8 RGB array. Handles bottom-up and
+    top-down row order and 4-byte row padding."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    (hdr_size, width, height, _planes, bpp, compression) = struct.unpack_from(
+        "<IiiHHI", payload, 14)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=pixel_off
+    ).reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[..., ::-1].copy()          # BGR -> RGB
+
+
+def image_features(img, n_features: int = 8):
+    """Vectorized image features of one decoded RGB frame: channel means,
+    luminance mean/std, gradient (edge) energy, 16-bin luma-histogram
+    entropy, aspect ratio — the decode/resize/featurize stage shape."""
+    import numpy as np
+
+    x = img.astype(np.float64)
+    luma = 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+    gy = np.abs(np.diff(luma, axis=0)).mean() if luma.shape[0] > 1 else 0.0
+    gx = np.abs(np.diff(luma, axis=1)).mean() if luma.shape[1] > 1 else 0.0
+    hist, _ = np.histogram(luma, bins=16, range=(0.0, 255.0001))
+    p = hist / max(hist.sum(), 1)
+    p = p[p > 0]
+    feats = [float(x[..., 0].mean()), float(x[..., 1].mean()),
+             float(x[..., 2].mean()), float(luma.mean()),
+             float(luma.std()), float(gx + gy),
+             float(-(p * np.log2(p)).sum()),
+             float(img.shape[1]) / float(img.shape[0])]
+    feats = feats[:n_features]
+    return feats + [0.0] * (n_features - len(feats))
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 42,
-                    real_audio: bool = False) -> DataFrame:
+                    real_audio: bool = False,
+                    real_images: bool = False) -> DataFrame:
     """Deterministic fake media table (payload = hash-derived bytes).
     real_audio=True replaces audio payloads with actual synthesized WAV
     bytes (Arrow-batched pandas UDF — synthesis runs on the executors, so
@@ -158,6 +240,23 @@ def synthetic_media(spark, n: int = 64, seed: int = 42,
         ).withColumn(
             "mime",
             F.when(is_audio, F.lit("audio/wav")).otherwise(F.col("mime")))
+    if real_images:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("binary")
+        def _bmp(mid: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+            return pd.Series([
+                synthesize_bmp_bytes(int(m), int(wv), int(hv))
+                for m, wv, hv in zip(mid, w, h)])
+
+        is_img = F.col("kind") == "image"
+        out = out.withColumn(
+            "payload",
+            F.when(is_img, _bmp("media_id", "width", "height"))
+            .otherwise(F.col("payload")),
+        ).withColumn(
+            "mime",
+            F.when(is_img, F.lit("image/bmp")).otherwise(F.col("mime")))
     return out
 
 
@@ -199,14 +298,17 @@ def extract_media_features(
                 if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
                     x, sr = decode_wav(bytes(payload))
                     feats[r] = wav_features(x, sr, n_features)
+                elif payload[:2] == b"BM":
+                    feats[r] = image_features(decode_bmp(bytes(payload)),
+                                              n_features)
                 elif fake:
                     h = hashlib.md5(payload).digest()
                     feats[r] = [h[i % 16] / 255.0 for i in range(n_features)]
                 else:
                     raise NotImplementedError(
-                        "non-WAV media decode requires PIL/av — not "
-                        "available in this image; pass fake=True for the "
-                        "deterministic plumbing path (WAV audio decodes "
+                        "this codec needs PIL/av — not available in this "
+                        "image; pass fake=True for the deterministic "
+                        "plumbing path (WAV audio and BMP images decode "
                         "for real either way)")
             for i, c in enumerate(feat_cols):
                 out[c] = feats[:, i]

@@ -115,6 +115,17 @@ def backfill_functionals(
     bounded (`max_gather_elems`) regardless of anchor density. Empty windows
     emit NaN features (anchor row is kept so the grid is complete — the
     PAD_ZERO/PAD_NONE choice is the caller's fillna/dropna).
+
+    Cost model per family on an UNBOUNDED (expanding) grid with N turns and
+    A anchors per conversation: means/extremes/moments and all regression
+    keys except the two |residual| means are O(N + A) / O(N + A*B) via the
+    prefix & blocked-Chan paths; percentiles (order statistics) and the
+    |residual| keys are O(sum of window sizes) via the memory-bounded
+    gather — per-window order stats and per-window-fit residual sums are
+    irreducibly gather-shaped (a vectorized merge-sort tree could trade
+    that to O((N+A) log^2 N) but only pays off past ~10^5-turn single
+    conversations). With window_seconds set, every family gathers, but the
+    window bound caps the work.
     """
     import numpy as np
     import pandas as pd

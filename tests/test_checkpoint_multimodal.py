@@ -136,6 +136,42 @@ def test_real_wav_decode_features(spark):
     assert np.allclose(x, [2000.0 / 32768.0, -2000.0 / 32768.0])
 
 
+def test_real_bmp_decode_features(spark):
+    """Image decode is REAL for uncompressed 24-bit BMP: synthesized bytes
+    round-trip through the pure-struct decoder inside the Arrow UDF, pixel
+    values land where the synthesizer put them (gradient axes + bright
+    rectangle), and distributed features equal a driver-side computation
+    bit-for-bit."""
+    from opensmile_spark.multimodal import (
+        decode_bmp, extract_media_features, image_features,
+        synthesize_bmp_bytes, synthetic_media,
+    )
+
+    # direct decoder pins: gradients and padding (width 3 -> padded rows)
+    img = decode_bmp(synthesize_bmp_bytes(7, width=3, height=2))
+    assert img.shape == (2, 3, 3)
+    assert img[0, 0, 0] == 0 and img[0, 2, 0] == 255     # R = x-gradient
+    assert img[0, 0, 1] == 0 and img[1, 0, 1] == 255     # G = y-gradient
+
+    media = synthetic_media(spark, n=30, real_images=True)
+    images = media.filter(F.col("kind") == "image")
+    n_img = images.count()
+    assert n_img > 0
+    feats = extract_media_features(images, n_features=8,
+                                   fake=False).toPandas()
+    assert len(feats) == n_img
+    fcols = [f"feat_{i}" for i in range(8)]
+    meta = {int(r["media_id"]): (int(r["width"]), int(r["height"]))
+            for r in images.select("media_id", "width", "height").collect()}
+    for _, row in feats.sort_values("media_id").head(3).iterrows():
+        mid = int(row["media_id"])
+        w, h = meta[mid]
+        want = image_features(decode_bmp(synthesize_bmp_bytes(mid, w, h)), 8)
+        assert np.allclose([row[c] for c in fcols], want, rtol=0, atol=0)
+        assert row["feat_7"] == w / h                     # aspect ratio
+        assert 0.0 < row["feat_6"] <= 4.0                 # 16-bin entropy
+
+
 def test_media_to_ann_real_audio(spark):
     """media -> REAL WAV decode -> feature embedding -> ANN top-k, no fake
     anywhere: clips from the same (mid % 7, mid % 5) tone class must be

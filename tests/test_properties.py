@@ -124,3 +124,30 @@ def test_backfill_prefix_property(vals, k):
     y[n:] = y[n:] * 1000 + 7
     b = compute_all(y[:n], ["means", "moments"])
     assert a == b
+
+
+@settings(max_examples=40, deadline=None)
+@given(series,
+       st.floats(min_value=-1e9, max_value=1e9, allow_nan=False, width=64))
+def test_expanding_chan_stats_match_pergroup(vals, offset):
+    """Property pin of the blocked-Chan expanding path: for ANY series
+    (plus an arbitrary large offset — the raw-moment-expansion killer) and
+    every prefix, moments/regression outputs match the per-window kernel
+    within the documented tolerance, with NO raw-expansion blowup."""
+    from opensmile_spark.functionals.batched import (
+        EXPANDING_UNSUPPORTED_KEYS, compute_expanding)
+
+    x = pre(vals) + offset
+    his = np.arange(1, x.size + 1)
+    fams = ["moments", "regression"]
+    ex = compute_expanding(x, his, fams)
+    scale = max(abs(float(x.max())), abs(float(x.min())), 1.0)
+    for gi, h in enumerate(his):
+        want = compute_all(x[:h], fams)
+        for k, v in want.items():
+            if k in EXPANDING_UNSUPPORTED_KEYS:
+                continue
+            got = float(ex[k][gi])
+            atol = 1e-13 * scale * scale if k.endswith("errQ") \
+                else 1e-8 * scale
+            assert np.isclose(got, v, rtol=1e-7, atol=atol), (h, k, got, v)
