@@ -62,7 +62,10 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     # a single projection with n_hashes array_min(transform(shingles...))
     # would make Catalyst inline the whole shingle pipeline n_hashes times
     # (projection collapse), an O(n_hashes x) blowup observed in bench.
+    from opensmile_spark.util import ensure_min_partitions
+
     n_digests = (n_hashes + 3) // 4
+    df = ensure_min_partitions(df)   # md5 map side must not run on 1 split
     exploded = df.select(
         F.col(id_col),
         F.explode(_shingles(text_col, k_shingle)).alias("__s"),
@@ -119,7 +122,10 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                   threshold: float = 0.0) -> DataFrame:
     """Exact Jaccard over k-shingle sets for given candidate pairs (the
     verify stage after LSH). Join is pair-bounded."""
-    sh = df.select(F.col(id_col), _shingles(text_col, k_shingle).alias("sh"))
+    from opensmile_spark.util import ensure_min_partitions
+
+    sh = ensure_min_partitions(df).select(
+        F.col(id_col), _shingles(text_col, k_shingle).alias("sh"))
     out = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a")
                    .withColumnRenamed("sh", "sh_a"), "id_a")
@@ -143,6 +149,9 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """SimHash over tokens: bit b of the signature = sign of
     sum over distinct tokens of (+1 if bit b of md5(token) set else -1).
     Uses the first 8 hex chars of md5 (32 bits) — portable to DuckDB."""
+    from opensmile_spark.util import ensure_min_partitions
+
+    df = ensure_min_partitions(df)   # per-token hashing must not run on 1 split
     toks = F.array_distinct(_tokens(text_col))
     h = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")

@@ -41,7 +41,10 @@ def cosine_topk(
     """Exact brute-force top-k: for each query vector the k nearest index
     vectors by cosine. Query side is broadcast (it is the small side);
     the big index side streams — one pass, no shuffle of the index."""
+    from opensmile_spark.util import ensure_min_partitions
+
     query_id_col = query_id_col or id_col
+    index = ensure_min_partitions(index)   # scoring map side: use all cores
     q = F.broadcast(queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),

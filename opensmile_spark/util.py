@@ -22,6 +22,22 @@ def epoch_seconds(col) -> Column:
     return F.unix_micros(col.cast("timestamp")).cast("double") * F.lit(0.000001)
 
 
+def ensure_min_partitions(df, factor: int = 1):
+    """Repartition small-split inputs up to the cluster's default
+    parallelism BEFORE a CPU-heavy map side (hashing, shingling, scoring).
+
+    A 100 TB table arrives in thousands of splits, but a small local file
+    (or a badly-compacted partition) can arrive as ONE — and every map-side
+    expression upstream of the first exchange then runs on one core while
+    the rest of the cluster idles. One cheap shuffle of the narrow input
+    fixes the imbalance; no-op when the input is already parallel enough."""
+    sc = df.sparkSession.sparkContext
+    target = max(2, sc.defaultParallelism * factor)
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def round_sig(col, sig: int = 6):
     """Round to `sig` significant digits with the exact op sequence
     ROUND(x * 10^e) / 10^e, e = (sig-1) - FLOOR(LOG10(ABS(x))) — mirrored
