@@ -10,10 +10,16 @@ the run executes it. The Spark-native equivalent:
         --value-cols char_len_sma3 --resumable --buckets 256
 
 Subcommands:
-  pipeline  transcripts parquet -> LLD -> sma -> sessionize -> per-session
-            functional vectors (optionally resumable via checkpoint buckets)
-  backfill  transcripts + anchors parquet -> point-in-time feature grid
-  datagen   deterministic synthetic corpus writer
+  pipeline      transcripts parquet -> LLD -> sma -> sessionize -> per-
+                session functional vectors (optionally resumable via
+                checkpoint buckets)
+  backfill      transcripts + anchors parquet -> point-in-time feature grid
+  datagen       deterministic synthetic corpus writer
+  dedup         documents parquet -> near-dup-removed documents (minhash
+                LSH candidates -> jaccard verify -> connected components
+                -> min-id survivors)
+  decontaminate documents + benchmark parquet -> documents minus eval-set
+                n-gram leakage
 
 Build the zip with `python -m zipfile -c opensmile_spark.zip opensmile_spark`
 (pure-python package, no binary deps beyond the cluster's pyspark/numpy/
@@ -77,6 +83,39 @@ def cmd_backfill(spark, args):
     print(json.dumps({"output": args.output}))
 
 
+def cmd_dedup(spark, args):
+    from pyspark.sql import functions as F
+
+    from opensmile_spark.dedup import (
+        dedup_survivors, minhash_lsh_pairs, ngram_jaccard,
+    )
+
+    docs = spark.read.parquet(args.input)
+    pairs = ngram_jaccard(
+        docs, minhash_lsh_pairs(docs, n_hashes=args.n_hashes,
+                                bands=args.bands),
+        threshold=args.jaccard,
+    ).select("id_a", "id_b")
+    kept = dedup_survivors(docs, pairs)
+    kept.write.mode("overwrite").parquet(args.output)
+    n_in, n_out = docs.count(), spark.read.parquet(args.output).count()
+    print(json.dumps({"output": args.output, "rows_in": n_in,
+                      "rows_out": n_out, "removed": n_in - n_out}))
+
+
+def cmd_decontaminate(spark, args):
+    from opensmile_spark.dedup import decontaminate_survivors
+
+    docs = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.benchmark)
+    kept = decontaminate_survivors(
+        docs, bench, k_shingle=args.k_shingle, min_overlap=args.min_overlap)
+    kept.write.mode("overwrite").parquet(args.output)
+    n_in, n_out = docs.count(), spark.read.parquet(args.output).count()
+    print(json.dumps({"output": args.output, "rows_in": n_in,
+                      "rows_out": n_out, "removed": n_in - n_out}))
+
+
 def cmd_datagen(spark, args):
     from opensmile_spark.datagen import generate_transcripts
 
@@ -119,6 +158,20 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--turns", type=int, default=30)
     sp.add_argument("--seed", type=int, default=42)
     sp.add_argument("--mega-factor", type=int, default=1)
+
+    sp = sub.add_parser("dedup")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--n-hashes", type=int, default=8)
+    sp.add_argument("--bands", type=int, default=4)
+    sp.add_argument("--jaccard", type=float, default=0.8)
+
+    sp = sub.add_parser("decontaminate")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--benchmark", required=True)
+    sp.add_argument("--k-shingle", type=int, default=3)
+    sp.add_argument("--min-overlap", type=int, default=2)
     return p
 
 
@@ -134,7 +187,9 @@ def main(argv=None):
     spark = active or get_spark("opensmile_spark_cli")
     {"pipeline": cmd_pipeline,
      "backfill": cmd_backfill,
-     "datagen": cmd_datagen}[args.cmd](spark, args)
+     "datagen": cmd_datagen,
+     "dedup": cmd_dedup,
+     "decontaminate": cmd_decontaminate}[args.cmd](spark, args)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,117 @@
+"""End-to-end `spark-submit --py-files` launch — the deployment form the
+north rule names. Builds the package zip, submits a real spark-submit
+process (its own JVM, the code arriving ONLY via --py-files), runs the
+datagen and pipeline subcommands, and checks the parquet outputs."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _build_zip(tmp_path) -> str:
+    zpath = str(tmp_path / "opensmile_spark.zip")
+    pkg = os.path.join(REPO, "opensmile_spark")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def _spark_submit() -> str:
+    import pyspark
+
+    cand = os.path.join(os.path.dirname(pyspark.__file__), "bin",
+                        "spark-submit")
+    return cand if os.path.exists(cand) else shutil.which("spark-submit")
+
+
+@pytest.mark.slow
+def test_spark_submit_pyfiles_pipeline(tmp_path):
+    submit = _spark_submit()
+    if submit is None:
+        pytest.skip("spark-submit binary not found")
+    zpath = _build_zip(tmp_path)
+    launcher = tmp_path / "launch.py"
+    launcher.write_text(
+        "from opensmile_spark.cli import main\nmain()\n")
+    corpus = str(tmp_path / "corpus")
+    feats = str(tmp_path / "features")
+
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable,
+               PYSPARK_DRIVER_PYTHON=sys.executable)
+
+    def run(*args):
+        cmd = [submit, "--master", "local[2]",
+               "--conf", "spark.sql.shuffle.partitions=4",
+               "--conf", "spark.sql.session.timeZone=UTC",
+               "--py-files", zpath, str(launcher), *args]
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=420,
+                           env=env, cwd=str(tmp_path))
+        assert r.returncode == 0, r.stderr[-3000:]
+        return r.stdout
+
+    out = run("datagen", "--output", corpus, "--n-convs", "30",
+              "--turns", "8")
+    assert json.loads(out.strip().splitlines()[-1])["rows"] == 240
+
+    out = run("pipeline", "--input", corpus, "--output", feats,
+              "--value-cols", "char_len_sma3",
+              "--families", "means,moments",
+              "--resumable", "--buckets", "4")
+    metrics = json.loads(out.strip().splitlines()[-1])
+    assert metrics["buckets_done"] == 4
+    assert metrics["rows_out"] > 0
+    # the feature table landed and carries the functional columns
+    import pandas as pd
+
+    files = [os.path.join(dp, f) for dp, _d, fs in os.walk(feats)
+             for f in fs
+             if f.endswith(".parquet") and "manifest" not in dp]
+    got = pd.concat([pd.read_parquet(f) for f in files])
+    assert len(got) == metrics["rows_out"]
+    assert "char_len_sma3_amean" in got.columns
+    assert "char_len_sma3_stddev" in got.columns
+
+
+def test_cli_dedup_and_decontaminate_inprocess(spark, tmp_path):
+    """The data-pipeline CLI subcommands end-to-end in-process (the active
+    session is reused, as under spark-submit): near-dup removal keeps one
+    doc per duplicate cluster; decontamination drops eval-leaked docs."""
+    import pandas as pd
+
+    from opensmile_spark.cli import main
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [base, base + " tail", "totally different words entirely",
+                 "yet another unrelated document body"],
+    }))
+    dpath, bpath = str(tmp_path / "docs"), str(tmp_path / "bench")
+    docs.write.parquet(dpath)
+    spark.createDataFrame(pd.DataFrame({
+        "doc_id": [9], "text": ["totally different words entirely"],
+    })).write.parquet(bpath)
+
+    out1 = str(tmp_path / "deduped")
+    main(["dedup", "--input", dpath, "--output", out1, "--jaccard", "0.5"])
+    kept = sorted(r["doc_id"]
+                  for r in spark.read.parquet(out1).collect())
+    assert kept == [1, 3, 4]          # 2 is 1's near-dup -> removed
+
+    out2 = str(tmp_path / "clean")
+    main(["decontaminate", "--input", dpath, "--output", out2,
+          "--benchmark", bpath])
+    kept = sorted(r["doc_id"]
+                  for r in spark.read.parquet(out2).collect())
+    assert kept == [1, 2, 4]          # 3 matches the benchmark -> removed
