@@ -30,7 +30,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import sys
 
 
 def _pipeline_df(spark, args):
@@ -84,8 +83,6 @@ def cmd_backfill(spark, args):
 
 
 def cmd_dedup(spark, args):
-    from pyspark.sql import functions as F
-
     from opensmile_spark.dedup import (
         dedup_survivors, minhash_lsh_pairs, ngram_jaccard,
     )

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from opensmile_spark.functionals import functionals_kernel
-from opensmile_spark.lld import LLD_COLS, compute_lld
+from opensmile_spark.lld import compute_lld
 from opensmile_spark.operators import delta_regression, sessionize, sma
 
 EGEMAPS_FUNCTIONALS = [

@@ -129,7 +129,6 @@ def lsh_bucket_multi(
         use_arrow = dim * bits * tables > 16384
     if use_arrow:
         import numpy as np
-        import pandas as pd
 
         planes = np.array([
             p for t in range(tables)
