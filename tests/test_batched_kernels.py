@@ -217,6 +217,38 @@ def test_expanding_equals_pergroup(seed):
             assert np.isclose(got, v, rtol=1e-9, atol=1e-12), (h, k, got, v)
 
 
+def test_expanding_deep_blocks_mega_conversation():
+    """The blocked-Chan cumulation across ~80 blocks (a 20k-turn mega
+    conversation with epoch-scale drift) must stay pinned to the per-window
+    kernel at sampled prefixes — the regime where per-block float error
+    could accumulate if the merge were unstable."""
+    from opensmile_spark.functionals.batched import (
+        EXPANDING_UNSUPPORTED_KEYS, compute_expanding)
+
+    rng = np.random.RandomState(11)
+    n = 20_000
+    x = 1.6e9 + np.cumsum(rng.randn(n) * 3.0) + 40.0 * rng.rand(n)
+    his = np.unique(np.concatenate([
+        np.array([1, 2, 3, 255, 256, 257, 512, 513]),
+        rng.randint(1, n + 1, 20), np.array([n])]))
+    fams = ["means", "extremes", "moments", "regression"]
+    ex = compute_expanding(x, his, fams)
+    scale = float(np.abs(x).max())
+    # errQ floor: both engines' residual passes carry eps*scale error per
+    # element, whose cross term with the O(spread) residuals bounds the
+    # divergence — NOT eps*scale^2 (that would be vacuous at epoch scale)
+    spread = max(float(x.max() - x.min()), 1.0)
+    eq_atol = 256 * np.finfo(float).eps * scale * spread
+    for gi, h in enumerate(his):
+        want = compute_all(x[:h], fams)
+        for k, v in want.items():
+            if k in EXPANDING_UNSUPPORTED_KEYS:
+                continue
+            got = float(ex[k][gi])
+            atol = eq_atol if k.endswith("errQ") else 1e-8 * scale
+            assert np.isclose(got, v, rtol=1e-7, atol=atol), (h, k, got, v)
+
+
 @pytest.mark.parametrize("case", ["randn", "epoch_offset", "constant",
                                   "linear", "quadratic", "drift"])
 def test_expanding_moments_regression_equals_pergroup(case):
@@ -247,15 +279,16 @@ def test_expanding_moments_regression_equals_pergroup(case):
     for gi, h in enumerate(his):
         want = compute_all(x[:h], fams)
         scale = max(abs(float(x[:h].max())), abs(float(x[:h].min())), 1.0)
+        spread = max(float(x[:h].max() - x[:h].min()), 1.0)
         for k, v in want.items():
             if k in EXPANDING_UNSUPPORTED_KEYS:
                 assert k not in ex
                 continue
             got = float(ex[k][gi])
             # errQ keys compare the LS-optimum SSE against the kernel's
-            # residual pass: identical to 2nd order, so the absolute floor
-            # scales with eps * value^2
-            atol = 1e-13 * scale * scale if k.endswith("errQ") \
-                else 1e-9 * scale
+            # residual pass: both carry eps*scale per-element error whose
+            # cross term with O(spread) residuals bounds the divergence
+            atol = 256 * np.finfo(float).eps * scale * spread \
+                if k.endswith("errQ") else 1e-9 * scale
             assert np.isclose(got, v, rtol=1e-8, atol=atol), \
                 (case, h, k, got, v)

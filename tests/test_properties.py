@@ -142,12 +142,13 @@ def test_expanding_chan_stats_match_pergroup(vals, offset):
     fams = ["moments", "regression"]
     ex = compute_expanding(x, his, fams)
     scale = max(abs(float(x.max())), abs(float(x.min())), 1.0)
+    spread = max(float(x.max() - x.min()), 1.0)
     for gi, h in enumerate(his):
         want = compute_all(x[:h], fams)
         for k, v in want.items():
             if k in EXPANDING_UNSUPPORTED_KEYS:
                 continue
             got = float(ex[k][gi])
-            atol = 1e-13 * scale * scale if k.endswith("errQ") \
-                else 1e-8 * scale
+            atol = 256 * np.finfo(float).eps * scale * spread \
+                if k.endswith("errQ") else 1e-8 * scale
             assert np.isclose(got, v, rtol=1e-7, atol=atol), (h, k, got, v)
