@@ -48,9 +48,17 @@ FROM events
 
 
 def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of TRANSCRIPTS_SQL over {sf_dir}/events.parquet."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    """Spark twin of TRANSCRIPTS_SQL over {sf_dir}/events.parquet.
+
+    turn_idx's window partitions by the DERIVED conv_id (a bijection of
+    user_id, so the numbering is identical to the SQL's PARTITION BY
+    user_id) — this makes every downstream conv_id window/groupBy reuse
+    THE SAME hash exchange, so the whole LLD -> smooth -> delta ->
+    sessionize chain runs on one shuffle instead of two (asserted by
+    tools/plan_audit.py)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "conv_id", F.concat(F.lit("u"), F.col("user_id").cast("string")))
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
     role = (
         F.when(F.col("event_type") == "click", "user")
         .when(F.col("event_type") == "view", "assistant")
@@ -59,7 +67,7 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("system")
     )
     return ev.select(
-        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.col("conv_id"),
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         role.alias("role"),
         F.concat(

@@ -244,6 +244,13 @@ def test_expanding_deep_blocks_mega_conversation():
         for k, v in want.items():
             if k in EXPANDING_UNSUPPORTED_KEYS:
                 continue
+            if k in ("stddevNorm", "coeffOfVariation", "centroid"):
+                # reference formula divides by the mean/sum WHEN nonzero — a
+                # discontinuity any summation-order difference can flip when
+                # the mean cancels to ~ulp scale; exclude that knife edge
+                sabs = float(np.abs(x[:h]).sum())
+                if abs(float(np.sum(x[:h]))) < 1e-12 * max(sabs, 1e-300):
+                    continue
             got = float(ex[k][gi])
             atol = eq_atol if k.endswith("errQ") else 1e-8 * scale
             assert np.isclose(got, v, rtol=1e-7, atol=atol), (h, k, got, v)
@@ -284,6 +291,13 @@ def test_expanding_moments_regression_equals_pergroup(case):
             if k in EXPANDING_UNSUPPORTED_KEYS:
                 assert k not in ex
                 continue
+            if k in ("stddevNorm", "coeffOfVariation", "centroid"):
+                # reference formula divides by the mean/sum WHEN nonzero — a
+                # discontinuity any summation-order difference can flip when
+                # the mean cancels to ~ulp scale; exclude that knife edge
+                sabs = float(np.abs(x[:h]).sum())
+                if abs(float(np.sum(x[:h]))) < 1e-12 * max(sabs, 1e-300):
+                    continue
             got = float(ex[k][gi])
             # errQ keys compare the LS-optimum SSE against the kernel's
             # residual pass: both carry eps*scale per-element error whose

@@ -148,6 +148,13 @@ def test_expanding_chan_stats_match_pergroup(vals, offset):
         for k, v in want.items():
             if k in EXPANDING_UNSUPPORTED_KEYS:
                 continue
+            if k in ("stddevNorm", "coeffOfVariation", "centroid"):
+                # reference formula divides by the mean/sum WHEN nonzero — a
+                # discontinuity any summation-order difference can flip when
+                # the mean cancels to ~ulp scale; exclude that knife edge
+                sabs = float(np.abs(x[:h]).sum())
+                if abs(float(np.sum(x[:h]))) < 1e-12 * max(sabs, 1e-300):
+                    continue
             got = float(ex[k][gi])
             atol = 256 * np.finfo(float).eps * scale * spread \
                 if k.endswith("errQ") else 1e-8 * scale

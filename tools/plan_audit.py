@@ -62,11 +62,13 @@ def main():
         delta_regression(sma(lld, ["char_len"], 3), ["char_len"], 2),
         gap_seconds=300.0)
     p = plan_str(chain)
-    # one exchange for the row_number (user_id) + one for conv_id windows
+    # turn_idx derivation partitions by the DERIVED conv_id, so the entire
+    # scan -> turn_idx -> LLD -> sma -> delta -> sessionize chain shares ONE
+    # hash exchange (round 3; was 2 when turn_idx partitioned by user_id)
     n_ex = n_op("Exchange", p)
-    check("window-chain exchanges", n_ex <= 2,
-          f"(exchanges={n_ex}; 1 for turn_idx derivation on user_id, "
-          f"1 shared by ALL conv_id window ops)")
+    check("window-chain single exchange", n_ex == 1,
+          f"(exchanges={n_ex}; one conv_id exchange shared by turn_idx "
+          f"derivation and ALL downstream window ops)")
 
     proj = lld.select("conv_id", "char_len")
     p = plan_str(proj)
