@@ -44,7 +44,8 @@ def _seg_sum(v, starts):
     return np.add.reduceat(v, starts)
 
 
-EXPANDING_FAMILIES = {"means", "extremes", "moments", "regression"}
+EXPANDING_FAMILIES = {"means", "extremes", "moments", "percentiles",
+                      "regression"}
 
 # outputs of an expanding family that are NOT prefix-expressible: per-window
 # mean |residual| needs the fitted line/parabola of THAT window applied to
@@ -123,6 +124,72 @@ def _two_pass_stats(cols, starts, sizes, names, m34, pairs):
     return st
 
 
+def _expanding_select(x, his, targets, B=_CHAN_B, W=256, chunk=8192):
+    """Exact order statistics over prefixes: for every anchor a, the
+    targets[j][a]-th smallest (1-based) element of x[0:his[a]] — the
+    selection core of expanding percentiles.
+
+    Offline 2D dominance counting, fully vectorized: global stable ranks g
+    (ties by index), a coarse cumulative matrix M[k, v] = |{i < k*B :
+    g[i] < v*W}| (N^2/(B*W) cells — a few thousand), per-anchor remainder
+    rank-histograms for the <=B elements past the last block boundary, and
+    a two-level select per target: coarse bucket via monotone count
+    comparison, then the exact member inside the <=W-wide bucket via a
+    masked cumulative count over `order`. O(N + A*(B + N/W + W)) work —
+    linear like the Chan path, never the O(sum of window sizes) gather."""
+    n = x.size
+    order = np.argsort(x, kind="stable")          # rank -> index
+    sorted_vals = x[order]
+    g = np.empty(n, dtype=np.int64)               # index -> rank
+    g[order] = np.arange(n, dtype=np.int64)
+    nb = (n + B - 1) // B
+    nv = (n + W - 1) // W
+    # M[k, v] = count(idx < k*B and g < v*W); build by 2D histogram + cumsum
+    hist = np.zeros((nb + 1, nv + 1), dtype=np.int64)
+    idx_blk = np.arange(n, dtype=np.int64) // B
+    np.add.at(hist, (idx_blk + 1, g // W + 1), 1)
+    M = hist.cumsum(axis=0).cumsum(axis=1)
+
+    his = np.asarray(his, dtype=np.int64)
+    A = his.size
+    outs = [np.empty(A) for _ in targets]
+    # pad order/sorted_vals so bucket gathers never index past the end
+    order_pad = np.concatenate([order, np.full(W, n, dtype=np.int64)])
+    vals_pad = np.concatenate([sorted_vals, np.zeros(W)])
+
+    for c0 in range(0, A, chunk):
+        sel = slice(c0, min(c0 + chunk, A))
+        h = his[sel]
+        kk = h // B
+        rr = h - kk * B
+        m = h.size
+        # remainder coarse histogram: ranks of elements [k*B, h)
+        crem = np.zeros((m, nv + 1), dtype=np.int64)
+        nzr = np.flatnonzero(rr > 0)
+        if nzr.size:
+            sizes = rr[nzr]
+            so = np.zeros(nzr.size, dtype=np.int64)
+            so[1:] = np.cumsum(sizes)[:-1]
+            gather = (np.arange(int(sizes.sum()), dtype=np.int64)
+                      + np.repeat(kk[nzr] * B - so, sizes))
+            rows = np.repeat(nzr, sizes)
+            np.add.at(crem, (rows, g[gather] // W + 1), 1)
+        ccoarse = M[kk] + np.cumsum(crem, axis=1)   # (m, nv+1) monotone rows
+        for j, tgt in enumerate(targets):
+            t = np.asarray(tgt[sel], dtype=np.int64)
+            # smallest v with ccoarse[:, v] >= t  (rows monotone)
+            v_star = (ccoarse < t[:, None]).sum(axis=1)
+            t_res = t - np.take_along_axis(
+                ccoarse, (v_star - 1)[:, None], axis=1)[:, 0]
+            rstart = (v_star - 1) * W
+            member_idx = order_pad[rstart[:, None]
+                                   + np.arange(W, dtype=np.int64)]
+            inwin = (member_idx < h[:, None]).cumsum(axis=1)
+            j_star = (inwin < t_res[:, None]).sum(axis=1)
+            outs[j][sel] = vals_pad[rstart + j_star]
+    return outs
+
+
 def _expanding_stats(cols, his, m34=(), pairs=(), B=_CHAN_B):
     """Exact central stats over every prefix x[0:h], h in his (h >= 1)."""
     names = list(cols)
@@ -179,10 +246,12 @@ def compute_expanding(x: np.ndarray, his: np.ndarray,
     shares origin 0, so the regressors are global prefixes too). The two
     mean-|residual| outputs (EXPANDING_UNSUPPORTED_KEYS) are irreducibly
     per-window and are NOT returned — the caller routes them to the gather.
-    Order-statistics families (percentiles) need the gather path. Same
-    output names, guards, and formulas as kernels.py f_moments /
-    f_regression (functionalRegression.cpp:219-246 closed forms expressed
-    via the algebraically-identical centered normal equations)."""
+    Percentiles use the exact offline order-statistic machinery
+    (_expanding_select) — bit-identical to sorting each window, never the
+    gather. Same output names, guards, and formulas as kernels.py
+    f_moments / f_percentiles / f_regression
+    (functionalRegression.cpp:219-246 closed forms expressed via the
+    algebraically-identical centered normal equations)."""
     options = options or {}
     if not (np.asarray(his) >= 1).all():
         raise ValueError("compute_expanding: windows must be non-empty")
@@ -279,6 +348,58 @@ def compute_expanding(x: np.ndarray, his: np.ndarray,
             out["amean"] = mean
         out["maxameandist"] = gmax - mean
         out["minameandist"] = mean - gmin
+
+    if "percentiles" in families:
+        popts = options.get("percentiles", {})
+        plist = list(popts.get("percentiles", (0.20, 0.50, 0.80)))
+        pranges = list(popts.get("pctlranges", ((0, 2),)))
+        pquots = list(popts.get("pctlquotients", ()))
+        fracs = [0.25, 0.50, 0.75] + plist
+        hl = np.asarray(his, dtype=np.int64)
+        targets, meta = [], []
+        for p in fracs:
+            idxf = p * (N - 1.0)
+            i1 = np.clip(np.floor(idxf).astype(np.int64), 0, hl - 1)
+            i2 = np.clip(np.ceil(idxf).astype(np.int64), 0, hl - 1)
+            meta.append((idxf, i1, i2, len(targets)))
+            targets.append(i1 + 1)
+            targets.append(i2 + 1)
+        got = _expanding_select(x, hl, targets)
+        pct = {}
+        for p, (idxf, i1, i2, base) in zip(fracs, meta):
+            v1, v2 = got[base], got[base + 1]
+            w1 = idxf - i1
+            w2 = i2 - idxf
+            pct[p] = np.where(i1 != i2, v1 * w2 + v2 * w1, v1)
+        q1, q2, q3 = pct[0.25], pct[0.50], pct[0.75]
+        out["quartile1"] = q1
+        out["quartile2"] = q2
+        out["quartile3"] = q3
+        out["iqr1-2"] = q2 - q1
+        out["iqr2-3"] = q3 - q2
+        out["iqr1-3"] = q3 - q1
+        pvals = []
+        for p in plist:
+            v = pct[p]
+            out[f"percentile{p * 100:.1f}"] = v
+            pvals.append(v)
+        for a, b in pranges:
+            out[f"pctlrange{a}-{b}"] = np.abs(pvals[b] - pvals[a])
+        for a, b in pquots:
+            # identical quirks to compute_batched: numerator-only guard +
+            # smileMath_ratioLimit(q, 50, 100)
+            va, vb = pvals[a], pvals[b]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                q = np.where(vb != 0.0, va / np.where(vb != 0.0, vb, 1.0),
+                             np.where(va > 0, np.inf, -np.inf))
+                hi = q > 50.0
+                lo = q < -50.0
+                qh = np.tanh((np.sqrt(np.where(hi, q, 50.0) - 49.0) - 1.0)
+                             / 50.0) * 100.0 + 50.0
+                ql = np.tanh(-(np.sqrt(-np.where(lo, q, -50.0) - 49.0) - 1.0)
+                             / 50.0) * 100.0 - 50.0
+            q = np.where(hi, qh, np.where(lo, ql, q))
+            out[f"pctlquotient{a}-{b}"] = np.where(va != 0.0, q, 0.0)
 
     if "moments" in families or "regression" in families:
         scols = {"y": x}

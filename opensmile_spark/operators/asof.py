@@ -117,14 +117,14 @@ def backfill_functionals(
     PAD_ZERO/PAD_NONE choice is the caller's fillna/dropna).
 
     Cost model per family on an UNBOUNDED (expanding) grid with N turns and
-    A anchors per conversation: means/extremes/moments and all regression
-    keys except the two |residual| means are O(N + A) / O(N + A*B) via the
-    prefix & blocked-Chan paths; percentiles (order statistics) and the
-    |residual| keys are O(sum of window sizes) via the memory-bounded
-    gather — per-window order stats and per-window-fit residual sums are
-    irreducibly gather-shaped (a vectorized merge-sort tree could trade
-    that to O((N+A) log^2 N) but only pays off past ~10^5-turn single
-    conversations). With window_seconds set, every family gathers, but the
+    A anchors per conversation: means/extremes/moments/percentiles and all
+    regression keys except the two |residual| means are O(N + A*B) via the
+    prefix, blocked-Chan, and offline order-statistic paths
+    (batched.compute_expanding) — every default family is linear in the
+    conversation, never O(sum of window sizes). Only the two
+    |residual|-mean regression keys keep the memory-bounded gather
+    (a per-window fit applied to every element is irreducibly
+    gather-shaped). With window_seconds set, every family gathers, but the
     window bound caps the work.
     """
     import numpy as np

@@ -231,7 +231,8 @@ def test_expanding_deep_blocks_mega_conversation():
     his = np.unique(np.concatenate([
         np.array([1, 2, 3, 255, 256, 257, 512, 513]),
         rng.randint(1, n + 1, 20), np.array([n])]))
-    fams = ["means", "extremes", "moments", "regression"]
+    fams = ["means", "extremes", "moments", "percentiles",
+            "regression"]
     ex = compute_expanding(x, his, fams)
     scale = float(np.abs(x).max())
     # errQ floor: both engines' residual passes carry eps*scale error per
@@ -281,7 +282,7 @@ def test_expanding_moments_regression_equals_pergroup(case):
     }[case]
     his = np.unique(np.concatenate([
         np.array([1, 2, 3, 4]), rng.randint(1, n + 1, 50), np.array([n])]))
-    fams = ["moments", "regression"]
+    fams = ["moments", "percentiles", "regression"]
     ex = compute_expanding(x, his, fams)
     for gi, h in enumerate(his):
         want = compute_all(x[:h], fams)

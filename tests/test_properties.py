@@ -139,7 +139,7 @@ def test_expanding_chan_stats_match_pergroup(vals, offset):
 
     x = pre(vals) + offset
     his = np.arange(1, x.size + 1)
-    fams = ["moments", "regression"]
+    fams = ["moments", "percentiles", "regression"]
     ex = compute_expanding(x, his, fams)
     scale = max(abs(float(x.max())), abs(float(x.min())), 1.0)
     spread = max(float(x.max() - x.min()), 1.0)
