@@ -125,6 +125,15 @@ def main():
         backfill_functionals(lld, anchors, ["char_len"],
                              families=["means", "moments"])))
 
+    # the COMPLETE per-anchor functional vector (all five default families)
+    # — every family runs linear in conversation length on this unbounded
+    # grid (prefix / blocked-Chan / offline order statistics; only the two
+    # |residual| regression keys gather)
+    timed("backfill_full", lambda: _noop(
+        backfill_functionals(lld, anchors, ["char_len"],
+                             families=["means", "moments", "extremes",
+                                       "percentiles", "regression"])))
+
     # training-data ops on documents/embeddings
     from opensmile_spark.dedup import minhash_lsh_pairs, ngram_jaccard
     from opensmile_spark.similarity import cosine_topk
