@@ -65,6 +65,7 @@ def flagship(spark, transcripts):
         lld, ["char_len_sma3", "token_cnt_sma3"],
         ("conv_id", "session_id"),
         families=["means", "moments", "percentiles", "regression", "peaks2"],
+        repartition_cols=("conv_id",),   # reuses the window chain's exchange
     )
 
 

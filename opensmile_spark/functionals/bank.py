@@ -50,8 +50,20 @@ def functionals_kernel(
     families: list[str] | None = None,
     options: dict | None = None,
     pre_partitioned: bool = False,
+    repartition_cols: list | None = None,
 ) -> DataFrame:
     """One output row per group; columns <value>_<functional>.
+
+    `repartition_cols` (default: group_cols) — the shuffle key. Any PREFIX
+    of group_cols is always correct (rows sharing the full key share the
+    prefix, so every group stays within one partition), and partitioning by
+    the parent key alone lets Catalyst ELIDE the exchange entirely when the
+    input is already hash-partitioned on it — e.g. (conv_id,) for
+    (conv_id, session_id) grouping downstream of the window chain makes the
+    whole LLD -> smooth -> sessionize -> functionals pipeline a
+    single-shuffle job. Trade-off: coarser keys concentrate skew (all of a
+    mega-conversation's sessions in one task) — fine at conv_id cardinality,
+    use the full key or salting for coarse parents.
 
     Physical strategy: repartition by the group key, sort within partitions
     by (key, order), then ONE mapInPandas pass that processes every group in
@@ -165,7 +177,10 @@ def functionals_kernel(
 
     proj = df.select(*group_cols, order_col, *value_cols)
     if not pre_partitioned:
-        proj = proj.repartition(*group_cols) \
+        rcols = list(repartition_cols) if repartition_cols else group_cols
+        assert rcols == group_cols[: len(rcols)], \
+            "repartition_cols must be a prefix of group_cols"
+        proj = proj.repartition(*rcols) \
             .sortWithinPartitions(*group_cols, order_col)
     return proj.mapInPandas(run, schema=schema)
 

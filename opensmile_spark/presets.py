@@ -54,6 +54,7 @@ def egemaps_style(
     core = functionals_kernel(
         lld, smoothed, ("conv_id", "session_id"),
         families=["means", "moments", "percentiles", "peaks2"],
+        repartition_cols=("conv_id",),
     )
     keep = ["conv_id", "session_id", "n_turns"] + [
         f"{c}_{f}" for c in smoothed for f in EGEMAPS_FUNCTIONALS
@@ -64,6 +65,7 @@ def egemaps_style(
         lld, ["is_tool_sma3nz"], ("conv_id", "session_id"),
         families=["segments"],
         options={"segments": {"algorithm": "nonX", "X": 0.0}},
+        repartition_cols=("conv_id",),
     ).select(
         "conv_id", "session_id",
         *[F.col(f"`is_tool_sma3nz_{f}`") for f in EGEMAPS_SEGMENT_FUNCTIONALS],
@@ -91,6 +93,7 @@ def compare_style(
                   "regression", "crossings", "times", "onset", "segments",
                   "peaks2", "samples", "dct", "lpc", "lsp", "acf", "amdf",
                   "modulation"],
+        repartition_cols=("conv_id",),
     )
     # legacy cFunctionalPeaks shares output names with peaks2 (the reference
     # distinguishes them by component instance); run it as its own bank call
@@ -128,4 +131,5 @@ def emo_large_style(
         families=["means", "moments", "extremes", "percentiles",
                   "regression", "crossings", "times", "onset", "segments",
                   "peaks", "samples"],
+        repartition_cols=("conv_id",),
     )
