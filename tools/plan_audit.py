@@ -156,6 +156,16 @@ def main():
     # round-3 additions -----------------------------------------------------
     from opensmile_spark.similarity import ivf_build, ivf_probe
 
+    fk_flag = functionals_kernel(
+        chain, ["char_len_sma3"], ("conv_id", "session_id"),
+        families=["means"], repartition_cols=("conv_id",))
+    p = plan_str(fk_flag)
+    check("flagship pipeline ONE total exchange",
+          n_op("Exchange", p) == 1,
+          f"(exchanges={n_op('Exchange', p)}; scan -> turn_idx -> LLD -> "
+          f"sma -> sessionize -> session functionals share the conv_id "
+          f"shuffle via prefix-key repartitioning)")
+
     ivf_build(emb, "/tmp/plan_audit_ivf", n_centroids=8, fit_fraction=0.5)
     pr = ivf_probe(spark, "/tmp/plan_audit_ivf",
                    emb.filter(F.col("vec_id") < 3), k=5, n_probe=2)
