@@ -482,12 +482,20 @@ def q_salted_sma_equivalence(spark, sf_dir):
 def q_text_metrics(spark, sf_dir):
     """Per-document text-analysis bank in one gate: token counting (ws +
     word-regex), quality scoring (punct/stopword/token-length ratios),
-    n-gram language ID, and md5 + min-shingle fingerprints — four
-    operators over the same doc_id grain, all pure column expressions."""
+    n-gram language ID, md5 + min-shingle fingerprints, and Gopher-style
+    repetition signals (top-2/3-gram char fraction, duplicated-2-gram
+    ratio) — five operators over the same doc_id grain, all pure column
+    expressions."""
     from opensmile_spark.text import (fingerprint, lang_id, quality_score,
-                                      token_count)
+                                      repetition_metrics, token_count)
 
     docs = _docs(spark, sf_dir)
+    rep = repetition_metrics(docs, dup_k=2).select(
+        "doc_id",
+        F.round("top_2gram_frac", 6).alias("top_2gram_frac"),
+        F.round("top_3gram_frac", 6).alias("top_3gram_frac"),
+        F.round("dup_2gram_ratio", 6).alias("dup_2gram_ratio"),
+    )
     tc = token_count(docs).select(
         "doc_id", "n_tokens_ws", "n_tokens_word", "n_chars_engine")
     qs = quality_score(docs).select(
@@ -499,7 +507,8 @@ def q_text_metrics(spark, sf_dir):
     )
     li = lang_id(docs).select("doc_id", "lang_pred")
     fp = fingerprint(docs).select("doc_id", "doc_md5", "shingle_fp")
-    return tc.join(qs, "doc_id").join(li, "doc_id").join(fp, "doc_id")
+    return (tc.join(qs, "doc_id").join(li, "doc_id").join(fp, "doc_id")
+            .join(rep, "doc_id"))
 
 
 def q_exact_dedup(spark, sf_dir):
@@ -661,15 +670,33 @@ def q_peaks2_restricted(spark, sf_dir):
     false): the automaton reduces to strict local extrema + same-type-run
     collapse (argmax/argmin, first-on-ties) — fully SQL-expressible incl.
     the reference's pass-2 stddev quirk and EOF slopes. Exercises the
-    peaks2 automaton + stats/slope passes end-to-end in the gate."""
+    peaks2 automaton + stats/slope passes end-to-end in the gate.
+
+    Merged (round-3 consolidation): the LEGACY cFunctionalPeaks automaton
+    (functionalPeaks.cpp:103-215, 0.11/0.09*range hysteresis) joins in as
+    `char_len_lp_*` — its oracle twin replays the automaton step-for-step
+    via a DuckDB recursive CTE, so the full UNRESTRICTED hysteresis state
+    machine is oracle-checked (was rows-only)."""
     from opensmile_spark.functionals import functionals_kernel
     from opensmile_spark.util import round_sig
 
+    lld = _lld(spark, sf_dir)
     out = functionals_kernel(
-        _lld(spark, sf_dir), ["char_len"], ("conv_id",),
+        lld, ["char_len"], ("conv_id",),
         families=["peaks2"],
         options={"peaks2": {"absThreshIn": -1e18}},
     )
+    legacy = functionals_kernel(
+        lld, ["char_len"], ("conv_id",), families=["peaks"],
+    )
+    lp_cols = ["numPeaks", "meanPeakDist", "peakMean", "peakMeanMeanDist",
+               "peakDistStddev"]
+    legacy = legacy.select(
+        "conv_id",
+        *[round_sig(F.col(f"`char_len_{c}`")).alias(f"char_len_lp_{c}")
+          for c in lp_cols],
+    )
+    out = out.join(legacy, "conv_id")
     cols = ["numPeaks", "meanPeakDist", "peakDistStddev", "peakRangeAbs",
             "peakRangeRel", "peakMean", "peakMeanMeanDist", "ptpAmpMeanAbs",
             "ptpAmpStddevAbs", "minRangeAbs", "minMean", "minMeanMeanDist",
@@ -682,25 +709,7 @@ def q_peaks2_restricted(spark, sf_dir):
         "conv_id", "n_turns",
         *[round_sig(F.col(f"`char_len_{c}`")).alias(f"char_len_{c}")
           for c in cols],
-    )
-
-
-def q_peaks_legacy(spark, sf_dir):
-    """Legacy cFunctionalPeaks (functionalPeaks.cpp:103-215, hysteresis
-    0.11/0.09*range) — sequential hysteresis automaton, rows-only gate;
-    parity pinned by tests/test_batched_kernels.py:128-155."""
-    from opensmile_spark.functionals import functionals_kernel
-    from opensmile_spark.util import round_sig
-
-    out = functionals_kernel(
-        _lld(spark, sf_dir), ["char_len"], ("conv_id",), families=["peaks"],
-    )
-    cols = ["numPeaks", "meanPeakDist", "peakMean", "peakMeanMeanDist",
-            "peakDistStddev"]
-    return out.select(
-        "conv_id", "n_turns",
-        *[round_sig(F.col(f"`char_len_{c}`")).alias(f"char_len_{c}")
-          for c in cols],
+        *[f"char_len_lp_{c}" for c in lp_cols],
     )
 
 
@@ -1852,6 +1861,110 @@ FROM fin2
     )
 
 
+def _peaks_legacy_oracle() -> str:
+    """EXACT twin of the legacy cFunctionalPeaks hysteresis automaton
+    (functionalPeaks.cpp:103-215): a recursive CTE replays the per-frame
+    state machine — (lastMin, lastMax, curmaxPos, lastmaxPos, peakflag) +
+    peak accumulators — one recursion step per frame, all conversations
+    advancing in lockstep. The peak-distance list is carried as a DuckDB
+    list so the second-pass stddev sums squared deviations in the kernel's
+    exact sequential order. No restriction of the automaton is needed
+    (unlike peaks2's absThresh pin): state is bounded scalars, so the
+    whole hysteresis (0.11*range rise / 0.09*range fall) is expressible."""
+    r = _rsig
+    body = """
+, arr AS (
+  SELECT conv_id, list(char_len ORDER BY turn_idx) AS xs, COUNT(*) AS n,
+         MAX(char_len) - MIN(char_len) AS rng, AVG(char_len) AS gmean
+  FROM lld GROUP BY conv_id
+), lpstep AS (
+  -- anchor: state just before processing python index i=2
+  SELECT conv_id, xs, n, rng,
+         CAST(2 AS BIGINT) AS j,
+         xs[1] AS lastlast, xs[2] AS lastv,
+         CAST(0.0 AS DOUBLE) AS lastmin, CAST(0.0 AS DOUBLE) AS lastmax,
+         CAST(0 AS BIGINT) AS curmax, CAST(-1 AS BIGINT) AS lastmaxp,
+         0 AS pf, CAST(0 AS BIGINT) AS npk, CAST(0.0 AS DOUBLE) AS pksum,
+         CAST([] AS DOUBLE[]) AS dlist
+  FROM arr WHERE n >= 3
+  UNION ALL
+  SELECT conv_id, xs, n, rng, j + 1,
+         lastv, cur,
+         CASE WHEN isMin THEN cur ELSE lastmin END,
+         lm1,
+         cm2,
+         CASE WHEN close THEN cm2 ELSE lastmaxp END,
+         CASE WHEN close THEN 0 ELSE pf1 END,
+         CASE WHEN close THEN npk + 1 ELSE npk END,
+         CASE WHEN close THEN pksum + lm1 ELSE pksum END,
+         CASE WHEN close AND lastmaxp >= 0
+              THEN dlist || [CAST(cm2 - lastmaxp AS DOUBLE)] ELSE dlist END
+  FROM (
+    SELECT s.*,
+      (CASE WHEN trig THEN 1 ELSE pf END) AS pf1,
+      (CASE WHEN trig THEN i_py ELSE cm1 END) AS cm2,
+      ((CASE WHEN trig THEN 1 ELSE pf END) = 1
+        AND (cur < lm1 - CAST('0.09' AS DOUBLE) * rng OR i_py = n - 1))
+        AS close
+    FROM (
+      SELECT s0.*,
+        (isMax AND (lm1 - lastmin > CAST('0.11' AS DOUBLE) * rng)) AS trig
+      FROM (
+        SELECT lpstep.*,
+          xs[j + 1] AS cur, j AS i_py,
+          (lastlast < lastv AND lastv > xs[j + 1]) AS isMax,
+          (lastlast > lastv AND lastv < xs[j + 1]) AS isMin,
+          CASE WHEN (lastlast < lastv AND lastv > xs[j + 1])
+               THEN CASE WHEN pf = 0 THEN xs[j + 1]
+                         WHEN xs[j + 1] > lastmax THEN xs[j + 1]
+                         ELSE lastmax END
+               ELSE lastmax END AS lm1,
+          CASE WHEN (lastlast < lastv AND lastv > xs[j + 1])
+                    AND pf = 1 AND xs[j + 1] > lastmax
+               THEN j ELSE curmax END AS cm1
+        FROM lpstep WHERE j < n
+      ) s0
+    ) s
+  ) s
+), lpterm AS (
+  SELECT conv_id, n, npk, pksum, dlist FROM lpstep WHERE j = n
+  UNION ALL
+  -- N < 3: the reference loop body never executes
+  SELECT conv_id, n, CAST(0 AS BIGINT), 0.0, CAST([] AS DOUBLE[])
+  FROM arr WHERE n < 3
+), lpfin AS (
+  SELECT t.conv_id,
+    CAST(npk AS DOUBLE) AS o_npk,
+    CASE WHEN len(dlist) > 0
+         THEN list_aggregate(dlist, 'sum') / len(dlist)
+         ELSE CAST(t.n + 1 AS DOUBLE) END AS o_pdist,
+    CASE WHEN npk > 0 THEN pksum / npk ELSE 0.0 END AS o_pmean,
+    (CASE WHEN npk > 0 THEN pksum / npk ELSE 0.0 END) - a.gmean AS o_pmmd,
+    CASE WHEN len(dlist) > 0
+         THEN SQRT(list_aggregate(
+                list_transform(dlist, d -> POW(d -
+                  list_aggregate(dlist, 'sum') / len(dlist), 2)), 'sum')
+              / len(dlist))
+         ELSE 0.0 END AS o_pdstd
+  FROM lpterm t JOIN arr a USING (conv_id)
+)
+SELECT conv_id,
+  {numPeaks} AS "char_len_lp_numPeaks",
+  {meanPeakDist} AS "char_len_lp_meanPeakDist",
+  {peakMean} AS "char_len_lp_peakMean",
+  {peakMeanMeanDist} AS "char_len_lp_peakMeanMeanDist",
+  {peakDistStddev} AS "char_len_lp_peakDistStddev"
+FROM lpfin
+""".format(
+        numPeaks=r("o_npk"),
+        meanPeakDist=r("o_pdist"),
+        peakMean=r("o_pmean"),
+        peakMeanMeanDist=r("o_pmmd"),
+        peakDistStddev=r("o_pdstd"),
+    )
+    return SQL_PREFIX.replace("WITH ", "WITH RECURSIVE ", 1) + body
+
+
 _ORACLES["peaks2_restricted"] = _peaks2_restricted_oracle()
 
 def _egemaps_core_oracle() -> str:
@@ -2743,6 +2856,11 @@ _ORACLES["sma3"] = _join_parts(
 _ORACLES["delta2"] = _join_parts(
     _TK, [_ORACLES["delta2"], _ORACLES["delta0"], _ORACLES["preemphasis"]])
 
+# round-3: legacy-peaks hysteresis automaton (recursive-CTE twin) merges
+# into the peaks2 gate — the full unrestricted state machine, oracle-checked
+_ORACLES["peaks2_restricted"] = _join_parts(
+    ("conv_id",), [_ORACLES["peaks2_restricted"], _peaks_legacy_oracle()])
+
 _ORACLES["sessionize"] = f"""
 SELECT a.conv_id, a.turn_idx, a.session_id,
        b.session_id AS session_id_maxlen
@@ -2802,10 +2920,47 @@ _ORACLES["vector_ops"] = _join_parts(
     _TK, [_ORACLES["vector_ops"], _ORACLES["vector_binary_op"],
           _ORACLES["max_index"]])
 
+_ORACLES["repetition"] = r"""
+WITH toks AS (
+  SELECT doc_id, length(text) AS nch,
+         string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, nch, k, array_to_string(t[i.i:i.i + k - 1], ' ') AS g
+  FROM toks
+  CROSS JOIN (VALUES (2), (3)) ks(k)
+  CROSS JOIN UNNEST(range(1, GREATEST(len(t) - k + 1, 0) + 1)) i(i)
+), cnt AS (
+  SELECT doc_id, nch, k, g, COUNT(*) AS c
+  FROM grams GROUP BY doc_id, nch, k, g
+), top AS (
+  -- ties on count resolve to the lexicographically smallest gram (the
+  -- Spark fold scans the SORTED gram array with a strict > update)
+  SELECT doc_id, k, c * length(g) * 1.0 / nch AS frac
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, k
+                                     ORDER BY c DESC, g ASC) AS rk
+        FROM cnt)
+  WHERE rk = 1
+), dup AS (
+  SELECT doc_id,
+         COALESCE(SUM(CASE WHEN c >= 2 THEN c * length(g) END), 0) * 1.0
+             / ANY_VALUE(nch) AS dup2
+  FROM cnt WHERE k = 2 GROUP BY doc_id
+)
+SELECT d.doc_id,
+  ROUND(COALESCE(t2.frac, 0.0), 6) AS top_2gram_frac,
+  ROUND(COALESCE(t3.frac, 0.0), 6) AS top_3gram_frac,
+  ROUND(COALESCE(p.dup2, 0.0), 6) AS dup_2gram_ratio
+FROM documents d
+LEFT JOIN top t2 ON t2.doc_id = d.doc_id AND t2.k = 2
+LEFT JOIN top t3 ON t3.doc_id = d.doc_id AND t3.k = 3
+LEFT JOIN dup p ON p.doc_id = d.doc_id
+"""
+
 _ORACLES["text_metrics"] = _join_parts(
     ("doc_id",),
     [_ORACLES["token_count"], _ORACLES["quality_score"],
-     _ORACLES["lang_id"], _ORACLES["fingerprint"]])
+     _ORACLES["lang_id"], _ORACLES["fingerprint"], _ORACLES["repetition"]])
 
 _ORACLES["doc_signatures"] = _join_parts(
     ("doc_id",), [_ORACLES["minhash_signatures"], _ORACLES["simhash"]])
@@ -2818,7 +2973,8 @@ for _k in ("sma5", "trailing_window", "delta0", "preemphasis",
            "functionals_dct", "mvn_expanding", "mvn_minmax",
            "fullinput_causal", "valbased_zerovec", "vector_binary_op",
            "max_index", "token_count", "quality_score", "lang_id",
-           "fingerprint", "minhash_signatures", "simhash", "ngram_jaccard"):
+           "fingerprint", "repetition", "minhash_signatures", "simhash",
+           "ngram_jaccard"):
     del _ORACLES[_k]
 
 
@@ -2982,7 +3138,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "quantize_embeddings": q_quantize_embeddings,
     # ---- position 51+: rows-only BY CONSTRUCTION (outside driver window) --
-    "peaks_legacy": q_peaks_legacy,       # rows-only (hysteresis automaton)
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,  # rows-only (ANN)
     "viterbi_smooth": q_viterbi_smooth,   # rows-only (sequential DP)
     "egemaps_bundle": q_egemaps_bundle,   # rows-only (named preset)

@@ -1,0 +1,78 @@
+"""Gopher-style repetition metrics vs a brute-force Counter oracle.
+
+Covers: tie-breaking (lexicographically smallest gram on equal counts),
+documents shorter than the gram size, degenerate all-same-token documents
+(ratio > 1 under overlap counting), and general parity on mixed docs.
+"""
+
+import collections
+import re
+
+import pytest
+
+
+def _oracle(text, dup_k):
+    toks = re.split(r"\s+", text.strip().lower())
+    nch = len(text)
+    out = {}
+    for name, k in (("top_2gram_frac", 2), ("top_3gram_frac", 3)):
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        if grams:
+            cnt = collections.Counter(grams)
+            mx = max(cnt.values())
+            best = min(g for g, c in cnt.items() if c == mx)
+            out[name] = cnt[best] * len(best) / nch
+        else:
+            out[name] = 0.0
+    grams = [" ".join(toks[i:i + dup_k])
+             for i in range(len(toks) - dup_k + 1)]
+    cnt = collections.Counter(grams)
+    out[f"dup_{dup_k}gram_ratio"] = sum(
+        c * len(g) for g, c in cnt.items() if c >= 2) / nch
+    return out
+
+
+DOCS = [
+    # tie-break: "a b" and "b a" both occur twice -> "a b" (lexic. smallest)
+    "a b a b a",
+    # shorter than 3 tokens: top_3gram_frac must be 0
+    "x y",
+    # single token: both top fracs 0
+    "lonely",
+    # degenerate repetition: dup ratio exceeds 1 (overlap counting)
+    "spam spam spam spam spam spam spam spam",
+    # mixed, with punctuation and uppercase (lowercased before tokenizing)
+    "The cat sat. The cat sat. A dog ran away from the cat",
+    # long-ish doc with partial repeats
+    "alpha beta gamma alpha beta delta alpha beta gamma epsilon zeta",
+]
+
+
+@pytest.mark.parametrize("dup_k", [2, 5])
+def test_repetition_matches_counter_oracle(spark, dup_k):
+    from opensmile_spark.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(DOCS)], "doc_id long, text string")
+    rows = {r["doc_id"]: r.asDict()
+            for r in repetition_metrics(df, dup_k=dup_k).collect()}
+    for i, text in enumerate(DOCS):
+        exp = _oracle(text, dup_k)
+        for col, want in exp.items():
+            got = rows[i][col]
+            assert got == pytest.approx(want, abs=1e-12), (i, col, text)
+
+
+def test_repetition_edge_values(spark):
+    from opensmile_spark.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [(0, "a b a b a"), (1, "spam spam spam spam spam spam spam spam")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r.asDict()
+            for r in repetition_metrics(df, dup_k=2).collect()}
+    # "a b" occurs 2x, len 3, doc len 9 -> 6/9
+    assert rows[0]["top_2gram_frac"] == pytest.approx(6 / 9)
+    # all seven 2-grams identical: 7 * len("spam spam")=9 over 39 chars
+    assert rows[1]["top_2gram_frac"] == pytest.approx(63 / 39)
+    assert rows[1]["dup_2gram_ratio"] == pytest.approx(63 / 39)
