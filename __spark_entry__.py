@@ -640,8 +640,9 @@ def q_token_spectrum(spark, sf_dir):
 
 
 def q_viterbi_smooth(spark, sf_dir):
-    """cPitchSmootherViterbi analogue — sequential per-conv DP; not
-    SQL-expressible (rows-only driver check; DP pinned by pytest)."""
+    """cPitchSmootherViterbi analogue — sequential per-conv DP,
+    oracle-checked: the SQL twin replays the 8-level trellis via a
+    path-carrying recursive CTE (see _viterbi_oracle)."""
     from opensmile_spark.operators.viterbi import viterbi_smooth_df
 
     out = viterbi_smooth_df(_lld(spark, sf_dir), "char_len", n_levels=8,
@@ -1967,6 +1968,78 @@ FROM lpfin
 
 _ORACLES["peaks2_restricted"] = _peaks2_restricted_oracle()
 
+
+def _viterbi_oracle(n_levels: int = 8, jump_cost: float = 2.0) -> str:
+    """EXACT twin of the per-conversation Viterbi DP
+    (operators/viterbi.py / kernels.viterbi_smooth, the
+    cPitchSmootherViterbi analogue): a recursive CTE advances the
+    8-level trellis one frame per step, carrying the per-state cost
+    vector AND the per-state best path (path-carrying Viterbi is
+    backtrack-equivalent: each state's stored path is built from the
+    same argmin the backpointer pass would follow). Tie-breaks mirror
+    np.argmin (first index) via list_indexof-of-min on bit-identical
+    candidate values; levels mirror np.linspace (lo + i*step with the
+    last level pinned to hi). Constant conversations (hi == lo) bypass
+    the DP and pass through unchanged, exactly like the kernel."""
+    NL, JC = n_levels, jump_cost
+    return SQL_PREFIX.replace("WITH ", "WITH RECURSIVE ", 1) + f"""
+, varr AS (
+  SELECT conv_id, list(char_len ORDER BY turn_idx) AS xs, COUNT(*) AS n,
+         MIN(char_len) AS lo, MAX(char_len) AS hi
+  FROM lld GROUP BY conv_id
+), vlv AS (
+  SELECT *, list_transform(range(0, {NL}), i ->
+      CASE WHEN i = {NL} - 1 THEN hi
+           ELSE lo + (hi - lo) / ({NL} - 1.0) * i END) AS lev
+  FROM varr WHERE hi > lo
+), vit AS (
+  SELECT conv_id, xs, n, lev, CAST(1 AS BIGINT) AS t,
+         list_transform(range(1, {NL} + 1), k -> abs(xs[1] - lev[k]))
+             AS costs,
+         list_transform(range(1, {NL} + 1), k -> [CAST(k AS INTEGER)])
+             AS paths
+  FROM vlv
+  UNION ALL
+  SELECT conv_id, xs, n, lev, t + 1,
+         list_transform(st, s -> s.c),
+         list_transform(st, s -> s.p)
+  FROM (
+    SELECT v2.*,
+      list_transform(range(1, {NL} + 1), tox -> struct_pack(
+        c := list_aggregate(cands[tox], 'min')
+             + abs(xs[t + 1] - lev[tox]),
+        p := paths[list_indexof(cands[tox],
+                                list_aggregate(cands[tox], 'min'))]
+             || [CAST(tox AS INTEGER)])) AS st
+    FROM (
+      SELECT v.*,
+        list_transform(range(1, {NL} + 1), tox ->
+          list_transform(range(1, {NL} + 1), j ->
+            costs[j] + CAST('{JC!r}' AS DOUBLE)
+                       * abs(lev[tox] - lev[j]))) AS cands
+      FROM vit v WHERE t < n
+    ) v2
+  ) s
+), vbest AS (
+  SELECT conv_id, lev,
+         paths[list_indexof(costs, list_aggregate(costs, 'min'))] AS path
+  FROM vit WHERE t = n
+), vsmooth AS (
+  SELECT conv_id, u.i - 1 AS ord, lev[path[u.i]] AS y
+  FROM vbest CROSS JOIN UNNEST(range(1, len(path) + 1)) u(i)
+)
+SELECT b.conv_id, b.turn_idx,
+  ROUND(COALESCE(s.y, b.char_len), 6) AS char_len_vit
+FROM (SELECT conv_id, turn_idx, char_len,
+             ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1
+                 AS ord
+      FROM lld) b
+LEFT JOIN vsmooth s ON s.conv_id = b.conv_id AND s.ord = b.ord
+"""
+
+
+_ORACLES["viterbi_smooth"] = _viterbi_oracle()
+
 def _egemaps_core_oracle() -> str:
     """Per-(conv, session) twin of the kernel path: sma3 windows identical
     to the sma oracle, two-pass CENTERED variance (the kernel's formula),
@@ -3139,7 +3212,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantize_embeddings": q_quantize_embeddings,
     # ---- position 51+: rows-only BY CONSTRUCTION (outside driver window) --
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,  # rows-only (ANN)
-    "viterbi_smooth": q_viterbi_smooth,   # rows-only (sequential DP)
+    "viterbi_smooth": q_viterbi_smooth,   # oracle (recursive-CTE trellis)
     "egemaps_bundle": q_egemaps_bundle,   # rows-only (named preset)
     "ann_lsh_topk": q_ann_lsh_topk,       # rows-only (approximate ANN)
     "ann_ivf_topk": q_ann_ivf_topk,       # rows-only (approximate ANN)
