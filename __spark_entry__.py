@@ -1045,6 +1045,27 @@ def q_decontaminate(spark, sf_dir):
     return ngram_decontaminate(docs, bench, k_shingle=3, min_overlap=2)
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic domain-mixing sample: docs bucketed by token count
+    (short/mid/long), kept at literal per-stratum rates 1.0/0.5/0.25 via
+    the portable md5-hash rule — every keep/drop decision replays
+    bit-identically in the DuckDB twin. Past the driver's 50-entry
+    window, but fully oracle-checked by tools/check_correctness.py."""
+    from opensmile_spark.sampling import stratified_sample
+    from opensmile_spark.text import token_count
+
+    docs = token_count(_docs(spark, sf_dir))
+    docs = docs.withColumn(
+        "stratum",
+        F.when(F.col("n_tokens_ws") < 45, "short")
+         .when(F.col("n_tokens_ws") < 60, "mid")
+         .otherwise("long"))
+    out = stratified_sample(
+        docs, "stratum", {"short": 1.0, "mid": 0.5, "long": 0.25},
+        key_col="doc_id", seed=7)
+    return out.select("doc_id", "stratum")
+
+
 def q_datagen(spark, sf_dir):
     """Deterministic synthetic corpus (rows-only: xxhash64 has no DuckDB
     twin). Demonstrates the generator the bench uses."""
@@ -3137,6 +3158,25 @@ GROUP BY d.doc_id
 HAVING COUNT(*) >= 2
 """
 
+# thresholds = sampling.rate_threshold(r) = int(r * 2^32) for 1.0/0.5/0.25
+_ORACLES["stratified_sample"] = r"""
+WITH t AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS ntok
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    CASE WHEN ntok < 45 THEN 'short'
+         WHEN ntok < 60 THEN 'mid' ELSE 'long' END AS stratum,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8))
+         AS BIGINT) AS h
+  FROM t
+)
+SELECT doc_id, stratum FROM s
+WHERE h < CASE stratum WHEN 'short' THEN 4294967296
+                       WHEN 'mid' THEN 2147483648
+                       ELSE 1073741824 END
+"""
+
 
 # ---------------------------------------------------------------------------
 # contract functions
@@ -3218,6 +3258,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,       # rows-only (approximate ANN)
     "datagen": q_datagen,                 # rows-only (xxhash64 has no twin)
     "decontaminate": q_decontaminate,     # oracle-checked (replica; window full)
+    "stratified_sample": q_stratified_sample,  # oracle-checked (replica; window full)
     "emo_large": q_emo_large,             # rows-only (named preset bundle)
 }
 
