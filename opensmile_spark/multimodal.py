@@ -11,11 +11,13 @@ module (the cWaveSource analogue — header fields + PCM normalization per
 like cMonoMixdown) and featurized with numpy (RMS/ZCR/spectral moments —
 the cEnergy/cMZcr/cSpectral LLD shapes). IMAGE decode is REAL for
 uncompressed 24-bit BMP (pure-struct header parse + numpy pixel view;
-channel means / luma stats / edge energy / histogram entropy). Video and
-compressed-image decoders (PIL, av) are NOT in this container, so those
-payloads remain a clearly marked stub with a deterministic fake behind
-`fake=True`: batch shapes, schemas and partitioning are real and tested;
-only the codec call is replaced.
+channel means / luma stats / edge energy / histogram entropy). VIDEO
+decode is REAL for uncompressed AVI (pure-struct RIFF walk, '00db'
+raw-DIB frames; selective frame decode honors frame_sample_plan), so all
+three modalities exercise a genuine decode path. Compressed codecs
+(JPEG/H.264 — PIL/av are NOT in this container) remain a clearly marked
+stub with a deterministic fake behind `fake=True`: batch shapes, schemas
+and partitioning are real and tested; only the codec call is replaced.
 """
 
 from __future__ import annotations
@@ -201,9 +203,151 @@ def image_features(img, n_features: int = 8):
     return feats + [0.0] * (n_features - len(feats))
 
 
+def synthesize_avi_bytes(media_id: int, width: int = 32, height: int = 24,
+                         n_frames: int = 8, fps: int = 4) -> bytes:
+    """Deterministic uncompressed AVI (pure struct): RIFF/'AVI ' container,
+    one 'vids'/'DIB ' stream, one '00db' raw bottom-up BGR24 chunk per
+    frame. Frame f shows the seeded BMP-style gradient with a rectangle
+    marching one pixel per frame, so motion energy is nonzero and every
+    pixel is reproducible."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.RandomState(int(media_id) % (2 ** 31))
+    blue = int(rng.randint(0, 256))
+    x0 = int(rng.randint(0, max(width // 2, 1)))
+    y0 = int(rng.randint(0, max(height // 2, 1)))
+    yy, xx = np.mgrid[0:height, 0:width]
+    base = np.empty((height, width, 3), dtype=np.uint8)
+    base[..., 0] = (xx * 255 // max(width - 1, 1)).astype(np.uint8)
+    base[..., 1] = (yy * 255 // max(height - 1, 1)).astype(np.uint8)
+    base[..., 2] = blue
+
+    stride = (width * 3 + 3) // 4 * 4
+    row_pad = stride - width * 3
+    frames = []
+    for f in range(n_frames):
+        img = base.copy()
+        fx = (x0 + f) % max(width - width // 4, 1)
+        fy = (y0 + f) % max(height - height // 4, 1)
+        img[fy:fy + height // 4, fx:fx + width // 4] = 255
+        rows = b"".join(
+            img[r, :, ::-1].tobytes() + b"\x00" * row_pad
+            for r in range(height - 1, -1, -1))
+        frames.append(rows)
+    frame_size = stride * height
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(fourcc: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + data)
+
+    avih = struct.pack(
+        "<10I4I", 1_000_000 // fps, frame_size * fps, 0, 0,
+        n_frames, 0, 1, frame_size, width, height, 0, 0, 0, 0)
+    strh = struct.pack(
+        "<4s4sI2H8I4h", b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0,
+        n_frames, frame_size, 0, 0, 0, 0, width, height)
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       frame_size, 2835, 2835, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", fr) for fr in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes, frame_indices=None):
+    """Pure-struct decode of an uncompressed AVI: walks the RIFF chunk
+    tree for the 'strf' BITMAPINFOHEADER (geometry), 'strh' (fps =
+    rate/scale) and the 'movi' list, then parses each '00db' raw-DIB
+    chunk exactly like the BMP pixel path (bottom-up BGR24, 4-byte row
+    stride). `frame_indices` decodes ONLY those frames (the
+    frame_sample_plan contract: a task touches just the frames it owns —
+    chunk headers are skipped over, pixels of unselected frames are
+    never materialized). Returns (frames (n,h,w,3) uint8 RGB, fps)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+
+    want = None if frame_indices is None else set(int(i) for i in frame_indices)
+    geom = {}
+    frames = []
+    frame_no = 0
+
+    def walk(off: int, end: int):
+        nonlocal frame_no
+        while off + 8 <= end:
+            fourcc = payload[off:off + 4]
+            (size,) = struct.unpack_from("<I", payload, off + 4)
+            data0 = off + 8
+            if fourcc == b"LIST":
+                walk(data0 + 4, data0 + size)
+            elif fourcc == b"strh":
+                typ, _h, _f, _p, _l, _init, scale, rate = struct.unpack_from(
+                    "<4s4sI2H3I", payload, data0)
+                if typ == b"vids" and scale:
+                    geom["fps"] = rate / scale
+            elif fourcc == b"strf" and "width" not in geom:
+                _sz, w, h, _pl, bpp, comp = struct.unpack_from(
+                    "<IiiHHI", payload, data0)
+                if bpp != 24 or comp != 0:
+                    raise ValueError(
+                        f"unsupported AVI stream: bpp={bpp} compression={comp}")
+                geom["width"], geom["height"] = w, h
+            elif fourcc[2:4] == b"db":
+                if want is None or frame_no in want:
+                    w, h = geom["width"], abs(geom["height"])
+                    stride = (w * 3 + 3) // 4 * 4
+                    rows = np.frombuffer(
+                        payload, dtype=np.uint8, count=stride * h,
+                        offset=data0).reshape(h, stride)[:, : w * 3] \
+                        .reshape(h, w, 3)
+                    if geom["height"] > 0:
+                        rows = rows[::-1]
+                    frames.append((frame_no, rows[..., ::-1].copy()))
+                frame_no += 1
+            off = data0 + size + (size & 1)
+
+    walk(12, len(payload))
+    frames.sort(key=lambda t: t[0])
+    arr = np.stack([f for _, f in frames]) if frames else \
+        np.empty((0, geom.get("height", 0), geom.get("width", 0), 3),
+                 dtype=np.uint8)
+    return arr, geom.get("fps", 0.0)
+
+
+def video_features(frames, fps: float, n_features: int = 8):
+    """Vectorized features of one decoded clip: duration, mean/std luma
+    over all frames, motion energy (mean |frame diff|), edge energy and
+    histogram entropy of the middle frame, fps, aspect ratio."""
+    import numpy as np
+
+    n = frames.shape[0]
+    if n == 0:
+        return [0.0] * n_features
+    x = frames.astype(np.float64)
+    luma = 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+    motion = float(np.abs(np.diff(luma, axis=0)).mean()) if n > 1 else 0.0
+    mid = frames[n // 2]
+    mf = image_features(mid, 8)
+    feats = [n / fps if fps else float(n), float(luma.mean()),
+             float(luma.std()), motion, mf[5], mf[6],
+             float(fps), float(frames.shape[2]) / float(frames.shape[1])]
+    feats = feats[:n_features]
+    return feats + [0.0] * (n_features - len(feats))
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 42,
                     real_audio: bool = False,
-                    real_images: bool = False) -> DataFrame:
+                    real_images: bool = False,
+                    real_video: bool = False) -> DataFrame:
     """Deterministic fake media table (payload = hash-derived bytes).
     real_audio=True replaces audio payloads with actual synthesized WAV
     bytes (Arrow-batched pandas UDF — synthesis runs on the executors, so
@@ -245,8 +389,12 @@ def synthetic_media(spark, n: int = 64, seed: int = 42,
 
         @pandas_udf("binary")
         def _bmp(mid: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+            # Catalyst extracts Python UDFs out of the WHEN, so this also
+            # sees non-image rows (null geometry) — emit a placeholder the
+            # unreached branch never uses
             return pd.Series([
-                synthesize_bmp_bytes(int(m), int(wv), int(hv))
+                b"" if pd.isna(wv) or pd.isna(hv)
+                else synthesize_bmp_bytes(int(m), int(wv), int(hv))
                 for m, wv, hv in zip(mid, w, h)])
 
         is_img = F.col("kind") == "image"
@@ -257,6 +405,20 @@ def synthetic_media(spark, n: int = 64, seed: int = 42,
         ).withColumn(
             "mime",
             F.when(is_img, F.lit("image/bmp")).otherwise(F.col("mime")))
+    if real_video:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("binary")
+        def _avi(mid: pd.Series) -> pd.Series:
+            return mid.map(lambda i: synthesize_avi_bytes(int(i)))
+
+        is_vid = F.col("kind") == "video"
+        out = out.withColumn(
+            "payload",
+            F.when(is_vid, _avi("media_id")).otherwise(F.col("payload")),
+        ).withColumn(
+            "mime",
+            F.when(is_vid, F.lit("video/x-msvideo")).otherwise(F.col("mime")))
     return out
 
 
@@ -268,12 +430,13 @@ def extract_media_features(
 ) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow-batched bytes).
 
-    WAV/PCM payloads (RIFF magic) are decoded FOR REAL with the stdlib
-    `wave` reader and featurized with numpy (`wav_features`). Other kinds:
-    fake=True substitutes a deterministic md5-seeded featurizer so the
-    distributed plumbing — binary Arrow transfer, per-batch iteration,
-    output schema — is fully exercised; fake=False raises
-    NotImplementedError for them (PIL/av are not in this image).
+    WAV/PCM audio, uncompressed AVI video and 24-bit BMP images are
+    decoded FOR REAL (stdlib/pure-struct parsers + numpy featurizers).
+    Remaining (compressed) payloads: fake=True substitutes a
+    deterministic md5-seeded featurizer so the distributed plumbing —
+    binary Arrow transfer, per-batch iteration, output schema — is fully
+    exercised; fake=False raises NotImplementedError for them (PIL/av
+    are not in this image).
     """
     import hashlib
 
@@ -298,6 +461,9 @@ def extract_media_features(
                 if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
                     x, sr = decode_wav(bytes(payload))
                     feats[r] = wav_features(x, sr, n_features)
+                elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    frames, fps = decode_avi(bytes(payload))
+                    feats[r] = video_features(frames, fps, n_features)
                 elif payload[:2] == b"BM":
                     feats[r] = image_features(decode_bmp(bytes(payload)),
                                               n_features)
@@ -308,8 +474,9 @@ def extract_media_features(
                     raise NotImplementedError(
                         "this codec needs PIL/av — not available in this "
                         "image; pass fake=True for the deterministic "
-                        "plumbing path (WAV audio and BMP images decode "
-                        "for real either way)")
+                        "plumbing path (WAV audio, BMP images and "
+                        "uncompressed AVI video decode for real either "
+                        "way)")
             for i, c in enumerate(feat_cols):
                 out[c] = feats[:, i]
             yield pd.DataFrame(out)

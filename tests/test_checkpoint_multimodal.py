@@ -244,3 +244,67 @@ def test_media_to_embedding_to_ann_pipeline(spark):
     assert len(chunks) > 0
     assert (chunks.chunk_end_s <= chunks.duration_s + 1e-9).all()
     assert (chunks.chunk_start_s[chunks.chunk_no == 0] == 0).all()
+
+
+def test_real_avi_decode_features(spark):
+    """Video decode is REAL for uncompressed AVI: synthesized RIFF bytes
+    round-trip through the pure-struct walker, the marching rectangle
+    produces nonzero motion energy, selective decode honors the
+    frame_sample_plan contract, and distributed features equal a
+    driver-side computation bit-for-bit."""
+    from opensmile_spark.multimodal import (
+        decode_avi, extract_media_features, synthesize_avi_bytes,
+        synthetic_media, video_features,
+    )
+
+    # direct decoder pins
+    payload = synthesize_avi_bytes(9, width=6, height=4, n_frames=5, fps=2)
+    frames, fps = decode_avi(payload)
+    assert frames.shape == (5, 4, 6, 3) and fps == 2.0
+    # column 5 is provably outside the 1x1 marching rectangle (fx <= 4):
+    # pin the gradients there in every frame
+    assert (frames[:, :, 5, 0] == 255).all()              # R = x-gradient
+    assert (frames[:, 0, 5, 1] == 0).all()                # G = y-gradient
+    assert (frames[:, 3, 5, 1] == 255).all()
+    # consecutive frames differ (the rectangle marches)
+    assert any(
+        not np.array_equal(frames[i], frames[i + 1]) for i in range(4))
+
+    # selective frame decode: exactly the requested frames, same pixels
+    sel, _ = decode_avi(payload, frame_indices=[0, 3])
+    assert sel.shape[0] == 2
+    assert np.array_equal(sel[0], frames[0])
+    assert np.array_equal(sel[1], frames[3])
+
+    media = synthetic_media(spark, n=30, real_video=True)
+    vids = media.filter(F.col("kind") == "video")
+    n_vid = vids.count()
+    assert n_vid > 0
+    feats = extract_media_features(vids, n_features=8,
+                                   fake=False).toPandas()
+    assert len(feats) == n_vid
+    fcols = [f"feat_{i}" for i in range(8)]
+    for _, row in feats.sort_values("media_id").head(3).iterrows():
+        mid = int(row["media_id"])
+        fr, f = decode_avi(synthesize_avi_bytes(mid))
+        want = video_features(fr, f, 8)
+        assert np.allclose([row[c] for c in fcols], want, rtol=0, atol=0)
+        assert row["feat_3"] > 0                         # motion energy
+        assert row["feat_6"] == 4.0                      # fps
+
+
+def test_all_modalities_decode_real(spark):
+    """With real_audio+real_images+real_video, every row in the media
+    table takes a genuine decode path — extract_media_features runs with
+    fake=False over the FULL table (no NotImplementedError anywhere)."""
+    from opensmile_spark.multimodal import (
+        extract_media_features, synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=36, real_audio=True, real_images=True,
+                            real_video=True)
+    feats = extract_media_features(media, n_features=6,
+                                   fake=False).toPandas()
+    assert len(feats) == 36
+    assert set(feats["kind"]) == {"image", "audio", "video"}
+    assert feats[[f"feat_{i}" for i in range(6)]].notna().all().all()
