@@ -140,10 +140,19 @@ def main():
     from opensmile_spark.similarity import cosine_topk
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # untimed warm-up on a small sample: the FIRST execution of the
+    # md5/explode/shuffle codegen paths pays a one-time JVM JIT cost
+    # (observed 4-9 s vs ~2 s warm for identical plans) that a long-lived
+    # cluster's executors don't pay per query — the same rationale as the
+    # scaling block's untimed Arrow warm-up below
+    sample = docs.limit(500)
+    _noop(ngram_jaccard(sample,
+                        minhash_lsh_pairs(sample, n_hashes=8, bands=4)))
     timed("dedup_minhash_lsh", lambda: _noop(
         ngram_jaccard(docs, minhash_lsh_pairs(docs, n_hashes=8, bands=4))))
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    _noop(cosine_topk(emb.limit(500), emb.filter(F.col("vec_id") < 2), k=5))
     timed("ann_cosine_topk", lambda: _noop(
         cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=10)))
 

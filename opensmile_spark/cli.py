@@ -20,6 +20,8 @@ Subcommands:
                 -> min-id survivors)
   decontaminate documents + benchmark parquet -> documents minus eval-set
                 n-gram leakage
+  sample        deterministic hash sampling — uniform --rate, or
+                --strata-col + --weights for domain mixing
 
 Build the zip with `python -m zipfile -c opensmile_spark.zip opensmile_spark`
 (pure-python package, no binary deps beyond the cluster's pyspark/numpy/
@@ -113,6 +115,25 @@ def cmd_decontaminate(spark, args):
                       "rows_out": n_out, "removed": n_in - n_out}))
 
 
+def cmd_sample(spark, args):
+    from opensmile_spark.sampling import domain_mix, hash_sample
+
+    docs = spark.read.parquet(args.input)
+    if args.weights:
+        weights = {k: float(v) for k, v in
+                   (kv.split("=") for kv in args.weights.split(","))}
+        kept, rates = domain_mix(docs, args.strata_col, weights,
+                                 key_col=args.key_col, seed=args.seed)
+    else:
+        kept = hash_sample(docs, args.rate, key_col=args.key_col,
+                           seed=args.seed)
+        rates = {"*": args.rate}
+    kept.write.mode("overwrite").parquet(args.output)
+    n_in, n_out = docs.count(), spark.read.parquet(args.output).count()
+    print(json.dumps({"output": args.output, "rows_in": n_in,
+                      "rows_out": n_out, "rates": rates}))
+
+
 def cmd_datagen(spark, args):
     from opensmile_spark.datagen import generate_transcripts
 
@@ -169,6 +190,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--benchmark", required=True)
     sp.add_argument("--k-shingle", type=int, default=3)
     sp.add_argument("--min-overlap", type=int, default=2)
+
+    sp = sub.add_parser("sample")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--rate", type=float, default=0.1)
+    sp.add_argument("--key-col", default="doc_id")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--strata-col", default=None)
+    sp.add_argument("--weights", default=None,
+                    help="stratum=weight,... -> domain_mix over --strata-col")
     return p
 
 
@@ -186,7 +217,8 @@ def main(argv=None):
      "backfill": cmd_backfill,
      "datagen": cmd_datagen,
      "dedup": cmd_dedup,
-     "decontaminate": cmd_decontaminate}[args.cmd](spark, args)
+     "decontaminate": cmd_decontaminate,
+     "sample": cmd_sample}[args.cmd](spark, args)
 
 
 if __name__ == "__main__":

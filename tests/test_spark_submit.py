@@ -115,3 +115,40 @@ def test_cli_dedup_and_decontaminate_inprocess(spark, tmp_path):
     kept = sorted(r["doc_id"]
                   for r in spark.read.parquet(out2).collect())
     assert kept == [1, 2, 4]          # 3 matches the benchmark -> removed
+
+
+def test_cli_sample_inprocess(spark, tmp_path):
+    """The sample subcommand: uniform deterministic rate, then domain
+    mixing via --strata-col/--weights — output rates and row counts are
+    reproducible functions of (key, seed)."""
+    import json
+
+    import pandas as pd
+
+    from opensmile_spark.cli import main
+    from opensmile_spark.sampling import hash_sample
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(200)),
+        "domain": ["web"] * 150 + ["books"] * 50,
+        "text": [f"doc {i}" for i in range(200)],
+    }))
+    dpath = str(tmp_path / "docs")
+    docs.write.parquet(dpath)
+
+    out1 = str(tmp_path / "uniform")
+    main(["sample", "--input", dpath, "--output", out1,
+          "--rate", "0.3", "--seed", "3"])
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out1).collect())
+    want = sorted(r["doc_id"] for r in
+                  hash_sample(docs, 0.3, seed=3).collect())
+    assert got == want
+
+    out2 = str(tmp_path / "mixed")
+    main(["sample", "--input", dpath, "--output", out2,
+          "--strata-col", "domain", "--weights", "web=1,books=1",
+          "--seed", "5"])
+    by = (spark.read.parquet(out2).groupBy("domain").count().collect())
+    counts = {r["domain"]: r["count"] for r in by}
+    assert counts["books"] == 50            # binding stratum kept whole
+    assert 25 <= counts.get("web", 0) <= 75  # ~50 expected of 150 at 1/3
