@@ -1045,6 +1045,32 @@ def q_decontaminate(spark, sf_dir):
     return ngram_decontaminate(docs, bench, k_shingle=3, min_overlap=2)
 
 
+def q_io_roundtrip(spark, sf_dir):
+    """cCsvSink -> cCsvSource roundtrip exercising the full §2.1 option
+    set in one gate: ';' delimiter, header, per-bucket `lag` delayed
+    emission, frameIndex column, and source-side 0-based line range.
+    The docs table (bucket = doc_id % 10, n_chars) is written as ONE
+    deterministically-sorted csv file, re-read with start=5/end=454, and
+    compared to pure window SQL over the same parquet — the oracle never
+    touches the file, so evaluation order is irrelevant. Past the
+    driver's 50-entry window; oracle-checked by the replica."""
+    import tempfile
+
+    from opensmile_spark.io import csv_sink, csv_source
+
+    docs = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 10).alias("bucket"),
+        "doc_id", F.length("text").alias("n_chars"))
+    path = tempfile.mkdtemp(prefix="osk_gate_csv_")
+    csv_sink(
+        docs, path, header=True, lag=2, add_index=True,
+        partition_cols=("bucket",), order_col="doc_id", delimiter=";",
+        single_file_order=("bucket", "doc_id"))
+    back = csv_source(spark, path, delimiter=";", header="auto",
+                      start=5, end=454)
+    return back.select("bucket", "doc_id", "n_chars", "frameIndex")
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic domain-mixing sample: docs bucketed by token count
     (short/mid/long), kept at literal per-stratum rates 1.0/0.5/0.25 via
@@ -3158,6 +3184,26 @@ GROUP BY d.doc_id
 HAVING COUNT(*) >= 2
 """
 
+_ORACLES["io_roundtrip"] = """
+WITH t AS (
+  SELECT doc_id % 10 AS bucket, doc_id, length(text) AS n_chars
+  FROM documents
+), w AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) - 1
+        AS frameIndex,
+    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id DESC) AS rev
+  FROM t
+), kept AS (
+  SELECT bucket, doc_id, n_chars, frameIndex FROM w WHERE rev > 2
+), lined AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY bucket, doc_id) - 1 AS line
+  FROM kept
+)
+SELECT bucket, doc_id, n_chars, frameIndex
+FROM lined WHERE line BETWEEN 5 AND 454
+"""
+
 # thresholds = sampling.rate_threshold(r) = int(r * 2^32) for 1.0/0.5/0.25
 _ORACLES["stratified_sample"] = r"""
 WITH t AS (
@@ -3259,6 +3305,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "datagen": q_datagen,                 # rows-only (xxhash64 has no twin)
     "decontaminate": q_decontaminate,     # oracle-checked (replica; window full)
     "stratified_sample": q_stratified_sample,  # oracle-checked (replica; window full)
+    "io_roundtrip": q_io_roundtrip,       # oracle-checked (replica; window full)
     "emo_large": q_emo_large,             # rows-only (named preset bundle)
 }
 

@@ -80,10 +80,17 @@ def csv_sink(
     add_index: bool = False,
     partition_cols=("conv_id",),
     order_col: str = "turn_idx",
+    delimiter: str = ",",
+    single_file_order=None,
     mode: str = "overwrite",
 ) -> None:
     """CSV writer; lag>0 withholds the trailing `lag` frames per conv
-    (csvSink.cpp:42 delayed emission)."""
+    (csvSink.cpp:42 delayed emission); `delimiter` mirrors the
+    reference's delimChar option. `single_file_order` (a column tuple)
+    coalesces the output to ONE file in that deterministic row order —
+    the reference's one-file-with-line-numbers shape, required when a
+    downstream csv_source uses line ranges. Scale note: one writer task;
+    leave it None for parallel part files."""
     out = df
     if lag > 0:
         w = Window.partitionBy(*partition_cols).orderBy(F.col(order_col).desc())
@@ -92,7 +99,10 @@ def csv_sink(
     if add_index:
         w = Window.partitionBy(*partition_cols).orderBy(order_col)
         out = out.withColumn("frameIndex", F.row_number().over(w) - 1)
-    out.write.mode(mode).option("header", header).csv(path)
+    if single_file_order is not None:
+        out = out.repartition(1).sortWithinPartitions(*single_file_order)
+    out.write.mode(mode).option("header", header) \
+        .option("sep", delimiter).csv(path)
 
 
 def parquet_dump(df: DataFrame, path: str, mode: str = "overwrite") -> None:
