@@ -38,8 +38,9 @@ def _pipeline_df(spark, args):
     from opensmile_spark.functionals import functionals_kernel
     from opensmile_spark.lld import compute_lld
     from opensmile_spark.operators import sessionize, sma
+    from opensmile_spark.tables import read_table
 
-    t = spark.read.parquet(args.input)
+    t = read_table(spark, args.input)
     lld = compute_lld(t)
     base_cols = [c.removesuffix("_sma3") for c in args.value_cols]
     lld = sma(lld, base_cols, 3)
@@ -70,9 +71,10 @@ def cmd_pipeline(spark, args):
 def cmd_backfill(spark, args):
     from opensmile_spark.lld import compute_lld
     from opensmile_spark.operators import backfill_functionals, sma
+    from opensmile_spark.tables import read_table
 
-    t = spark.read.parquet(args.input)
-    anchors = spark.read.parquet(args.anchors)
+    t = read_table(spark, args.input)
+    anchors = read_table(spark, args.anchors)
     lld = compute_lld(t)
     base_cols = [c.removesuffix("_sma3") for c in args.value_cols]
     lld = sma(lld, base_cols, 3)
@@ -88,8 +90,9 @@ def cmd_dedup(spark, args):
     from opensmile_spark.dedup import (
         dedup_survivors, minhash_lsh_pairs, ngram_jaccard,
     )
+    from opensmile_spark.tables import read_table
 
-    docs = spark.read.parquet(args.input)
+    docs = read_table(spark, args.input)
     pairs = ngram_jaccard(
         docs, minhash_lsh_pairs(docs, n_hashes=args.n_hashes,
                                 bands=args.bands),
@@ -104,9 +107,10 @@ def cmd_dedup(spark, args):
 
 def cmd_decontaminate(spark, args):
     from opensmile_spark.dedup import decontaminate_survivors
+    from opensmile_spark.tables import read_table
 
-    docs = spark.read.parquet(args.input)
-    bench = spark.read.parquet(args.benchmark)
+    docs = read_table(spark, args.input)
+    bench = read_table(spark, args.benchmark)
     kept = decontaminate_survivors(
         docs, bench, k_shingle=args.k_shingle, min_overlap=args.min_overlap)
     kept.write.mode("overwrite").parquet(args.output)
@@ -117,8 +121,9 @@ def cmd_decontaminate(spark, args):
 
 def cmd_sample(spark, args):
     from opensmile_spark.sampling import domain_mix, hash_sample
+    from opensmile_spark.tables import read_table
 
-    docs = spark.read.parquet(args.input)
+    docs = read_table(spark, args.input)
     if args.weights:
         weights = {k: float(v) for k, v in
                    (kv.split("=") for kv in args.weights.split(","))}

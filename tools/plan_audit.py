@@ -192,6 +192,22 @@ def main():
           f"{two.get('numPartitions')}, numFiles={two.get('numFiles')}; "
           f"PartitionFilters on __cell in plan)")
 
+    # repetition_metrics claims: one linear JVM fold per doc — NO exchange,
+    # NO Python eval, no explode/groupBy per gram occurrence
+    from opensmile_spark.text import repetition_metrics
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    p = plan_str(repetition_metrics(docs, dup_k=2).select(
+        "doc_id", "top_2gram_frac", "top_3gram_frac", "dup_2gram_ratio"))
+    check("repetition_metrics zero-shuffle zero-Python",
+          n_op("Exchange", p) == 0
+          and count(r"(?i)python|ArrowEval|BatchEval", p) == 0
+          and n_op("Generate", p) == 0
+          and n_op("HashAggregate", p) == 0,
+          f"(exchanges={n_op('Exchange', p)}, generate/agg nodes="
+          f"{n_op('Generate', p)}/{n_op('HashAggregate', p)}; pure "
+          f"project over the scan)")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
