@@ -1073,6 +1073,27 @@ def q_io_roundtrip(spark, sf_dir):
     return back.select("bucket", "doc_id", "n_chars", "frameIndex")
 
 
+def q_lsp(spark, sf_dir):
+    """cLsp analogue (line spectral pairs of the order-4 LPC polynomial)
+    — oracle-checked via the classic closed form: the palindromic P and
+    antipalindromic Q factor out (1±z^-1), leaving symmetric quartics
+    that are QUADRATICS in u = 2*cos(w); the kernel's np.roots
+    eigensolve and the closed form agree to ~1e-14 relative (measured),
+    eight orders inside the gate rounding. Past the driver window;
+    oracle-checked by the replica."""
+    from opensmile_spark.functionals import functionals_kernel
+    from opensmile_spark.util import round_sig
+
+    out = functionals_kernel(
+        _lld(spark, sf_dir), ["char_len"], ("conv_id",), families=["lsp"],
+    )
+    return out.select(
+        "conv_id", "n_turns",
+        *[round_sig(F.col(f"char_len_lsp{i}")).alias(f"char_len_lsp{i}")
+          for i in range(4)],
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic domain-mixing sample: docs bucketed by token count
     (short/mid/long), kept at literal per-stratum rates 1.0/0.5/0.25 via
@@ -2018,39 +2039,12 @@ FROM lpfin
 _ORACLES["peaks2_restricted"] = _peaks2_restricted_oracle()
 
 
-def _lpc_modulation_oracle() -> str:
-    """Full SQL twin for the last two kernel families that were rows-only:
-
-    LPC (functionalLpc.cpp:20-22): the order-4 Levinson-Durbin recursion
-    UNROLLED into four CTE steps — autocorrelations r[k] as ordered list
-    sums, each step's acc subtracted in the kernel's exact sequential
-    order, e!=0 guards and the p = min(4, N-1) short-window rule intact.
-
-    Modulation (functionalModulation.cpp:42-74): the 64-point Hann-
-    windowed rFFT replayed as a DIRECT DFT (sum-of-cos/sin per bin k =
-    0..32; |X_k|/64), then np.interp's linear interpolation at the six
-    linspace(0.01, 0.4) centers with the exact center literals inlined.
-    numpy's butterfly FFT and the direct DFT agree to ~1e-13 relative —
-    five orders inside the 6-significant-digit gate rounding."""
-    r = _rsig
-    import numpy as _np
-
-    centers = _np.linspace(0.01, 0.4, 6)
-    mod_terms = []
-    need = set()
-    for i, f in enumerate(centers):
-        j = int(f * 64)
-        need.update((j, j + 1))
-        fr = repr(float(f))
-        expr = (f"(m{j} + (m{j + 1} - m{j}) * "
-                f"((CAST('{fr}' AS DOUBLE) - {j}/64.0) / (1.0/64.0)))")
-        mod_terms.append(
-            f'{r(expr)} AS "char_len_modSpec{i}"')
-    magcols = ",\n    ".join(
-        f"SUM(CASE WHEN k = {k} THEN c END) AS m{k}" for k in sorted(need))
-    mod_sel = ",\n  ".join(mod_terms)
-
-    body = f"""
+# Shared CTE chain: per-conv ordered array + order-4 Levinson-Durbin
+# unrolled (used by the lpc_modulation and lsp oracles). Autocorrelations
+# are ordered list sums; each step keeps the kernel's exact sequential
+# subtraction order, e!=0 guards, and the p = min(4, N-1) short-window
+# rule; lpcfin applies the r0=0 early-out.
+_LPC_CTES = """
 , arr AS (
   SELECT conv_id, list(char_len ORDER BY turn_idx) AS xs, COUNT(*) AS n,
          AVG(char_len) AS mu
@@ -2122,7 +2116,43 @@ def _lpc_modulation_oracle() -> str:
     CASE WHEN r0 = 0 OR p < 3 THEN 0.0 ELSE COALESCE(a4_3, 0.0) END AS lpc2,
     CASE WHEN r0 = 0 OR p < 4 THEN 0.0 ELSE COALESCE(a4_4, 0.0) END AS lpc3
   FROM s4b
-), yv AS (
+)"""
+
+
+def _lpc_modulation_oracle() -> str:
+    """Full SQL twin for the last two kernel families that were rows-only:
+
+    LPC (functionalLpc.cpp:20-22): the order-4 Levinson-Durbin recursion
+    UNROLLED into four CTE steps — autocorrelations r[k] as ordered list
+    sums, each step's acc subtracted in the kernel's exact sequential
+    order, e!=0 guards and the p = min(4, N-1) short-window rule intact.
+
+    Modulation (functionalModulation.cpp:42-74): the 64-point Hann-
+    windowed rFFT replayed as a DIRECT DFT (sum-of-cos/sin per bin k =
+    0..32; |X_k|/64), then np.interp's linear interpolation at the six
+    linspace(0.01, 0.4) centers with the exact center literals inlined.
+    numpy's butterfly FFT and the direct DFT agree to ~1e-13 relative —
+    five orders inside the 6-significant-digit gate rounding."""
+    r = _rsig
+    import numpy as _np
+
+    centers = _np.linspace(0.01, 0.4, 6)
+    mod_terms = []
+    need = set()
+    for i, f in enumerate(centers):
+        j = int(f * 64)
+        need.update((j, j + 1))
+        fr = repr(float(f))
+        expr = (f"(m{j} + (m{j + 1} - m{j}) * "
+                f"((CAST('{fr}' AS DOUBLE) - {j}/64.0) / (1.0/64.0)))")
+        mod_terms.append(
+            f'{r(expr)} AS "char_len_modSpec{i}"')
+    magcols = ",\n    ".join(
+        f"SUM(CASE WHEN k = {k} THEN c END) AS m{k}" for k in sorted(need))
+    mod_sel = ",\n  ".join(mod_terms)
+
+    body = f"""
+{_LPC_CTES}, yv AS (
   SELECT conv_id,
     list_transform(range(0, 64), i ->
       CASE WHEN i < LEAST(n, 64)
@@ -2157,6 +2187,79 @@ JOIN mags m USING (conv_id)
 
 
 _ORACLES["lpc_modulation"] = _lpc_modulation_oracle()
+
+
+def _lsp_oracle() -> str:
+    """Closed-form LSP twin (order 4): A(z) = 1 - sum a_k z^-k from the
+    shared Levinson chain; P = A(z) + z^-5 A(z^-1) (palindromic, root
+    -1), Q = A(z) - z^-5 A(z^-1) (antipalindromic, root +1). Synthetic
+    division removes the trivial root; the remaining symmetric quartic
+    c0 y^4 + c1 y^3 + c2 y^2 + c1 y + c0 becomes
+    c0 u^2 + c1 u + (c2 - 2 c0) = 0 with u = 2 cos(w) — two quadratics
+    whose in-circle roots are the four line spectral frequencies, sorted
+    ascending and zero-padded exactly like the kernel."""
+    r = _rsig
+    body = """
+, lspa AS (
+  SELECT conv_id, 1.0 AS A0, -lpc0 AS A1, -lpc1 AS A2, -lpc2 AS A3,
+         -lpc3 AS A4
+  FROM lpcfin
+), lspb AS (
+  -- synthetic division (coeffs high->low) of P by (y+1), Q by (y-1):
+  -- b[i] = c[i] + root*b[i-1]; only b0..b2 are needed for the quadratic
+  SELECT conv_id,
+    A0 AS pb0,
+    (A1 + A4) + (-1.0) * A0 AS pb1,
+    A0 AS qb0,
+    (A1 - A4) + 1.0 * A0 AS qb1
+  FROM lspa
+), lspb2 AS (
+  SELECT l.conv_id, pb0, pb1, qb0, qb1,
+    (a.A2 + a.A3) + (-1.0) * pb1 AS pb2,
+    (a.A2 - a.A3) + 1.0 * qb1 AS qb2
+  FROM lspb l JOIN lspa a USING (conv_id)
+), lspd AS (
+  SELECT conv_id, pb0, pb1, pb2, qb0, qb1, qb2,
+    pb1 * pb1 - 4 * pb0 * (pb2 - 2 * pb0) AS pdisc,
+    qb1 * qb1 - 4 * qb0 * (qb2 - 2 * qb0) AS qdisc
+  FROM lspb2
+), lspu AS (
+  SELECT conv_id,
+    CASE WHEN pb0 <> 0 AND pdisc >= 0
+         THEN (-pb1 + sqrt(pdisc)) / (2 * pb0) END AS up1,
+    CASE WHEN pb0 <> 0 AND pdisc >= 0
+         THEN (-pb1 - sqrt(pdisc)) / (2 * pb0) END AS up2,
+    CASE WHEN qb0 <> 0 AND qdisc >= 0
+         THEN (-qb1 + sqrt(qdisc)) / (2 * qb0) END AS uq1,
+    CASE WHEN qb0 <> 0 AND qdisc >= 0
+         THEN (-qb1 - sqrt(qdisc)) / (2 * qb0) END AS uq2
+  FROM lspd
+), lspw AS (
+  SELECT conv_id,
+    list_sort(list_filter(
+      [CASE WHEN up1 > -2.0 AND up1 < 2.0 THEN acos(up1 / 2.0) END,
+       CASE WHEN up2 > -2.0 AND up2 < 2.0 THEN acos(up2 / 2.0) END,
+       CASE WHEN uq1 > -2.0 AND uq1 < 2.0 THEN acos(uq1 / 2.0) END,
+       CASE WHEN uq2 > -2.0 AND uq2 < 2.0 THEN acos(uq2 / 2.0) END],
+      w -> w IS NOT NULL AND w > 1e-9 AND w < pi() - 1e-9)) AS ws
+  FROM lspu
+)
+SELECT a.conv_id, a.n AS n_turns,
+  {lsp0} AS "char_len_lsp0",
+  {lsp1} AS "char_len_lsp1",
+  {lsp2} AS "char_len_lsp2",
+  {lsp3} AS "char_len_lsp3"
+FROM arr a JOIN lspw w USING (conv_id)
+""".format(
+        lsp0=r("CASE WHEN len(ws) >= 1 THEN ws[1] ELSE 0.0 END"),
+        lsp1=r("CASE WHEN len(ws) >= 2 THEN ws[2] ELSE 0.0 END"),
+        lsp2=r("CASE WHEN len(ws) >= 3 THEN ws[3] ELSE 0.0 END"),
+        lsp3=r("CASE WHEN len(ws) >= 4 THEN ws[4] ELSE 0.0 END"),
+    )
+    return SQL_PREFIX + _LPC_CTES + body
+
+
+_ORACLES["lsp"] = _lsp_oracle()
 
 
 def _viterbi_oracle(n_levels: int = 8, jump_cost: float = 2.0) -> str:
@@ -3452,6 +3555,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,     # oracle-checked (replica; window full)
     "stratified_sample": q_stratified_sample,  # oracle-checked (replica; window full)
     "io_roundtrip": q_io_roundtrip,       # oracle-checked (replica; window full)
+    "lsp": q_lsp,                         # oracle-checked (replica; closed-form quadratics)
     "emo_large": q_emo_large,             # rows-only (named preset bundle)
 }
 
