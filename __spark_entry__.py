@@ -1094,6 +1094,27 @@ def q_lsp(spark, sf_dir):
     )
 
 
+def q_formants(spark, sf_dir):
+    """cFormantLpc analogue: formant frequencies/bandwidths from the
+    order-6 LPC polynomial roots. Rows-only BY CONSTRUCTION: a sextic
+    has no closed-form roots (Abel-Ruffini), so no SQL twin can exist —
+    np.roots parity is pinned in pytest; this entry puts the family
+    under the driver's rows/schema check like every other kernel."""
+    from opensmile_spark.functionals import functionals_kernel
+    from opensmile_spark.util import round_sig
+
+    out = functionals_kernel(
+        _lld(spark, sf_dir), ["char_len"], ("conv_id",),
+        families=["formants"],
+    )
+    cols = [f"formant{k}{i}" for k in ("Freq", "Bw") for i in (1, 2, 3)]
+    return out.select(
+        "conv_id", "n_turns",
+        *[round_sig(F.col(f"char_len_{c}")).alias(f"char_len_{c}")
+          for c in cols],
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic domain-mixing sample: docs bucketed by token count
     (short/mid/long), kept at literal per-stratum rates 1.0/0.5/0.25 via
@@ -3556,6 +3577,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,  # oracle-checked (replica; window full)
     "io_roundtrip": q_io_roundtrip,       # oracle-checked (replica; window full)
     "lsp": q_lsp,                         # oracle-checked (replica; closed-form quadratics)
+    "formants": q_formants,               # rows-only (sextic roots: no closed form)
     "emo_large": q_emo_large,             # rows-only (named preset bundle)
 }
 
