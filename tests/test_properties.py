@@ -148,14 +148,23 @@ def test_expanding_chan_stats_match_pergroup(vals, offset):
         for k, v in want.items():
             if k in EXPANDING_UNSUPPORTED_KEYS:
                 continue
+            rtol = 1e-7
             if k in ("stddevNorm", "coeffOfVariation", "centroid"):
                 # reference formula divides by the mean/sum WHEN nonzero — a
                 # discontinuity any summation-order difference can flip when
-                # the mean cancels to ~ulp scale; exclude that knife edge
+                # the mean cancels to ~ulp scale; exclude that knife edge,
+                # and for partial cancellation widen rtol by the division's
+                # condition number (ulp noise in the sum is amplified by
+                # sum|x| / |sum| in the ratio — hypothesis found a case at
+                # amplification ~1e10 where the fixed 1e-7 rtol is
+                # unattainable by ANY summation order)
                 sabs = float(np.abs(x[:h]).sum())
-                if abs(float(np.sum(x[:h]))) < 1e-12 * max(sabs, 1e-300):
+                s = abs(float(np.sum(x[:h])))
+                if s < 1e-12 * max(sabs, 1e-300):
                     continue
+                amp = sabs / max(s, 1e-300)
+                rtol = max(rtol, 64 * np.finfo(float).eps * amp)
             got = float(ex[k][gi])
             atol = 256 * np.finfo(float).eps * scale * spread \
                 if k.endswith("errQ") else 1e-8 * scale
-            assert np.isclose(got, v, rtol=1e-7, atol=atol), (h, k, got, v)
+            assert np.isclose(got, v, rtol=rtol, atol=atol), (h, k, got, v)
