@@ -1094,6 +1094,21 @@ def q_lsp(spark, sf_dir):
     )
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Per-stratum corpus statistics for mixture planning (docs, tokens,
+    EXACT vocabulary, mean doc length) — strata = doc_id % 10. The exact
+    count_distinct variant is oracle-checked; the HLL (approx_rsd) scale
+    variant is pinned by a relative-error pytest. Past the driver
+    window; oracle-checked by the replica."""
+    from opensmile_spark.text import corpus_stats
+
+    out = corpus_stats(_docs(spark, sf_dir),
+                       strata_col=(F.col("doc_id") % 10))
+    return out.select(
+        "stratum", "n_docs", "n_tokens", "n_vocab",
+        F.round("mean_doc_tokens", 6).alias("mean_doc_tokens"))
+
+
 def q_formants(spark, sf_dir):
     """cFormantLpc analogue: formant frequencies/bandwidths from the
     order-6 LPC polynomial roots. Rows-only BY CONSTRUCTION: a sextic
@@ -3451,6 +3466,21 @@ GROUP BY d.doc_id
 HAVING COUNT(*) >= 2
 """
 
+_ORACLES["corpus_stats"] = r"""
+WITH e AS (
+  SELECT doc_id % 10 AS stratum, doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents
+)
+SELECT stratum,
+  COUNT(DISTINCT doc_id) AS n_docs,
+  COUNT(token) AS n_tokens,
+  COUNT(DISTINCT token) AS n_vocab,
+  ROUND(COUNT(token) * 1.0 / COUNT(DISTINCT doc_id), 6)
+      AS mean_doc_tokens
+FROM e GROUP BY stratum
+"""
+
 _ORACLES["io_roundtrip"] = """
 WITH t AS (
   SELECT doc_id % 10 AS bucket, doc_id, length(text) AS n_chars
@@ -3578,6 +3608,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "io_roundtrip": q_io_roundtrip,       # oracle-checked (replica; window full)
     "lsp": q_lsp,                         # oracle-checked (replica; closed-form quadratics)
     "formants": q_formants,               # rows-only (sextic roots: no closed form)
+    "corpus_stats": q_corpus_stats,       # oracle-checked (replica; window full)
     "emo_large": q_emo_large,             # rows-only (named preset bundle)
 }
 

@@ -179,6 +179,44 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
     )
 
 
+def corpus_stats(df: DataFrame, strata_col=None,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 approx_rsd: float | None = None) -> DataFrame:
+    """Per-stratum corpus statistics for mixture planning: document count,
+    token count, EXACT distinct-token vocabulary, and mean document
+    length. `strata_col` may be a column name or Column expression; None
+    computes one global row (stratum = '__all').
+
+    Scale note: `n_vocab` uses count_distinct, which shuffles every
+    distinct token once — exact and fine up to ~10^9 tokens/stratum. At
+    100 TB pass `approx_rsd` (e.g. 0.02) to swap in HyperLogLog++
+    (`approx_count_distinct`): one pass, fixed-size sketches, map-side
+    combinable — the standard trade. The exact variant is the one the
+    DuckDB oracle checks; the approx variant is pinned by a
+    relative-error pytest."""
+    strata = (F.lit("__all") if strata_col is None
+              else F.col(strata_col) if isinstance(strata_col, str)
+              else strata_col)
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    exploded = df.select(
+        strata.alias("stratum"),
+        F.col(id_col).alias("__id"),
+        F.explode(toks).alias("token"))
+    ndistinct = (F.approx_count_distinct("token", approx_rsd)
+                 if approx_rsd is not None
+                 else F.count_distinct("token"))
+    return (
+        exploded.groupBy("stratum")
+        .agg(
+            F.count_distinct("__id").alias("n_docs"),
+            F.count("token").alias("n_tokens"),
+            ndistinct.alias("n_vocab"),
+            (F.count("token")
+             / F.count_distinct("__id")).alias("mean_doc_tokens"),
+        )
+    )
+
+
 def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
                         shingle_k: int = 3, window: int = 4) -> DataFrame:

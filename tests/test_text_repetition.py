@@ -76,3 +76,33 @@ def test_repetition_edge_values(spark):
     # all seven 2-grams identical: 7 * len("spam spam")=9 over 39 chars
     assert rows[1]["top_2gram_frac"] == pytest.approx(63 / 39)
     assert rows[1]["dup_2gram_ratio"] == pytest.approx(63 / 39)
+
+
+def test_corpus_stats_exact_and_hll(spark):
+    """corpus_stats: exact vocabulary matches a Python set count; the
+    HyperLogLog variant (the 100 TB path) lands within ~5x its configured
+    relative standard deviation."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from opensmile_spark.text import corpus_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = {r["stratum"]: r.asDict()
+             for r in corpus_stats(docs, strata_col=(F.col("doc_id") % 10))
+             .collect()}
+    # python oracle for one stratum
+    rows = docs.filter(F.col("doc_id") % 10 == 3).collect()
+    toks = [t for r in rows
+            for t in re.split(r"\s+", r["text"].strip().lower())]
+    assert exact[3]["n_docs"] == len(rows)
+    assert exact[3]["n_tokens"] == len(toks)
+    assert exact[3]["n_vocab"] == len(set(toks))
+
+    approx = {r["stratum"]: r["n_vocab"]
+              for r in corpus_stats(docs, strata_col=(F.col("doc_id") % 10),
+                                    approx_rsd=0.02).collect()}
+    for s, a in approx.items():
+        rel = abs(a - exact[s]["n_vocab"]) / exact[s]["n_vocab"]
+        assert rel < 0.10, (s, a, exact[s]["n_vocab"])
