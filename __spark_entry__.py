@@ -1094,6 +1094,26 @@ def q_lsp(spark, sf_dir):
     )
 
 
+def q_redact(spark, sf_dir):
+    """PII redaction gate: the synthetic corpus carries no PII, so the
+    gate plants deterministic fake email/IP/phone strings derived from
+    doc_id, then checks the full scrub chain (sequential pattern order,
+    per-doc counts, redacted text) against the identical SQL chain.
+    Past the driver window; oracle-checked by the replica."""
+    from opensmile_spark.text import redact
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id"),
+            F.lit("@example.com from 10.0.0."), F.col("doc_id") % 256,
+            F.lit(" call +1 555 0123 456")))
+    out = redact(docs)
+    return out.select("doc_id", "n_email", "n_ipv4", "n_phone",
+                      "text_redacted")
+
+
 def q_corpus_stats(spark, sf_dir):
     """Per-stratum corpus statistics for mixture planning (docs, tokens,
     EXACT vocabulary, mean doc length) — strata = doc_id % 10. The exact
@@ -3466,6 +3486,43 @@ GROUP BY d.doc_id
 HAVING COUNT(*) >= 2
 """
 
+# mirrors text.REDACT_PATTERNS applied in sorted order (EMAIL, IPV4,
+# PHONE): each count runs against the text AFTER the previous patterns'
+# replacements, exactly like the sequential Spark chain
+_ORACLES["redact"] = r"""
+WITH t0 AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+         || ' call +1 555 0123 456' AS s
+  FROM documents
+), t1 AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(s,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        AS n_email,
+    regexp_replace(s,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g')
+        AS s
+  FROM t0
+), t2 AS (
+  SELECT doc_id, n_email,
+    CAST(len(regexp_extract_all(s,
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+    regexp_replace(s,
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g') AS s
+  FROM t1
+), t3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+    CAST(len(regexp_extract_all(s,
+      '\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]\d{3,4}')) AS BIGINT) AS n_phone,
+    regexp_replace(s,
+      '\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]\d{3,4}', '[PHONE]', 'g') AS s
+  FROM t2
+)
+SELECT doc_id, n_email, n_ipv4, n_phone, s AS text_redacted FROM t3
+"""
+
 _ORACLES["corpus_stats"] = r"""
 WITH e AS (
   SELECT doc_id % 10 AS stratum, doc_id,
@@ -3609,6 +3666,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsp": q_lsp,                         # oracle-checked (replica; closed-form quadratics)
     "formants": q_formants,               # rows-only (sextic roots: no closed form)
     "corpus_stats": q_corpus_stats,       # oracle-checked (replica; window full)
+    "redact": q_redact,                   # oracle-checked (replica; window full)
     "emo_large": q_emo_large,             # rows-only (named preset bundle)
 }
 

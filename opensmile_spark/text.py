@@ -179,6 +179,35 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
     )
 
 
+# PII patterns kept deliberately simple so the Java (Spark) and RE2
+# (DuckDB oracle) regex dialects agree token-for-token
+REDACT_PATTERNS = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "IPV4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "PHONE": r"\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]\d{3,4}",
+}
+
+
+def redact(df: DataFrame, text_col: str = "text",
+           patterns: dict[str, str] | None = None) -> DataFrame:
+    """PII scrubbing (the Dolma/CCNet-style pre-training cleanup stage):
+    replace every match of each named pattern with its [NAME] token and
+    count the replacements per document. Pure column expressions
+    (regexp_replace / regexp_count are JVM codegen) — a map-only pass
+    that composes with sampling/dedup filters and pushes down past
+    column pruning. Patterns apply in sorted-name order so output is
+    deterministic regardless of dict ordering."""
+    pats = REDACT_PATTERNS if patterns is None else patterns
+    out = df
+    text = F.col(text_col)
+    for name in sorted(pats):
+        out = out.withColumn(
+            f"n_{name.lower()}",
+            F.regexp_count(text, F.lit(pats[name])).cast("long"))
+        text = F.regexp_replace(text, pats[name], f"[{name}]")
+    return out.withColumn(f"{text_col}_redacted", text)
+
+
 def corpus_stats(df: DataFrame, strata_col=None,
                  text_col: str = "text", id_col: str = "doc_id",
                  approx_rsd: float | None = None) -> DataFrame:

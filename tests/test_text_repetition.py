@@ -106,3 +106,25 @@ def test_corpus_stats_exact_and_hll(spark):
     for s, a in approx.items():
         rel = abs(a - exact[s]["n_vocab"]) / exact[s]["n_vocab"]
         assert rel < 0.10, (s, a, exact[s]["n_vocab"])
+
+
+def test_redact_counts_and_tokens(spark):
+    """PII scrub: multiple matches per doc, sequential pattern order
+    (emails consumed before IP counting), clean docs pass through."""
+    from opensmile_spark.text import redact
+
+    df = spark.createDataFrame(
+        [(0, "mail a@b.co and c@d.org from 1.2.3.4 call +44 123 456 789"),
+         (1, "no pii here at all"),
+         (2, "ip 10.0.0.1 twice 10.0.0.2")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r.asDict() for r in redact(df).collect()}
+    assert rows[0]["n_email"] == 2
+    assert rows[0]["n_ipv4"] == 1
+    assert rows[0]["n_phone"] == 1
+    assert rows[0]["text_redacted"] == \
+        "mail [EMAIL] and [EMAIL] from [IPV4] call [PHONE]"
+    assert rows[1]["text_redacted"] == "no pii here at all"
+    assert (rows[1]["n_email"], rows[1]["n_ipv4"], rows[1]["n_phone"]) \
+        == (0, 0, 0)
+    assert rows[2]["n_ipv4"] == 2
