@@ -22,6 +22,8 @@ Subcommands:
                 n-gram leakage
   sample        deterministic hash sampling — uniform --rate, or
                 --strata-col + --weights for domain mixing
+  redact        PII scrub: replace email/IPv4/phone matches with [NAME]
+                tokens, keep per-doc counts
 
 Build the zip with `python -m zipfile -c opensmile_spark.zip opensmile_spark`
 (pure-python package, no binary deps beyond the cluster's pyspark/numpy/
@@ -139,6 +141,25 @@ def cmd_sample(spark, args):
                       "rows_out": n_out, "rates": rates}))
 
 
+def cmd_redact(spark, args):
+    from pyspark.sql import functions as F
+
+    from opensmile_spark.tables import read_table
+    from opensmile_spark.text import redact
+
+    docs = read_table(spark, args.input)
+    out = redact(docs, text_col=args.text_col)
+    if args.replace:
+        out = out.drop(args.text_col).withColumnRenamed(
+            f"{args.text_col}_redacted", args.text_col)
+    out.write.mode("overwrite").parquet(args.output)
+    counts = {c: int(x) for c, x in zip(
+        [c for c in out.columns if c.startswith("n_")],
+        out.groupBy().sum(*[c for c in out.columns
+                            if c.startswith("n_")]).first() or [])}
+    print(json.dumps({"output": args.output, "redactions": counts}))
+
+
 def cmd_datagen(spark, args):
     from opensmile_spark.datagen import generate_transcripts
 
@@ -205,6 +226,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--strata-col", default=None)
     sp.add_argument("--weights", default=None,
                     help="stratum=weight,... -> domain_mix over --strata-col")
+
+    sp = sub.add_parser("redact")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--replace", action="store_true",
+                    help="overwrite the text column instead of adding "
+                         "<col>_redacted")
     return p
 
 
@@ -223,7 +252,8 @@ def main(argv=None):
      "datagen": cmd_datagen,
      "dedup": cmd_dedup,
      "decontaminate": cmd_decontaminate,
-     "sample": cmd_sample}[args.cmd](spark, args)
+     "sample": cmd_sample,
+     "redact": cmd_redact}[args.cmd](spark, args)
 
 
 if __name__ == "__main__":

@@ -152,3 +152,26 @@ def test_cli_sample_inprocess(spark, tmp_path):
     counts = {r["domain"]: r["count"] for r in by}
     assert counts["books"] == 50            # binding stratum kept whole
     assert 25 <= counts.get("web", 0) <= 75  # ~50 expected of 150 at 1/3
+
+
+def test_cli_redact_inprocess(spark, tmp_path):
+    """The redact subcommand scrubs in place with --replace and reports
+    total redaction counts."""
+    import pandas as pd
+
+    from opensmile_spark.cli import main
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["write to a@b.co or c@d.net", "clean text"],
+    }))
+    dpath = str(tmp_path / "docs")
+    docs.write.parquet(dpath)
+    out = str(tmp_path / "scrubbed")
+    main(["redact", "--input", dpath, "--output", out, "--replace"])
+    got = {r["doc_id"]: r["text"]
+           for r in spark.read.parquet(out).collect()}
+    assert got[0] == "write to [EMAIL] or [EMAIL]"
+    assert got[1] == "clean text"
+    cols = spark.read.parquet(out).columns
+    assert "text_redacted" not in cols and "n_email" in cols
