@@ -105,6 +105,57 @@ def csv_sink(
         .option("sep", delimiter).csv(path)
 
 
+def _parse_arff_attributes(lines) -> list[tuple[str, str]]:
+    """@attribute lines -> [(name, 'numeric'|'string')], declaration order."""
+    attrs = []
+    for ln in lines:
+        ln = ln.strip()
+        if ln.lower().startswith("@attribute"):
+            _, name, typ = ln.split(None, 2)
+            attrs.append((name, typ.strip().lower()))
+    return attrs
+
+
+def arff_source(spark: SparkSession, path: str) -> DataFrame:
+    """cArffSource (/root/reference/src/iocore/arffSource.cpp): read ARFF
+    written by `arff_sink`, either layout:
+
+      sidecar  path/header.arff + parallel CSV parts under path/data/ —
+               the header is parsed driver-side (tiny), the body is a
+               plain schema'd parallel CSV scan (the 100 TB shape);
+      single   one .arff text file — '@' header lines are collected
+               driver-side (small by construction), data lines parse
+               distributed via from_csv.
+
+    ARFF `numeric` maps to double (ARFF numeric semantics), everything
+    else to string. Quoting follows the writer: the sidecar layout's CSV
+    parts are standard-quoted; the single-file writer emits bare
+    comma-joined values (no embedded commas), mirroring the reference's
+    simple line writer."""
+    import os
+
+    hdr_path = os.path.join(path, "header.arff")
+    if os.path.exists(hdr_path):
+        with open(hdr_path) as fh:
+            attrs = _parse_arff_attributes(fh.read().splitlines())
+        ddl = ", ".join(
+            f"`{n}` {'double' if t == 'numeric' else 'string'}"
+            for n, t in attrs)
+        return spark.read.schema(ddl).csv(os.path.join(path, "data"))
+
+    txt = spark.read.text(path)
+    meta = F.trim(F.col("value"))
+    hdr_lines = [r["value"] for r in
+                 txt.filter(meta.startswith("@")).collect()]
+    attrs = _parse_arff_attributes(hdr_lines)
+    ddl = ", ".join(
+        f"`{n}` {'double' if t == 'numeric' else 'string'}"
+        for n, t in attrs)
+    body = txt.filter(~meta.startswith("@") & (meta != ""))
+    parsed = body.select(F.from_csv("value", ddl).alias("r"))
+    return parsed.select(*[F.col(f"r.`{n}`").alias(n) for n, _ in attrs])
+
+
 def parquet_dump(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
 

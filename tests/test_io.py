@@ -81,3 +81,38 @@ def test_arff_sink(spark, tmp_path):
     arff_sink(df, p2, relation="feats")
     assert open(p2 + "/header.arff").read().startswith("@relation feats")
     assert spark.read.csv(p2 + "/data").count() == 2
+
+
+def test_arff_roundtrip_both_layouts(spark, tmp_path):
+    """arff_sink -> arff_source roundtrip: the sidecar layout (parallel
+    CSV parts + header.arff) and the single-file layout both reproduce
+    values, names, declaration order, and the numeric->double mapping,
+    including the appended literal class column."""
+    from pyspark.sql import functions as F
+
+    from opensmile_spark.io import arff_sink, arff_source
+
+    df = spark.range(20).select(
+        F.col("id").alias("frame"),
+        (F.col("id") * 1.5).alias("energy"),
+        F.concat(F.lit("seg"), F.col("id") % 3).alias("label"))
+
+    p1 = str(tmp_path / "sidecar")
+    arff_sink(df, p1, relation="feats",
+              extra_literal_cols={"klass": "train"})
+    back1 = arff_source(spark, p1)
+    assert back1.columns == ["frame", "energy", "label", "klass"]
+    assert [f.dataType.simpleString() for f in back1.schema.fields] == \
+        ["double", "double", "string", "string"]
+    rows = {int(r["frame"]): r for r in back1.collect()}
+    assert len(rows) == 20
+    assert rows[4]["energy"] == 6.0
+    assert rows[4]["label"] == "seg1" and rows[4]["klass"] == "train"
+
+    p2 = str(tmp_path / "single")
+    arff_sink(df, p2, relation="feats", single_file=True,
+              extra_literal_cols={"klass": "train"})
+    back2 = arff_source(spark, p2)
+    a = sorted(map(tuple, back1.collect()))
+    b = sorted(map(tuple, back2.collect()))
+    assert a == b
