@@ -1171,6 +1171,50 @@ def q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "stratum")
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking: every doc split into overlapping 32-token
+    windows (stride 24) — the cFramer frameSize/frameStep analogue over
+    whitespace tokens (framer.cpp:24-38). Pure narrow explode, no shuffle.
+    Past the driver's 50-entry window; oracle-checked by the replica."""
+    from opensmile_spark.packing import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), max_tokens=32, overlap=8)
+
+
+def q_pack_concat(spark, sf_dir):
+    """GPT-style concat-then-split sequence packing at budget 256 within
+    each source (deterministic doc_id order): per (doc, pack) slice spans
+    [tok_begin, tok_end) plus the in-pack offset. One cumsum window per
+    group + bounded span explode."""
+    from opensmile_spark.packing import pack_concat
+    from opensmile_spark.text import token_count
+
+    docs = token_count(_docs(spark, sf_dir))
+    return pack_concat(docs, budget=256, group_cols=["source"])
+
+
+def q_pack_greedy(spark, sf_dir):
+    """First-fit no-split packing at budget 256 per source: sequential
+    greedy walk in doc_id order (applyInPandas per group). Oracle replays
+    the walk as a recursive CTE stepping one doc per iteration."""
+    from opensmile_spark.packing import pack_greedy
+    from opensmile_spark.text import token_count
+
+    docs = token_count(_docs(spark, sf_dir))
+    return pack_greedy(docs, budget=256, group_cols=("source",))
+
+
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle: seeded md5 shard + dense in-shard
+    position (total order; rerun- and partitioning-independent) — the
+    reproducible corpus permutation a training reader consumes."""
+    from opensmile_spark.packing import deterministic_shuffle
+
+    return deterministic_shuffle(
+        _docs(spark, sf_dir), n_shards=8, seed=11
+    ).select("doc_id", "shard", "shuffle_pos")
+
+
 def q_datagen(spark, sf_dir):
     """Deterministic synthetic corpus (rows-only: xxhash64 has no DuckDB
     twin). Demonstrates the generator the bench uses."""
@@ -3577,6 +3621,92 @@ WHERE h < CASE stratum WHEN 'short' THEN 4294967296
                        ELSE 1073741824 END
 """
 
+_ORACLES["chunk_documents"] = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+), n AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+         GREATEST(1, CAST(ceil((len(toks) - 8) / 24.0) AS BIGINT))
+             AS n_chunks
+  FROM t
+), e AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0, n_chunks - 1)) AS i
+  FROM n
+)
+SELECT doc_id,
+  CAST(i AS INTEGER) AS chunk_idx,
+  array_to_string(toks[i*24 + 1 : i*24 + 32], ' ') AS chunk_text,
+  LEAST(32, n - i*24) AS chunk_tokens
+FROM e
+"""
+
+_ORACLES["pack_concat"] = r"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok
+  FROM documents
+), c AS (
+  SELECT source, doc_id, tok,
+    CAST(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum_end
+  FROM t
+), s AS (
+  SELECT source, doc_id, tok, cum_end, cum_end - tok AS cum_start
+  FROM c
+), b AS (
+  SELECT *, cum_start // 256 AS first_pack,
+         GREATEST((cum_end - 1) // 256, cum_start // 256) AS last_pack
+  FROM s
+), e AS (
+  SELECT source, doc_id, tok, cum_start,
+         unnest(generate_series(first_pack, last_pack)) AS pack_id
+  FROM b
+)
+SELECT source, doc_id, tok AS doc_tokens, pack_id,
+  GREATEST(0, pack_id * 256 - cum_start) AS tok_begin,
+  LEAST(tok, (pack_id + 1) * 256 - cum_start) AS tok_end,
+  GREATEST(0, cum_start - pack_id * 256) AS pack_begin
+FROM e
+"""
+
+_ORACLES["pack_greedy"] = r"""
+WITH RECURSIVE t AS (
+  SELECT source, doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+), walk AS (
+  SELECT source, doc_id, tok, rn,
+         CAST(0 AS BIGINT) AS pack_id, 0 AS pack_pos, tok AS run
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.doc_id, t.tok, t.rn,
+    CASE WHEN w.run + t.tok > 256 THEN w.pack_id + 1 ELSE w.pack_id END,
+    CASE WHEN w.run + t.tok > 256 THEN 0 ELSE w.pack_pos + 1 END,
+    CASE WHEN w.run + t.tok > 256 THEN t.tok ELSE w.run + t.tok END
+  FROM walk w JOIN t ON t.source = w.source AND t.rn = w.rn + 1
+)
+SELECT source, doc_id, tok AS n_tokens_ws, pack_id, pack_pos,
+       run AS pack_tokens
+FROM walk
+"""
+
+_ORACLES["shuffle_shards"] = r"""
+WITH s AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 8))
+         AS BIGINT) AS h
+  FROM documents
+)
+SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard,
+  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1
+       AS BIGINT) AS shuffle_pos
+FROM s
+"""
+
 
 # ---------------------------------------------------------------------------
 # contract functions
@@ -3668,6 +3798,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats": q_corpus_stats,       # oracle-checked (replica; window full)
     "redact": q_redact,                   # oracle-checked (replica; window full)
     "emo_large": q_emo_large,             # rows-only (named preset bundle)
+    # sequence assembly (training-data last mile) — oracle-checked (replica)
+    "chunk_documents": q_chunk_documents,
+    "pack_concat": q_pack_concat,
+    "pack_greedy": q_pack_greedy,
+    "shuffle_shards": q_shuffle_shards,
 }
 
 
