@@ -3721,18 +3721,236 @@ FROM s
 # supersets of already-gated formulas) plus oracle-checked extras that
 # didn't fit the window (decontaminate, stratified_sample, io_roundtrip,
 # viterbi_smooth). tools/check_correctness.py runs ALL entries.
+# ---------------------------------------------------------------------------
+# same-grain gate banks (driver-window consolidation, round 3b)
+#
+# The driver records verdicts for the FIRST 50 queries() entries only.
+# Each bank below joins ALREADY-GREEN standalone gates of one output grain
+# into a single entry — the constituent Spark queries and oracle twins are
+# unchanged and simply joined on the grain keys — freeing window slots for
+# the oracle-checked gates that previously sat past position 50.
+# COVERAGE.md documents the old-gate -> bank mapping.
+# ---------------------------------------------------------------------------
+
+def _merge(keys, *parts):
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.join(p, list(keys))
+    return out
+
+
+def _join_sql(keys, *sqls):
+    using = ", ".join(keys)
+    out = f"({sqls[0]}) AS m0"
+    for i, s in enumerate(sqls[1:], 1):
+        out += f"\nJOIN ({s}) AS m{i} USING ({using})"
+    return "SELECT * FROM " + out
+
+
+def q_smoothers_bank(spark, sf_dir):
+    """cContourSmoother (sma3/sma3nz/sma5/ma5) + cDeltaRegression
+    (deltawin=2/0) + cVectorPreemphasis in one (conv, turn) bank
+    (constituent green gates: `sma3`, `delta2`)."""
+    return _merge(("conv_id", "turn_idx"),
+                  q_sma3(spark, sf_dir), q_delta2(spark, sf_dir))
+
+
+def q_contour_bank(spark, sf_dir):
+    """cWindower (hamming recency weights) + cPitchSmoother (median) +
+    cPitchDirection in one (conv, turn) bank (constituents:
+    `windowed_hamming`, `median_smooth`, `contour_direction`)."""
+    return _merge(("conv_id", "turn_idx"),
+                  q_windowed_hamming(spark, sf_dir),
+                  q_median_smooth(spark, sf_dir),
+                  q_contour_direction(spark, sf_dir))
+
+
+def q_mvn_bank(spark, sf_dir):
+    """cVectorMVN every config: full/expanding/min-max + FROZEN
+    pre-trained stats (constituents: `mvn`, `mvn_pretrained`; the
+    pre-trained column is renamed char_len_mvn_pre)."""
+    pre = q_mvn_pretrained(spark, sf_dir).withColumnRenamed(
+        "char_len_mvn", "char_len_mvn_pre")
+    return _merge(("conv_id", "turn_idx"), q_mvn(spark, sf_dir), pre)
+
+
+def q_vector_ops_bank(spark, sf_dir):
+    """cVectorOperation/cVectorBinaryOperation/cMaxIndex + cMonoMixdown
+    per (conv, turn) (constituents: `vector_ops`, `mono_mixdown`)."""
+    return _merge(("conv_id", "turn_idx"),
+                  q_vector_ops(spark, sf_dir),
+                  q_mono_mixdown(spark, sf_dir))
+
+
+def q_regression_bank(spark, sf_dir):
+    """Quadratic-regression extras per (conv, session) joined with the
+    conv-level ACF/AMDF families (constituents: `functionals_qreg`,
+    `functionals_acf_amdf`; conv-level columns repeat per session and the
+    conv-level n_turns is renamed n_turns_conv)."""
+    acf = q_functionals_acf_amdf(spark, sf_dir).withColumnRenamed(
+        "n_turns", "n_turns_conv")
+    return q_functionals_qreg(spark, sf_dir).join(acf, "conv_id")
+
+
+def q_presets_core(spark, sf_dir):
+    """The SQL-expressible cores of BOTH flagship presets — eGeMAPS-style
+    and ComParE-2016-style — per (conv, session) (constituents:
+    `egemaps_core`, `compare_core`)."""
+    # char_len_sma3_amean is produced by BOTH preset cores (identical
+    # formula over the same sessions) — keep the eGeMAPS copy
+    return _merge(("conv_id", "session_id", "n_turns"),
+                  q_egemaps_core(spark, sf_dir),
+                  q_compare_core(spark, sf_dir)
+                  .drop("char_len_sma3_amean"))
+
+
+def q_spectral_bank(spark, sf_dir):
+    """The full cSpectral/cPlp/cHarmonics/cSpecScale surface over the
+    per-doc token spectrum (constituents: `token_spectrum`,
+    `spectral_moments`, `plp_aud`, `harmonics`, `spec_scale`)."""
+    return _merge(("doc_id",),
+                  q_token_spectrum(spark, sf_dir),
+                  q_spectral_moments(spark, sf_dir),
+                  q_plp_aud(spark, sf_dir),
+                  q_harmonics(spark, sf_dir),
+                  q_spec_scale(spark, sf_dir))
+
+
+def q_docfeat_bank(spark, sf_dir):
+    """Per-doc text analysis + dedup signatures in one doc_id-grain bank
+    (constituents: `text_metrics`, `doc_signatures`)."""
+    return _merge(("doc_id",),
+                  q_text_metrics(spark, sf_dir),
+                  q_doc_signatures(spark, sf_dir))
+
+
+def q_streaming_sessions(spark, sf_dir):
+    """SURVEY §2.8 executed AS A STREAM, hash-checked against a batch
+    oracle: the transcripts table is replayed through readStream (file
+    source), the stateless streaming LLD, and a session_window(433 s)
+    aggregation with watermark, driven to completion with
+    Trigger.AvailableNow — the EOI-flush analogue of the reference's
+    end-of-input ticks (componentManager.cpp:1485-1502). One far-future
+    sentinel row advances the global watermark past every real session so
+    append mode flushes ALL of them deterministically; the oracle is the
+    pure-batch SQL session rule (split when gap >= 433 s, exactly
+    session_window's merge-iff-overlap) + the same single-pass
+    aggregates. Stream/batch equivalence as a driver gate, not just a
+    pytest (test_streaming.py pins the remaining streaming surface)."""
+    import tempfile
+    import uuid
+
+    from opensmile_spark.streaming import (run_stream_to_memory,
+                                           streaming_lld,
+                                           streaming_session_functionals)
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    # withWatermark requires TIMESTAMP (not NTZ); the session pins UTC so
+    # the cast preserves epoch values and the DuckDB twin is unaffected
+    t = (_transcripts(spark, sf_dir).select(*cols)
+         .withColumn("ts", F.col("ts").cast("timestamp")))
+    sentinel = (
+        t.groupBy()
+        .agg(F.max("ts").alias("ts"))
+        .select(
+            F.lit("__wm__").alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+            F.lit("system").alias("role"),
+            F.lit("x").alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        )
+    )
+    d = tempfile.mkdtemp(prefix="osk_stream_gate_")
+    t.unionByName(sentinel).write.mode("overwrite").parquet(d)
+    batch = spark.read.parquet(d)
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    sess = streaming_session_functionals(
+        streaming_lld(stream), gap="433 seconds", watermark="0 seconds")
+    name = "gate_stream_sessions_" + uuid.uuid4().hex[:8]
+    run_stream_to_memory(sess, name)
+    vc = "char_len"
+    aggs = [f"{vc}_amean", f"{vc}_absmean", f"{vc}_qmean", f"{vc}_rqmean",
+            f"{vc}_variance", f"{vc}_max", f"{vc}_min", f"{vc}_nnz"]
+    return (
+        spark.sql(f"SELECT * FROM {name}")
+        .filter(F.col("conv_id") != "__wm__")
+        .select(
+            "conv_id",
+            F.round(_epoch("session_start"), 6).alias("session_start_epoch"),
+            F.round(_epoch("session_end"), 6).alias("session_end_epoch"),
+            "n_turns",
+            *[F.round(c, 6).alias(c) for c in aggs],
+        )
+    )
+
+
+_KEYS_CT = ("conv_id", "turn_idx")
+_ORACLES["sma3"] = _join_sql(_KEYS_CT, _ORACLES["sma3"],
+                             _ORACLES.pop("delta2"))
+_ORACLES["windowed_hamming"] = _join_sql(
+    _KEYS_CT, _ORACLES["windowed_hamming"], _ORACLES.pop("median_smooth"),
+    _ORACLES.pop("contour_direction"))
+_ORACLES["mvn"] = _join_sql(
+    _KEYS_CT, _ORACLES["mvn"],
+    "SELECT * EXCLUDE (char_len_mvn), char_len_mvn AS char_len_mvn_pre "
+    "FROM (" + _ORACLES.pop("mvn_pretrained") + ") pre")
+_ORACLES["vector_ops"] = _join_sql(
+    _KEYS_CT, _ORACLES["vector_ops"], _ORACLES.pop("mono_mixdown"))
+_ORACLES["functionals_qreg"] = _join_sql(
+    ("conv_id",), _ORACLES["functionals_qreg"],
+    "SELECT * EXCLUDE (n_turns), n_turns AS n_turns_conv "
+    "FROM (" + _ORACLES.pop("functionals_acf_amdf") + ") acf")
+_ORACLES["egemaps_core"] = _join_sql(
+    ("conv_id", "session_id", "n_turns"), _ORACLES["egemaps_core"],
+    'SELECT * EXCLUDE ("char_len_sma3_amean") FROM ('
+    + _ORACLES.pop("compare_core") + ") cpc")
+_ORACLES["token_spectrum"] = _join_sql(
+    ("doc_id",), _ORACLES["token_spectrum"],
+    _ORACLES.pop("spectral_moments"), _ORACLES.pop("plp_aud"),
+    _ORACLES.pop("harmonics"), _ORACLES.pop("spec_scale"))
+_ORACLES["text_metrics"] = _join_sql(
+    ("doc_id",), _ORACLES["text_metrics"], _ORACLES.pop("doc_signatures"))
+
+_ORACLES["streaming_sessions"] = SQL_PREFIX + """
+, flagged AS (
+  SELECT conv_id, 1e-6*epoch_us(ts) AS e, char_len,
+    CASE WHEN 1e-6*epoch_us(ts) - 1e-6*epoch_us(lag(ts) OVER
+              (PARTITION BY conv_id ORDER BY turn_idx)) >= 433
+         THEN 1 ELSE 0 END AS new_sess
+  FROM lld
+), sess AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY conv_id ORDER BY e
+             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT conv_id,
+  round(min(e), 6) AS session_start_epoch,
+  round(max(e) + 433, 6) AS session_end_epoch,
+  count(*) AS n_turns,
+  round(avg(char_len), 6) AS char_len_amean,
+  round(avg(abs(char_len)), 6) AS char_len_absmean,
+  round(avg(char_len*char_len), 6) AS char_len_qmean,
+  round(sqrt(avg(char_len*char_len)), 6) AS char_len_rqmean,
+  round(var_pop(char_len), 6) AS char_len_variance,
+  round(max(char_len), 6) AS char_len_max,
+  round(min(char_len), 6) AS char_len_min,
+  round(CAST(sum(CASE WHEN char_len <> 0 THEN 1 ELSE 0 END) AS DOUBLE), 6)
+      AS char_len_nnz
+FROM sess GROUP BY conv_id, sid
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sources + LLD
     "transcripts": q_transcripts,
     "lld": q_lld,
-    # contour smoothers / differencers (merged configs)
-    "sma3": q_sma3,
-    "delta2": q_delta2,
-    "windowed_hamming": q_windowed_hamming,
-    "median_smooth": q_median_smooth,
-    "contour_direction": q_contour_direction,
+    # contour smoothers / differencers / contour classifiers (banks)
+    "sma3": q_smoothers_bank,
+    "windowed_hamming": q_contour_bank,
     # framing / segmentation
     "sessionize": q_sessionize,
+    "streaming_sessions": q_streaming_sessions,   # §2.8 as a STREAM (oracle)
     "turn_detector": q_turn_detector,
     "meta_segments": q_meta_segments,
     "tumbling_window": q_tumbling_window,
@@ -3743,39 +3961,34 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "functionals_sql": q_functionals_sql,
     "functionals_session": q_functionals_session,
     "functionals_extras": q_functionals_extras,
-    "functionals_qreg": q_functionals_qreg,
-    "functionals_acf_amdf": q_functionals_acf_amdf,
+    "functionals_qreg": q_regression_bank,
     "peaks2_restricted": q_peaks2_restricted,
     "lpc_modulation": q_lpc_modulation,   # oracle (unrolled Levinson + DFT)
+    "lsp": q_lsp,                         # oracle (closed-form quadratics)
+    "viterbi_smooth": q_viterbi_smooth,   # oracle (recursive-CTE trellis)
     # point-in-time / joins
     "asof_join": q_asof_join,
     "backfill_means": q_backfill_means,
     # normalization
-    "mvn": q_mvn,
-    "mvn_pretrained": q_mvn_pretrained,
+    "mvn": q_mvn_bank,
     "fullinput_mean": q_fullinput_mean,
     # selection / vector math
     "valbased_selector": q_valbased_selector,
     "data_selector": q_data_selector,
-    "vector_ops": q_vector_ops,
+    "vector_ops": q_vector_ops_bank,
     "vector_ops_ext": q_vector_ops_ext,
-    "mono_mixdown": q_mono_mixdown,
     # skew handling
     "salted_stats": q_salted_stats,
     "salted_sma_equivalence": q_salted_sma_equivalence,
-    # presets
-    "egemaps_core": q_egemaps_core,
-    "compare_core": q_compare_core,
-    # spectral
-    "token_spectrum": q_token_spectrum,
-    "spectral_moments": q_spectral_moments,
-    "plp_aud": q_plp_aud,
-    "harmonics": q_harmonics,
-    "spec_scale": q_spec_scale,
+    # presets (eGeMAPS + ComParE cores)
+    "egemaps_core": q_presets_core,
+    # spectral (full cSpectral/cPlp/cHarmonics/cSpecScale bank)
+    "token_spectrum": q_spectral_bank,
+    # sources / sinks
+    "io_roundtrip": q_io_roundtrip,
     # text analysis / dedup / similarity
-    "text_metrics": q_text_metrics,
+    "text_metrics": q_docfeat_bank,
     "exact_dedup": q_exact_dedup,
-    "doc_signatures": q_doc_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_near_dups": q_simhash_near_dups,
     "embedding_near_dups": q_embedding_near_dups,
@@ -3783,26 +3996,24 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "cosine_topk": q_cosine_topk,
     "quantize_embeddings": q_quantize_embeddings,
-    # ---- position 51+: rows-only BY CONSTRUCTION (outside driver window) --
-    "embedding_near_dups_lsh": q_embedding_near_dups_lsh,  # rows-only (ANN)
-    "viterbi_smooth": q_viterbi_smooth,   # oracle (recursive-CTE trellis)
-    "egemaps_bundle": q_egemaps_bundle,   # rows-only (named preset)
-    "ann_lsh_topk": q_ann_lsh_topk,       # rows-only (approximate ANN)
-    "ann_ivf_topk": q_ann_ivf_topk,       # rows-only (approximate ANN)
-    "datagen": q_datagen,                 # rows-only (xxhash64 has no twin)
-    "decontaminate": q_decontaminate,     # oracle-checked (replica; window full)
-    "stratified_sample": q_stratified_sample,  # oracle-checked (replica; window full)
-    "io_roundtrip": q_io_roundtrip,       # oracle-checked (replica; window full)
-    "lsp": q_lsp,                         # oracle-checked (replica; closed-form quadratics)
-    "formants": q_formants,               # rows-only (sextic roots: no closed form)
-    "corpus_stats": q_corpus_stats,       # oracle-checked (replica; window full)
-    "redact": q_redact,                   # oracle-checked (replica; window full)
-    "emo_large": q_emo_large,             # rows-only (named preset bundle)
-    # sequence assembly (training-data last mile) — oracle-checked (replica)
+    # training-data pipeline (decontamination / sampling / stats / scrub)
+    "decontaminate": q_decontaminate,
+    "stratified_sample": q_stratified_sample,
+    "corpus_stats": q_corpus_stats,
+    "redact": q_redact,
+    # sequence assembly (training-data last mile)
     "chunk_documents": q_chunk_documents,
     "pack_concat": q_pack_concat,
     "pack_greedy": q_pack_greedy,
     "shuffle_shards": q_shuffle_shards,
+    # ---- position 51+: rows-only BY CONSTRUCTION (outside driver window) --
+    "embedding_near_dups_lsh": q_embedding_near_dups_lsh,  # rows-only (ANN)
+    "egemaps_bundle": q_egemaps_bundle,   # rows-only (named preset)
+    "ann_lsh_topk": q_ann_lsh_topk,       # rows-only (approximate ANN)
+    "ann_ivf_topk": q_ann_ivf_topk,       # rows-only (approximate ANN)
+    "datagen": q_datagen,                 # rows-only (xxhash64 has no twin)
+    "formants": q_formants,               # rows-only (sextic roots: no closed form)
+    "emo_large": q_emo_large,             # rows-only (named preset bundle)
 }
 
 
