@@ -3816,6 +3816,47 @@ def q_spectral_bank(spark, sf_dir):
                   q_spec_scale(spark, sf_dir))
 
 
+def q_pack_bank(spark, sf_dir):
+    """Both sequence-packing disciplines in one (source, doc_id) bank:
+    concat-then-split spans (multi-row per straddling doc) joined with
+    the greedy first-fit assignment (its pack columns renamed greedy_*;
+    constituents: `pack_concat`, `pack_greedy`)."""
+    greedy = (q_pack_greedy(spark, sf_dir)
+              .withColumnRenamed("pack_id", "greedy_pack_id")
+              .withColumnRenamed("pack_pos", "greedy_pack_pos")
+              .withColumnRenamed("pack_tokens", "greedy_pack_tokens")
+              .drop("n_tokens_ws"))
+    return q_pack_concat(spark, sf_dir).join(
+        greedy, ["source", "doc_id"])
+
+
+def q_corpus_pipeline(spark, sf_dir):
+    """The END-TO-END training-corpus pipeline as ONE oracle-checked
+    gate: quality filter (>= 0.55) -> prefix exact-dedup (min-id
+    survivor) -> 5-gram benchmark decontamination (doc_id % 7 == 0 docs
+    play the eval set) -> stratified sampling (src0 1.0 / src1 0.5 /
+    default 0.75, seed 5) -> deterministic shuffle (8 shards, seed 11).
+    Two corpus shuffles total (content-hash dedup + shard exchange);
+    every keep/drop decision replays bit-identically in the DuckDB twin."""
+    from opensmile_spark.pipeline import corpus_pipeline
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    out = corpus_pipeline(
+        docs, bench,
+        min_quality=0.55,
+        dedup_key=F.substring(F.col("text"), 1, 40),
+        k_shingle=5, min_overlap=2,
+        rates={"src0": 1.0, "src1": 0.5}, default_rate=0.75,
+        sample_seed=5, shuffle_seed=11, n_shards=8,
+    )
+    return out.select(
+        "doc_id", "source",
+        F.round("quality", 6).alias("quality"),
+        "shard", "shuffle_pos",
+    )
+
+
 def q_docfeat_bank(spark, sf_dir):
     """Per-doc text analysis + dedup signatures in one doc_id-grain bank
     (constituents: `text_metrics`, `doc_signatures`)."""
@@ -3912,6 +3953,78 @@ _ORACLES["token_spectrum"] = _join_sql(
 _ORACLES["text_metrics"] = _join_sql(
     ("doc_id",), _ORACLES["text_metrics"], _ORACLES.pop("doc_signatures"))
 
+_ORACLES["pack_bank"] = _join_sql(
+    ("source", "doc_id"), _ORACLES.pop("pack_concat"),
+    "SELECT source, doc_id, pack_id AS greedy_pack_id, "
+    "pack_pos AS greedy_pack_pos, pack_tokens AS greedy_pack_tokens "
+    "FROM (" + _ORACLES.pop("pack_greedy") + ") g")
+
+_ORACLES["corpus_pipeline"] = r"""
+WITH t AS (
+  SELECT doc_id, source, text,
+    string_split_regex(trim(lower(text)), '\s+') AS ltoks,
+    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE)
+        AS n_tok,
+    CAST(length(text) AS DOUBLE) AS n_chr
+  FROM documents
+), q AS (
+  SELECT doc_id, source, text,
+    LEAST(n_tok / 100.0, 1.0) * 0.4
+    + LEAST(CAST(len(list_intersect(ltoks,
+        ['the','and','of','to','a','in','is','that','it','for']))
+        AS DOUBLE) / 10.0 * 2.0, 1.0) * 0.3
+    + CASE WHEN n_chr / n_tok >= 3 AND n_chr / n_tok <= 12
+           THEN 0.2 ELSE 0.0 END
+    + CASE WHEN CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                AS DOUBLE) / n_chr <= 0.1 THEN 0.1 ELSE 0.0 END AS quality
+  FROM t
+), qf AS (
+  SELECT * FROM q WHERE quality >= 0.55
+), dd AS (
+  SELECT * FROM qf
+  QUALIFY row_number() OVER (PARTITION BY md5(substr(text, 1, 40))
+                             ORDER BY doc_id) = 1
+), bsh AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(
+      range(0, greatest(len(string_split_regex(trim(lower(text)), '\s+'))
+            - 5, 0) + 1),
+      i -> array_to_string(list_slice(
+          string_split_regex(trim(lower(text)), '\s+'), i + 1, i + 5),
+          ' ')))) AS shingle
+  FROM documents WHERE doc_id % 7 = 0
+), dsh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      range(0, greatest(len(string_split_regex(trim(lower(text)), '\s+'))
+            - 5, 0) + 1),
+      i -> array_to_string(list_slice(
+          string_split_regex(trim(lower(text)), '\s+'), i + 1, i + 5),
+          ' ')))) AS shingle
+  FROM dd
+), flagged AS (
+  SELECT doc_id FROM dsh JOIN bsh USING (shingle)
+  GROUP BY doc_id HAVING COUNT(*) >= 2
+), dc AS (
+  SELECT dd.* FROM dd ANTI JOIN flagged USING (doc_id)
+), samp AS (
+  SELECT * FROM dc
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':5'), 1, 8))
+             AS BIGINT)
+      < CASE source WHEN 'src0' THEN 4294967296
+                    WHEN 'src1' THEN 2147483648
+                    ELSE 3221225472 END
+), sh AS (
+  SELECT doc_id, source, quality,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 8))
+         AS BIGINT) AS h
+  FROM samp
+)
+SELECT doc_id, source, round(quality, 6) AS quality,
+  CAST(h % 8 AS INTEGER) AS shard,
+  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1
+       AS BIGINT) AS shuffle_pos
+FROM sh
+"""
+
 _ORACLES["streaming_sessions"] = SQL_PREFIX + """
 , flagged AS (
   SELECT conv_id, 1e-6*epoch_us(ts) AS e, char_len,
@@ -4003,9 +4116,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redact": q_redact,
     # sequence assembly (training-data last mile)
     "chunk_documents": q_chunk_documents,
-    "pack_concat": q_pack_concat,
-    "pack_greedy": q_pack_greedy,
+    "pack_bank": q_pack_bank,
     "shuffle_shards": q_shuffle_shards,
+    # the composed end-to-end corpus build (one oracle-checked gate)
+    "corpus_pipeline": q_corpus_pipeline,
     # ---- position 51+: rows-only BY CONSTRUCTION (outside driver window) --
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,  # rows-only (ANN)
     "egemaps_bundle": q_egemaps_bundle,   # rows-only (named preset)

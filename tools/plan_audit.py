@@ -208,6 +208,35 @@ def main():
           f"{n_op('Generate', p)}/{n_op('HashAggregate', p)}; pure "
           f"project over the scan)")
 
+    # sequence-assembly claims (packing.py): chunking is a narrow explode
+    # with NO exchange and NO Python; concat packing is ONE exchange (the
+    # per-group cumsum window) + a bounded span explode, still zero Python;
+    # deterministic_shuffle is ONE exchange (the shard key) and pure JVM.
+    from opensmile_spark.packing import (chunk_documents, deterministic_shuffle,
+                                         pack_concat)
+    from opensmile_spark.text import token_count
+
+    p = plan_str(chunk_documents(docs, max_tokens=32, overlap=8))
+    check("chunk_documents narrow zero-shuffle zero-Python",
+          n_op("Exchange", p) == 0
+          and count(r"(?i)python|ArrowEval|BatchEval", p) == 0,
+          f"(exchanges={n_op('Exchange', p)}; explode pipelines with scan)")
+
+    p = plan_str(pack_concat(token_count(docs), 256, group_cols=["source"]))
+    check("pack_concat one exchange zero-Python",
+          n_op("Exchange", p) == 1
+          and count(r"(?i)python|ArrowEval|BatchEval", p) == 0
+          and n_op("Window", p) == 1,
+          f"(exchanges={n_op('Exchange', p)}, windows={n_op('Window', p)}; "
+          f"group cumsum + bounded span explode)")
+
+    p = plan_str(deterministic_shuffle(docs, n_shards=64, seed=1))
+    check("deterministic_shuffle one exchange zero-Python",
+          n_op("Exchange", p) == 1
+          and count(r"(?i)python|ArrowEval|BatchEval", p) == 0,
+          f"(exchanges={n_op('Exchange', p)}; md5 shard + in-shard "
+          f"row_number only)")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
