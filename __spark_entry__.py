@@ -3766,12 +3766,15 @@ def q_contour_bank(spark, sf_dir):
 
 
 def q_mvn_bank(spark, sf_dir):
-    """cVectorMVN every config: full/expanding/min-max + FROZEN
-    pre-trained stats (constituents: `mvn`, `mvn_pretrained`; the
-    pre-trained column is renamed char_len_mvn_pre)."""
+    """The normalization family in one (conv, turn) bank: cVectorMVN
+    every config (full/expanding/min-max) + FROZEN pre-trained stats +
+    cFullinputMean (EOI two-pass and causal) (constituents: `mvn`,
+    `mvn_pretrained` — renamed char_len_mvn_pre — and
+    `fullinput_mean`)."""
     pre = q_mvn_pretrained(spark, sf_dir).withColumnRenamed(
         "char_len_mvn", "char_len_mvn_pre")
-    return _merge(("conv_id", "turn_idx"), q_mvn(spark, sf_dir), pre)
+    return _merge(("conv_id", "turn_idx"), q_mvn(spark, sf_dir), pre,
+                  q_fullinput_mean(spark, sf_dir))
 
 
 def q_vector_ops_bank(spark, sf_dir):
@@ -3857,6 +3860,48 @@ def q_corpus_pipeline(spark, sf_dir):
     )
 
 
+def q_streaming_expanding(spark, sf_dir):
+    """The STATEFUL streaming operator class as a driver gate: causal
+    expanding mean/std per conversation via applyInPandasWithState
+    (Welford accumulator carried across micro-batches — the streaming
+    twin of mvn(mode='expanding') and the execution slot for sequential
+    per-conv operators). The transcripts replay through readStream with
+    each conversation written whole and turn-sorted into one file, so
+    state-carry order matches event order; the oracle is the batch
+    expanding window (avg / sqrt(var_pop) / count over ROWS UNBOUNDED
+    PRECEDING). One emitted row per turn, hash-compared."""
+    import tempfile
+    import uuid
+
+    from opensmile_spark.streaming import (run_stream_to_memory,
+                                           stateful_expanding_stats,
+                                           streaming_lld)
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    t = (_transcripts(spark, sf_dir).select(*cols)
+         .withColumn("ts", F.col("ts").cast("timestamp")))
+    d = tempfile.mkdtemp(prefix="osk_stream_state_")
+    # one file per conv group, turn-sorted: a conversation never splits
+    # mid-stream, so the Welford state-carry equals the batch order
+    (t.repartition(2, "conv_id")
+     .sortWithinPartitions("conv_id", "turn_idx")
+     .write.mode("overwrite").parquet(d))
+    batch = spark.read.parquet(d)
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    out = stateful_expanding_stats(streaming_lld(stream))
+    name = "gate_stream_state_" + uuid.uuid4().hex[:8]
+    run_stream_to_memory(out, name, output_mode="update")
+    return (
+        spark.sql(f"SELECT * FROM {name}")
+        .select(
+            "conv_id", "turn_idx", "char_len",
+            F.round("run_mean", 6).alias("run_mean"),
+            F.round("run_std", 6).alias("run_std"),
+            "n",
+        )
+    )
+
+
 def q_docfeat_bank(spark, sf_dir):
     """Per-doc text analysis + dedup signatures in one doc_id-grain bank
     (constituents: `text_metrics`, `doc_signatures`)."""
@@ -3935,7 +3980,8 @@ _ORACLES["windowed_hamming"] = _join_sql(
 _ORACLES["mvn"] = _join_sql(
     _KEYS_CT, _ORACLES["mvn"],
     "SELECT * EXCLUDE (char_len_mvn), char_len_mvn AS char_len_mvn_pre "
-    "FROM (" + _ORACLES.pop("mvn_pretrained") + ") pre")
+    "FROM (" + _ORACLES.pop("mvn_pretrained") + ") pre",
+    _ORACLES.pop("fullinput_mean"))
 _ORACLES["vector_ops"] = _join_sql(
     _KEYS_CT, _ORACLES["vector_ops"], _ORACLES.pop("mono_mixdown"))
 _ORACLES["functionals_qreg"] = _join_sql(
@@ -4025,6 +4071,16 @@ SELECT doc_id, source, round(quality, 6) AS quality,
 FROM sh
 """
 
+_ORACLES["streaming_expanding"] = SQL_PREFIX + """
+SELECT conv_id, turn_idx, char_len,
+  round(avg(char_len) OVER w, 6) AS run_mean,
+  round(sqrt(var_pop(char_len) OVER w), 6) AS run_std,
+  count(*) OVER w AS n
+FROM lld
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS UNBOUNDED PRECEDING)
+"""
+
 _ORACLES["streaming_sessions"] = SQL_PREFIX + """
 , flagged AS (
   SELECT conv_id, 1e-6*epoch_us(ts) AS e, char_len,
@@ -4064,6 +4120,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # framing / segmentation
     "sessionize": q_sessionize,
     "streaming_sessions": q_streaming_sessions,   # §2.8 as a STREAM (oracle)
+    "streaming_expanding": q_streaming_expanding,  # stateful stream (oracle)
     "turn_detector": q_turn_detector,
     "meta_segments": q_meta_segments,
     "tumbling_window": q_tumbling_window,
@@ -4084,7 +4141,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "backfill_means": q_backfill_means,
     # normalization
     "mvn": q_mvn_bank,
-    "fullinput_mean": q_fullinput_mean,
     # selection / vector math
     "valbased_selector": q_valbased_selector,
     "data_selector": q_data_selector,

@@ -141,6 +141,61 @@ def cmd_sample(spark, args):
                       "rows_out": n_out, "rates": rates}))
 
 
+def cmd_corpus(spark, args):
+    """The composed corpus build (pipeline.corpus_pipeline): quality ->
+    dedup -> decontaminate -> sample -> shuffle, written shard-partitioned
+    so a training reader consumes shards in order."""
+    from opensmile_spark.pipeline import corpus_pipeline
+    from opensmile_spark.tables import read_table
+
+    docs = read_table(spark, args.input)
+    bench = read_table(spark, args.benchmark)
+    rates = None
+    if args.rates:
+        rates = {k: float(v) for k, v in
+                 (kv.split("=") for kv in args.rates.split(","))}
+    out = corpus_pipeline(
+        docs, bench, min_quality=args.min_quality,
+        k_shingle=args.k_shingle, min_overlap=args.min_overlap,
+        rates=rates, strata_col=args.strata_col,
+        default_rate=args.default_rate, sample_seed=args.seed,
+        shuffle_seed=args.seed + 1, n_shards=args.n_shards)
+    out = out.cache()
+    out.write.mode("overwrite").partitionBy("shard").parquet(args.output)
+    n_in, n_out = docs.count(), out.count()
+    out.unpersist()
+    print(json.dumps({"output": args.output, "rows_in": n_in,
+                      "rows_out": n_out, "n_shards": args.n_shards}))
+
+
+def cmd_pack(spark, args):
+    """Sequence assembly: concat packing, greedy packing, or chunking."""
+    from pyspark.sql import functions as F
+
+    from opensmile_spark.packing import (chunk_documents, pack_concat,
+                                         pack_greedy)
+    from opensmile_spark.tables import read_table
+    from opensmile_spark.text import token_count
+
+    docs = token_count(read_table(spark, args.input),
+                       text_col=args.text_col)
+    group = [c for c in args.group_cols.split(",") if c]
+    if args.mode == "concat":
+        out = pack_concat(docs, args.budget, group_cols=group)
+    elif args.mode == "greedy":
+        out = pack_greedy(docs, args.budget, group_cols=tuple(group))
+    else:
+        out = chunk_documents(docs, max_tokens=args.budget,
+                              overlap=args.overlap, text_col=args.text_col)
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    stat = {"output": args.output, "mode": args.mode, "rows_out": n}
+    if args.mode != "chunk":
+        packs = out.select(*group, "pack_id").distinct().count()
+        stat["n_packs"] = packs
+    print(json.dumps(stat))
+
+
 def cmd_redact(spark, args):
     from pyspark.sql import functions as F
 
@@ -234,6 +289,31 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--replace", action="store_true",
                     help="overwrite the text column instead of adding "
                          "<col>_redacted")
+
+    sp = sub.add_parser("corpus")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--benchmark", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--min-quality", type=float, default=0.0)
+    sp.add_argument("--k-shingle", type=int, default=3)
+    sp.add_argument("--min-overlap", type=int, default=2)
+    sp.add_argument("--rates", default=None, help="stratum=rate,...")
+    sp.add_argument("--strata-col", default="source")
+    sp.add_argument("--default-rate", type=float, default=1.0)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--n-shards", type=int, default=1024)
+
+    sp = sub.add_parser("pack")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--mode", choices=["concat", "greedy", "chunk"],
+                    default="concat")
+    sp.add_argument("--budget", type=int, default=2048,
+                    help="tokens per pack (or per chunk in chunk mode)")
+    sp.add_argument("--overlap", type=int, default=64,
+                    help="chunk mode: tokens shared between chunks")
+    sp.add_argument("--group-cols", default="source")
+    sp.add_argument("--text-col", default="text")
     return p
 
 
@@ -253,7 +333,9 @@ def main(argv=None):
      "dedup": cmd_dedup,
      "decontaminate": cmd_decontaminate,
      "sample": cmd_sample,
-     "redact": cmd_redact}[args.cmd](spark, args)
+     "redact": cmd_redact,
+     "corpus": cmd_corpus,
+     "pack": cmd_pack}[args.cmd](spark, args)
 
 
 if __name__ == "__main__":
