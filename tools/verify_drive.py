@@ -108,6 +108,36 @@ def main():
     top = cosine_topk(emb, emb.limit(1), k=3)
     check("6 media->decode->ANN", top.count() == 3)
 
+    # 7. corpus build -> sequence assembly roundtrip
+    from opensmile_spark.packing import chunk_documents, pack_concat
+    from opensmile_spark.pipeline import corpus_pipeline
+    from opensmile_spark.text import token_count
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    built = corpus_pipeline(docs, bench, min_quality=0.5, k_shingle=5,
+                            min_overlap=2, n_shards=4)
+    built_again = corpus_pipeline(docs.repartition(7), bench,
+                                  min_quality=0.5, k_shingle=5,
+                                  min_overlap=2, n_shards=4)
+    a = {(r["doc_id"], r["shard"], r["shuffle_pos"])
+         for r in built.select("doc_id", "shard", "shuffle_pos").collect()}
+    b = {(r["doc_id"], r["shard"], r["shuffle_pos"])
+         for r in built_again.select("doc_id", "shard",
+                                     "shuffle_pos").collect()}
+    check("7 corpus build deterministic", 0 < len(a) < docs.count()
+          and a == b)
+    packed = pack_concat(token_count(built.select("doc_id", "text",
+                                                  "shard")),
+                         budget=512, group_cols=["shard"])
+    mass = packed.groupBy("shard", "pack_id").agg(
+        F.sum(F.col("tok_end") - F.col("tok_begin")).alias("m"))
+    check("8 packs within budget",
+          mass.filter(F.col("m") > 512).count() == 0)
+    chunks = chunk_documents(built, max_tokens=64, overlap=8)
+    tot = chunks.groupBy("doc_id").agg(F.max("chunk_idx").alias("mx"))
+    check("9 chunking covers survivors", tot.count() == len(a))
+
     spark.stop()
     print("VERIFY " + ("PASS" if ok else "FAIL"))
     return 0 if ok else 1
