@@ -142,3 +142,64 @@ def test_deterministic_shuffle_stable(spark, docs):
         by_shard.setdefault(shard, []).append(pos)
     for shard, poss in by_shard.items():
         assert sorted(poss) == list(range(len(poss)))
+
+
+def test_randomized_invariants(spark):
+    """300 random docs (seed-fixed; includes zero-token and over-budget
+    sizes) through both packers: masses, contiguity, and the greedy rule
+    hold everywhere."""
+    import random
+
+    from opensmile_spark.packing import pack_concat, pack_greedy
+
+    rng = random.Random(1234)
+    rows = []
+    for i in range(300):
+        tok = rng.choice([0, 1, 2, 7, 31, 64, 65, 120, 400])
+        rows.append((i, f"g{i % 5}", tok))
+    df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+    budget = 64
+
+    pc = pack_concat(df, budget, token_col="n",
+                     group_cols=["source"]).collect()
+    # per-doc spans partition [0, n) contiguously in pack order
+    by_doc = {}
+    for r in pc:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    toks = {i: t for i, _, t in rows}
+    for doc, spans in by_doc.items():
+        spans.sort(key=lambda r: r["pack_id"])
+        assert spans[0]["tok_begin"] == 0
+        assert spans[-1]["tok_end"] == toks[doc]
+        for a, b in zip(spans, spans[1:]):
+            assert a["tok_end"] == b["tok_begin"]
+            assert b["pack_id"] == a["pack_id"] + 1
+        # offset consistency: slice fits inside the pack
+        for r in spans:
+            assert 0 <= r["pack_begin"] <= budget
+            assert r["pack_begin"] + (r["tok_end"] - r["tok_begin"]) \
+                <= budget
+    # pack masses: exactly budget except each group's last pack
+    mass, last = {}, {}
+    for r in pc:
+        key = (r["source"], r["pack_id"])
+        mass[key] = mass.get(key, 0) + r["tok_end"] - r["tok_begin"]
+        last[r["source"]] = max(last.get(r["source"], 0), r["pack_id"])
+    for (src, pid), m in mass.items():
+        if pid < last[src]:
+            assert m == budget, (src, pid, m)
+
+    pg = pack_greedy(df, budget, token_col="n",
+                     group_cols=("source",)).collect()
+    by_group = {}
+    for r in pg:
+        by_group.setdefault(r["source"], []).append(r)
+    for src, rs in by_group.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        run, pack = 0, 0
+        for r in rs:
+            t = toks[r["doc_id"]]
+            if run > 0 and run + t > budget:
+                pack, run = pack + 1, 0
+            run += t
+            assert (r["pack_id"], r["pack_tokens"]) == (pack, run), r
