@@ -3891,6 +3891,10 @@ def q_streaming_expanding(spark, sf_dir):
     out = stateful_expanding_stats(streaming_lld(stream))
     name = "gate_stream_state_" + uuid.uuid4().hex[:8]
     run_stream_to_memory(out, name, output_mode="update")
+    # the memory sink holds materialized rows; the replayed files are done
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
     return (
         spark.sql(f"SELECT * FROM {name}")
         .select(
@@ -3955,6 +3959,10 @@ def q_streaming_sessions(spark, sf_dir):
         streaming_lld(stream), gap="433 seconds", watermark="0 seconds")
     name = "gate_stream_sessions_" + uuid.uuid4().hex[:8]
     run_stream_to_memory(sess, name)
+    # the memory sink holds materialized rows; the replayed files are done
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
     vc = "char_len"
     aggs = [f"{vc}_amean", f"{vc}_absmean", f"{vc}_qmean", f"{vc}_rqmean",
             f"{vc}_variance", f"{vc}_max", f"{vc}_min", f"{vc}_nnz"]

@@ -154,6 +154,10 @@ def cmd_corpus(spark, args):
     if args.rates:
         rates = {k: float(v) for k, v in
                  (kv.split("=") for kv in args.rates.split(","))}
+    elif args.default_rate != 1.0:
+        # --default-rate alone still means "sample everything at that
+        # rate": an empty rates map routes every stratum to the default
+        rates = {}
     out = corpus_pipeline(
         docs, bench, min_quality=args.min_quality,
         k_shingle=args.k_shingle, min_overlap=args.min_overlap,
@@ -170,8 +174,6 @@ def cmd_corpus(spark, args):
 
 def cmd_pack(spark, args):
     """Sequence assembly: concat packing, greedy packing, or chunking."""
-    from pyspark.sql import functions as F
-
     from opensmile_spark.packing import (chunk_documents, pack_concat,
                                          pack_greedy)
     from opensmile_spark.tables import read_table
@@ -188,11 +190,13 @@ def cmd_pack(spark, args):
         out = chunk_documents(docs, max_tokens=args.budget,
                               overlap=args.overlap, text_col=args.text_col)
     out.write.mode("overwrite").parquet(args.output)
-    n = spark.read.parquet(args.output).count()
-    stat = {"output": args.output, "mode": args.mode, "rows_out": n}
+    written = spark.read.parquet(args.output)
+    stat = {"output": args.output, "mode": args.mode,
+            "rows_out": written.count()}
     if args.mode != "chunk":
-        packs = out.select(*group, "pack_id").distinct().count()
-        stat["n_packs"] = packs
+        # count packs from the written files — not by re-running the job
+        stat["n_packs"] = written.select(*group, "pack_id") \
+            .distinct().count()
     print(json.dumps(stat))
 
 

@@ -156,10 +156,10 @@ def pack_greedy(df: DataFrame, budget: int,
                 id_col: str = "doc_id",
                 group_cols: Sequence[str] = ("source",)) -> DataFrame:
     """First-fit no-split packing: within each group, walk documents in
-    `id_col` order keeping a running token total; when adding the next doc
-    would exceed `budget` (and the pack is non-empty), open a new pack.
-    Docs longer than the budget get a pack of their own (no truncation —
-    downstream `chunk_documents` handles oversized docs).
+    `id_col` order keeping a running token total; when adding a non-first
+    doc would exceed `budget`, open a new pack. Docs longer than the
+    budget get a pack of their own (no truncation — downstream
+    `chunk_documents` handles oversized docs).
 
     The walk is inherently sequential, so it runs per group via
     applyInPandas (Arrow batch, sort + one linear pass — no per-row
@@ -181,8 +181,12 @@ def pack_greedy(df: DataFrame, budget: int,
         toks = pdf[token_col].to_numpy()
         pack_id, pos, run = 0, 0, 0
         pids, poss, runs = [], [], []
-        for t in toks:
-            if run > 0 and run + t > budget:
+        for i, t in enumerate(toks):
+            # a non-first doc always extends a non-empty pack (the doc
+            # that opened it), so the open-new-pack rule is simply
+            # "adding this doc would overflow" — including after
+            # zero-token prefixes, matching the recursive-CTE oracle
+            if i > 0 and run + t > budget:
                 pack_id, pos, run = pack_id + 1, 0, 0
             pids.append(pack_id)
             poss.append(pos)

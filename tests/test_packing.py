@@ -106,8 +106,8 @@ def test_pack_greedy_first_fit(spark, docs):
     want = {}
     for source, dlist in by_source.items():
         pack, pos, run = 0, 0, 0
-        for doc_id, n in sorted(dlist):
-            if run > 0 and run + n > budget:
+        for i, (doc_id, n) in enumerate(sorted(dlist)):
+            if i > 0 and run + n > budget:
                 pack, pos, run = pack + 1, 0, 0
             run += n
             want[(source, doc_id)] = (pack, pos, run)
@@ -197,9 +197,9 @@ def test_randomized_invariants(spark):
     for src, rs in by_group.items():
         rs.sort(key=lambda r: r["doc_id"])
         run, pack = 0, 0
-        for r in rs:
+        for i, r in enumerate(rs):
             t = toks[r["doc_id"]]
-            if run > 0 and run + t > budget:
+            if i > 0 and run + t > budget:
                 pack, run = pack + 1, 0
             run += t
             assert (r["pack_id"], r["pack_tokens"]) == (pack, run), r
