@@ -1215,6 +1215,21 @@ def q_shuffle_shards(spark, sf_dir):
     ).select("doc_id", "shard", "shuffle_pos")
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (Jegou et al. 2011): sample-fit per-
+    subspace codebooks, m-byte codes, ADC table-lookup scoring, exact
+    cosine re-rank of the candidate set. Approximate by construction —
+    rows-only driver check; recall >= 0.8 vs the exact path is pinned in
+    tests/test_similarity.py."""
+    from opensmile_spark.similarity import pq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = pq_topk(emb, queries, k=10, m=8, n_codes=32, rescore_factor=4)
+    return out.select("query_id", "item_id", "rank",
+                      F.round("cosine", 5).alias("cosine"))
+
+
 def q_datagen(spark, sf_dir):
     """Deterministic synthetic corpus (rows-only: xxhash64 has no DuckDB
     twin). Demonstrates the generator the bench uses."""
@@ -4189,6 +4204,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "egemaps_bundle": q_egemaps_bundle,   # rows-only (named preset)
     "ann_lsh_topk": q_ann_lsh_topk,       # rows-only (approximate ANN)
     "ann_ivf_topk": q_ann_ivf_topk,       # rows-only (approximate ANN)
+    "ann_pq_topk": q_ann_pq_topk,         # rows-only (approximate ANN)
     "datagen": q_datagen,                 # rows-only (xxhash64 has no twin)
     "formants": q_formants,               # rows-only (sextic roots: no closed form)
     "emo_large": q_emo_large,             # rows-only (named preset bundle)

@@ -435,3 +435,179 @@ def dequantize_embeddings(df: DataFrame, q_col: str = "embedding_q8",
         out_col,
         F.transform(F.col(q_col),
                     lambda q: q.cast("double") * F.col(scale_col)))
+
+
+# ---- product quantization (PQ / ADC) --------------------------------------
+#
+# The third leg of the 100 TB embedding-search stack (next to LSH and IVF):
+# vectors are L2-normalized, split into m subvectors, and each subvector is
+# replaced by the id of its nearest per-subspace centroid — m bytes per
+# vector instead of 4*dim. Queries score candidates with an Asymmetric
+# Distance Computation: per query a tiny (m x n_codes) table of exact
+# query-subvector . centroid inner products; a candidate's approximate
+# cosine is the sum of m table lookups — no float vectors are read at all.
+# Reference formulation: Jegou, Douze, Schmid, "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011 (public).
+
+
+def _lloyd(x, k: int, seed: int, iters: int = 20):
+    """Deterministic seeded Lloyd k-means on a driver-side SAMPLE (numpy).
+    Sample sizes are bounded (~hundreds of rows per code), so this is
+    metadata-scale work — the distributed table is never scanned by the
+    fit, mirroring `_ivf_fit`'s sample-fit discipline."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(x), size=min(k, len(x)), replace=False)
+    c = x[idx].astype(np.float64).copy()
+    if len(c) < k:
+        reps = x[rng.integers(0, len(x), size=k - len(c))]
+        c = np.vstack([c, reps + rng.normal(0.0, 1e-6, reps.shape)])
+    for _ in range(iters):
+        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for j in range(k):
+            mask = a == j
+            if mask.any():
+                c[j] = x[mask].mean(0)
+    return c
+
+
+def _normalize_rows(x):
+    import numpy as np
+
+    return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+
+def pq_fit(index: DataFrame, m: int = 8, n_codes: int = 16,
+           vec_col: str = "embedding", seed: int = 42,
+           sample_rows: int | None = None):
+    """Fit PQ codebooks on a bounded sample of the index. Returns a numpy
+    array of shape (m, n_codes, dim/m) — kilobytes, shipped to executors
+    inside task closures (no broadcast variable machinery needed)."""
+    import numpy as np
+
+    if sample_rows is None:
+        sample_rows = 200 * n_codes
+    n = index.count()
+    frac = min(1.0, sample_rows / max(n, 1))
+    rows = index.select(vec_col)
+    if frac < 1.0:
+        rows = rows.sample(fraction=frac, seed=seed)
+    x = np.array([r[0] for r in rows.limit(sample_rows).collect()],
+                 dtype=np.float64)
+    x = _normalize_rows(x)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return np.stack([
+        _lloyd(x[:, j * sub:(j + 1) * sub], n_codes, seed + j)
+        for j in range(m)
+    ])
+
+
+def pq_encode(index: DataFrame, codebooks,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              out_col: str = "pq_code") -> DataFrame:
+    """One Arrow pass over the index: each (normalized) vector becomes its
+    m per-subspace nearest-centroid ids. At 100 TB this table is what you
+    persist: m ints per vector (int8-packable) instead of the float array."""
+    import numpy as np
+
+    m, _k, sub = codebooks.shape
+    cb = codebooks
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = _normalize_rows(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                sx = x[:, j * sub:(j + 1) * sub]
+                d = -2.0 * sx @ cb[j].T + (cb[j] ** 2).sum(1)
+                codes[:, j] = d.argmin(1)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                out_col: list(codes)})
+
+    return index.select(id_col, vec_col).mapInPandas(
+        enc, schema=f"{id_col} long, {out_col} array<int>")
+
+
+def pq_topk(index: DataFrame, queries: DataFrame, k: int = 10,
+            m: int = 8, n_codes: int = 16, rescore_factor: int = 4,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            seed: int = 42, codebooks=None) -> DataFrame:
+    """ANN top-k via PQ/ADC with exact re-scoring: encode the index once,
+    score every (query, item) with m table lookups inside the Arrow batch
+    keeping only the per-batch top k*rescore_factor per query (the
+    emitted row count is bounded by queries x batches x k*rf, never
+    queries x index), take the global ADC top k*rescore_factor, then
+    re-rank those few candidates with exact cosine on the true vectors.
+    Queries broadcast driver-side (the same small-query contract as
+    `cosine_topk`/`lsh_topk`)."""
+    import numpy as np
+
+    if codebooks is None:
+        codebooks = pq_fit(index, m, n_codes, vec_col, seed)
+    m, n_codes, _sub = codebooks.shape
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_x = _normalize_rows(
+        np.array([r[1] for r in q_rows], dtype=np.float64))
+    # ADC tables: (n_queries, m, n_codes) of exact q_sub . centroid
+    sub = q_x.shape[1] // m
+    tables = np.stack([
+        np.stack([q_x[:, j * sub:(j + 1) * sub] @ codebooks[j].T
+                  for j in range(m)], axis=1)
+    ])[0]  # (nq, m, n_codes)
+    local_k = k * rescore_factor
+
+    codes = pq_encode(index, codebooks, id_col, vec_col)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            c = np.stack(pdf["pq_code"].to_numpy())          # (n, m)
+            items = pdf[id_col].to_numpy()
+            # scores[qi] = sum_j tables[qi, j, c[:, j]]
+            out_q, out_i, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                s = tables[qi][np.arange(m), c].sum(1)        # (n,)
+                top = np.argsort(-s, kind="stable")[:local_k]
+                out_q.append(np.full(len(top), q_ids[qi]))
+                out_i.append(items[top])
+                out_s.append(s[top])
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "item_id": np.concatenate(out_i),
+                "adc_score": np.concatenate(out_s),
+            })
+
+    scored = codes.mapInPandas(
+        score, schema="query_id long, item_id long, adc_score double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("item_id").asc())
+    cand = (scored.filter(F.col("item_id") != F.col("query_id"))
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= local_k)
+            .select("query_id", "item_id", "adc_score"))
+    # exact re-rank of the tiny candidate set against the true vectors
+    iv = index.select(F.col(id_col).alias("item_id"),
+                      F.col(vec_col).alias("i_vec"))
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("q_vec"))
+    exact = (cand.join(iv, "item_id").join(F.broadcast(qv), "query_id")
+             .withColumn("cosine",
+                         _dot(F.col("q_vec"), F.col("i_vec"))
+                         / (_norm(F.col("q_vec")) * _norm(F.col("i_vec")))))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("item_id").asc())
+    return (exact.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "item_id", "cosine", "rank"))
