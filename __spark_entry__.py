@@ -3922,11 +3922,21 @@ def q_streaming_expanding(spark, sf_dir):
 
 
 def q_docfeat_bank(spark, sf_dir):
-    """Per-doc text analysis + dedup signatures in one doc_id-grain bank
-    (constituents: `text_metrics`, `doc_signatures`)."""
+    """Per-doc text analysis + dedup signatures + C4 structural quality
+    signals in one doc_id-grain bank (constituents: `text_metrics`,
+    `doc_signatures`, plus the round-3b `c4_signals` columns)."""
+    from opensmile_spark.text import c4_signals
+
+    c4 = c4_signals(_docs(spark, sf_dir)).select(
+        "doc_id", "n_lines",
+        F.round("frac_lines_term", 6).alias("frac_lines_term"),
+        F.round("words_per_line", 6).alias("words_per_line"),
+        "n_sentences", "has_brace", "has_lorem",
+    )
     return _merge(("doc_id",),
                   q_text_metrics(spark, sf_dir),
-                  q_doc_signatures(spark, sf_dir))
+                  q_doc_signatures(spark, sf_dir),
+                  c4)
 
 
 def q_streaming_sessions(spark, sf_dir):
@@ -4020,7 +4030,20 @@ _ORACLES["token_spectrum"] = _join_sql(
     _ORACLES.pop("spectral_moments"), _ORACLES.pop("plp_aud"),
     _ORACLES.pop("harmonics"), _ORACLES.pop("spec_scale"))
 _ORACLES["text_metrics"] = _join_sql(
-    ("doc_id",), _ORACLES["text_metrics"], _ORACLES.pop("doc_signatures"))
+    ("doc_id",), _ORACLES["text_metrics"], _ORACLES.pop("doc_signatures"),
+    r"""
+SELECT doc_id,
+  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+  round(CAST(len(list_filter(string_split(text, chr(10)),
+        l -> regexp_matches(l, '[.!?"]\s*$'))) AS DOUBLE)
+      / len(string_split(text, chr(10))), 6) AS frac_lines_term,
+  round(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+      / len(string_split(text, chr(10))), 6) AS words_per_line,
+  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
+  CAST(contains(text, '{') AS INTEGER) AS has_brace,
+  CAST(contains(lower(text), 'lorem ipsum') AS INTEGER) AS has_lorem
+FROM documents
+""")
 
 _ORACLES["pack_bank"] = _join_sql(
     ("source", "doc_id"), _ORACLES.pop("pack_concat"),

@@ -277,3 +277,32 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         F.explode(F.array_distinct(mins)).alias("fp"),
     )
+
+
+def c4_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style structural quality signals (Raffel et al. 2020, §2.2 —
+    public): line counts, fraction of lines ending in terminal
+    punctuation, words per line, sentence count, and the curly-brace /
+    "lorem ipsum" boilerplate markers. Signals, not decisions — a filter
+    policy composes them downstream (e.g. keep iff
+    frac_lines_term >= 0.5 AND NOT has_brace). Pure column expressions,
+    zero shuffle; each mirrored by ANSI SQL in the oracle twin."""
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    term = F.size(F.filter(lines, lambda l: l.rlike(r'[.!?"]\s*$')))
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    return (
+        df.withColumn("n_lines", n_lines.cast("long"))
+        .withColumn("frac_lines_term",
+                    term.cast("double") / n_lines.cast("double"))
+        .withColumn("words_per_line",
+                    n_tok.cast("double") / n_lines.cast("double"))
+        .withColumn("n_sentences",
+                    F.regexp_count(F.col(text_col), F.lit(r"[.!?]+"))
+                    .cast("long"))
+        .withColumn("has_brace",
+                    F.col(text_col).contains("{").cast("int"))
+        .withColumn("has_lorem",
+                    F.lower(F.col(text_col)).contains("lorem ipsum")
+                    .cast("int"))
+    )

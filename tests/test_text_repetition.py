@@ -128,3 +128,26 @@ def test_redact_counts_and_tokens(spark):
     assert (rows[1]["n_email"], rows[1]["n_ipv4"], rows[1]["n_phone"]) \
         == (0, 0, 0)
     assert rows[2]["n_ipv4"] == 2
+
+
+def test_c4_signals_multiline(spark):
+    """C4 structural signals on crafted multiline docs: terminal-punct
+    line fraction, words per line, sentence count, boilerplate markers."""
+    from opensmile_spark.text import c4_signals
+
+    docs = spark.createDataFrame(
+        [(0, 'First line.\nsecond has no punct\nThird ends!\n"Quoted."'),
+         (1, 'function foo() { return 1; }'),
+         (2, 'Lorem Ipsum dolor sit amet.'),
+         (3, 'one two three')],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in c4_signals(docs).collect()}
+    r0 = got[0]
+    assert r0["n_lines"] == 4
+    assert abs(r0["frac_lines_term"] - 3 / 4) < 1e-12
+    assert r0["n_sentences"] == 3  # '.', '!', '."' -> three [.!?]+ runs
+    assert got[1]["has_brace"] == 1 and got[0]["has_brace"] == 0
+    assert got[2]["has_lorem"] == 1 and got[3]["has_lorem"] == 0
+    assert got[3]["n_lines"] == 1
+    assert abs(got[3]["words_per_line"] - 3.0) < 1e-12
+    assert got[3]["frac_lines_term"] == 0.0
