@@ -3925,7 +3925,7 @@ def q_docfeat_bank(spark, sf_dir):
     """Per-doc text analysis + dedup signatures + C4 structural quality
     signals in one doc_id-grain bank (constituents: `text_metrics`,
     `doc_signatures`, plus the round-3b `c4_signals` columns)."""
-    from opensmile_spark.text import c4_signals
+    from opensmile_spark.text import c4_signals, char_entropy
 
     c4 = c4_signals(_docs(spark, sf_dir)).select(
         "doc_id", "n_lines",
@@ -3933,10 +3933,12 @@ def q_docfeat_bank(spark, sf_dir):
         F.round("words_per_line", 6).alias("words_per_line"),
         "n_sentences", "has_brace", "has_lorem",
     )
+    ent = char_entropy(_docs(spark, sf_dir)).select(
+        "doc_id", F.round("char_entropy", 6).alias("char_entropy"))
     return _merge(("doc_id",),
                   q_text_metrics(spark, sf_dir),
                   q_doc_signatures(spark, sf_dir),
-                  c4)
+                  c4, ent)
 
 
 def q_streaming_sessions(spark, sf_dir):
@@ -4043,6 +4045,17 @@ SELECT doc_id,
   CAST(contains(text, '{') AS INTEGER) AS has_brace,
   CAST(contains(lower(text), 'lorem ipsum') AS INTEGER) AS has_lorem
 FROM documents
+""", r"""
+WITH c AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+), f AS (
+  SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS n FROM c GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, sum(n) AS tot FROM f GROUP BY 1
+)
+SELECT doc_id,
+  round(-sum((n / tot) * log2(n / tot)), 6) AS char_entropy
+FROM f JOIN tot USING (doc_id) GROUP BY doc_id
 """)
 
 _ORACLES["pack_bank"] = _join_sql(

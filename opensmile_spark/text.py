@@ -13,6 +13,7 @@ needs text quality/diagnostic signals. All pure built-in expressions
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -306,3 +307,34 @@ def c4_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
                     F.lower(F.col(text_col)).contains("lorem ipsum")
                     .cast("int"))
     )
+
+
+def char_entropy(df: DataFrame, text_col: str = "text",
+                 out_col: str = "char_entropy") -> DataFrame:
+    """Character-level Shannon entropy per document — the CCNet-style
+    gibberish/boilerplate proxy (low entropy = repeated characters or
+    padding, high = encrypted/binary junk; natural text sits ~3.5-4.5
+    bits). Arrow-batched pandas UDF (a per-doc Counter is cheaper than
+    exploding every character through a shuffle); the oracle twin is the
+    unnest + group-by entropy in SQL."""
+    import math
+    from collections import Counter
+
+    # module-level `pd` (below import) is required: with
+    # `from __future__ import annotations` the UDF type hints are
+    # strings, and pyspark resolves them against the module globals
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def ent(s: pd.Series) -> pd.Series:
+        out = []
+        for t in s:
+            if not t:
+                out.append(0.0)
+                continue
+            n = len(t)
+            out.append(-sum((c / n) * math.log2(c / n)
+                            for c in Counter(t).values()))
+        return pd.Series(out, dtype="float64")
+
+    return df.withColumn(out_col, ent(F.col(text_col)))

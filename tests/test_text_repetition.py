@@ -151,3 +151,22 @@ def test_c4_signals_multiline(spark):
     assert got[3]["n_lines"] == 1
     assert abs(got[3]["words_per_line"] - 3.0) < 1e-12
     assert got[3]["frac_lines_term"] == 0.0
+
+
+def test_char_entropy_values(spark):
+    """Entropy pins: uniform 2-symbol doc = 1 bit; single symbol = 0;
+    empty = 0; 'aab' = 0.9183 (2/3,1/3 distribution)."""
+    import math
+
+    from opensmile_spark.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [(0, "abab"), (1, "aaaa"), (2, ""), (3, "aab")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["char_entropy"]
+           for r in char_entropy(docs).collect()}
+    assert abs(got[0] - 1.0) < 1e-12
+    assert got[1] == 0.0
+    assert got[2] == 0.0
+    want = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert abs(got[3] - want) < 1e-12
