@@ -1215,6 +1215,15 @@ def q_shuffle_shards(spark, sf_dir):
     ).select("doc_id", "shard", "shuffle_pos")
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """MOSS near-dup pairs from shared winnowing fingerprints — the
+    positional-overlap complement of MinHash banding. Tail entry
+    (window full); fully oracle-checked by the replica."""
+    from opensmile_spark.text import winnow_near_dups
+
+    return winnow_near_dups(_docs(spark, sf_dir), min_shared=3)
+
+
 def q_ann_pq_topk(spark, sf_dir):
     """Product-quantization ANN (Jegou et al. 2011): sample-fit per-
     subspace codebooks, m-byte codes, ADC table-lookup scoring, exact
@@ -4130,6 +4139,32 @@ SELECT doc_id, source, round(quality, 6) AS quality,
 FROM sh
 """
 
+_ORACLES["winnow_pairs"] = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id,
+    list_transform(
+      range(0, greatest(len(toks) - 3, 0) + 1),
+      i -> CAST(('0x' || substr(md5(
+             array_to_string(list_slice(toks, i + 1, i + 3), ' ')), 1, 8))
+           AS BIGINT)) AS hs
+  FROM t
+), fps AS (
+  SELECT doc_id,
+    unnest(list_distinct(list_transform(
+      range(0, greatest(len(hs) - 4, 0) + 1),
+      i -> list_min(list_slice(hs, i + 1, i + 4))))) AS fp
+  FROM h
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       count(*) AS n_shared_fp
+FROM fps a JOIN fps b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 3
+"""
+
 _ORACLES["streaming_expanding"] = SQL_PREFIX + """
 SELECT conv_id, turn_idx, char_len,
   round(avg(char_len) OVER w, 6) AS run_mean,
@@ -4241,6 +4276,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,       # rows-only (approximate ANN)
     "ann_ivf_topk": q_ann_ivf_topk,       # rows-only (approximate ANN)
     "ann_pq_topk": q_ann_pq_topk,         # rows-only (approximate ANN)
+    "winnow_pairs": q_winnow_pairs,       # oracle-checked (replica; window full)
     "datagen": q_datagen,                 # rows-only (xxhash64 has no twin)
     "formants": q_formants,               # rows-only (sextic roots: no closed form)
     "emo_large": q_emo_large,             # rows-only (named preset bundle)

@@ -338,3 +338,26 @@ def char_entropy(df: DataFrame, text_col: str = "text",
         return pd.Series(out, dtype="float64")
 
     return df.withColumn(out_col, ent(F.col(text_col)))
+
+
+def winnow_near_dups(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     shingle_k: int = 3, window: int = 4,
+                     min_shared: int = 2) -> DataFrame:
+    """MOSS-style near-duplicate pairs from shared winnowing fingerprints
+    (Schleimer/Wilkerson/Aiken 2003 §4: two documents sharing a token run
+    of length window+k-1 MUST share a fingerprint, so counting shared
+    fingerprints lower-bounds shared content). Self-join on the
+    fingerprint key — the same output-bounded bucket-join shape as
+    MinHash-LSH banding, never O(n^2); pairs are (a < b) with the shared
+    fingerprint count for thresholding."""
+    fps = winnow_fingerprints(df, text_col, id_col, shingle_k, window)
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared_fp"))
+        .filter(F.col("n_shared_fp") >= min_shared)
+    )
