@@ -3863,7 +3863,8 @@ def q_corpus_pipeline(spark, sf_dir):
     survivor) -> 5-gram benchmark decontamination (doc_id % 7 == 0 docs
     play the eval set) -> stratified sampling (src0 1.0 / src1 0.5 /
     default 0.75, seed 5) -> deterministic shuffle (8 shards, seed 11).
-    Two corpus shuffles total (content-hash dedup + shard exchange);
+    Full corpus rows shuffle exactly twice (content-hash dedup + shard
+    exchange; remaining exchanges carry only derived count streams);
     every keep/drop decision replays bit-identically in the DuckDB twin."""
     from opensmile_spark.pipeline import corpus_pipeline
 

@@ -1,7 +1,10 @@
 """End-to-end training-corpus pipeline — the composition story.
 
 Each stage is a proven standalone operator; composed, the corpus is
-scanned once and shuffled exactly TWICE regardless of scale:
+scanned once and its FULL ROWS are shuffled exactly TWICE regardless of
+scale (the content-hash dedup window and the shard exchange); the other
+exchanges in the plan carry only derived small streams — the benchmark
+shingle set and map-side-combined per-doc contamination counts:
 
   quality filter         map-only column exprs (text.quality_score;
                          whole-stage codegen, pushes past pruning)

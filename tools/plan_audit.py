@@ -237,6 +237,25 @@ def main():
           f"(exchanges={n_op('Exchange', p)}; md5 shard + in-shard "
           f"row_number only)")
 
+    # corpus_pipeline claims: all joins broadcast (never a corpus
+    # sort-merge), zero Python, and full corpus rows cross exactly two of
+    # the shuffle exchanges (dedup window + shard window; the remaining
+    # exchanges carry derived small streams: benchmark shingles,
+    # map-side-combined contamination counts)
+    from opensmile_spark.pipeline import corpus_pipeline
+
+    p = plan_str(corpus_pipeline(
+        docs, docs.filter(F.col("doc_id") % 10 == 0),
+        min_quality=0.5, k_shingle=5, min_overlap=2, n_shards=4))
+    joins = re.findall(r"\(\d+\) (\w*Join\w*)", p)
+    check("corpus_pipeline broadcast-only joins zero-Python",
+          all(j.startswith("Broadcast") for j in joins)
+          and count(r"CartesianProduct|SortMergeJoin", p) == 0
+          and count(r"(?i)python|ArrowEval|BatchEval", p) == 0
+          and n_op("Exchange", p) <= 5,
+          f"(joins={joins}, shuffle exchanges={n_op('Exchange', p)} — "
+          f"2 carry full corpus rows, rest are derived count streams)")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
