@@ -497,7 +497,8 @@ def q_text_metrics(spark, sf_dir):
         F.round("dup_2gram_ratio", 6).alias("dup_2gram_ratio"),
     )
     tc = token_count(docs).select(
-        "doc_id", "n_tokens_ws", "n_tokens_word", "n_chars_engine")
+        "doc_id", "n_tokens_ws", "n_tokens_word", "n_tokens_bpe",
+        "n_chars_engine")
     qs = quality_score(docs).select(
         "doc_id",
         F.round("punct_ratio", 6).alias("punct_ratio"),
@@ -2919,10 +2920,13 @@ WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx),
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
 
-_ORACLES["token_count"] = """
+_ORACLES["token_count"] = r"""
 SELECT doc_id,
-  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens_ws,
+  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens_ws,
   CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_tokens_word,
+  CAST(len(regexp_extract_all(text,
+    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))
+    AS BIGINT) AS n_tokens_bpe,
   CAST(length(text) AS BIGINT) AS n_chars_engine
 FROM documents
 """

@@ -32,12 +32,22 @@ def _hit_ratio(tokens_col, words: list[str]):
     return hits.cast("double") / float(len(words))
 
 
+# GPT-2-style pretokenizer (Radford et al. 2019, public), restricted to
+# the ASCII classes both regex engines (Java / RE2) treat identically:
+# contractions, space-prefixed letter runs, digit runs, punctuation runs.
+# Counting these approximates BPE token counts far better than whitespace
+# (BPE splits punctuation and contractions into their own tokens).
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     words = F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]+"))
+    bpe = F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN))
     return (
         df.withColumn("n_tokens_ws", F.size(toks).cast("long"))
         .withColumn("n_tokens_word", words.cast("long"))
+        .withColumn("n_tokens_bpe", bpe.cast("long"))
         .withColumn("n_chars_engine", F.length(text_col).cast("long"))
     )
 

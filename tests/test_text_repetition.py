@@ -170,3 +170,16 @@ def test_char_entropy_values(spark):
     assert got[2] == 0.0
     want = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
     assert abs(got[3] - want) < 1e-12
+
+
+def test_bpe_ish_token_count(spark):
+    """GPT-2-style pretokenizer count: contractions and punctuation runs
+    are separate tokens (whitespace count would say 6 here)."""
+    from opensmile_spark.text import token_count
+
+    df = spark.createDataFrame(
+        [(0, "It's 42 degrees—nice, isn't it?")], "doc_id long, text string")
+    r = token_count(df).collect()[0]
+    # It|'s| 42| degrees|—|nice|,| isn|'t| it|? -> 11
+    assert r["n_tokens_bpe"] == 11
+    assert r["n_tokens_ws"] == 5
