@@ -259,3 +259,85 @@ def backfill_functionals(
     lg = lld.select(on, order_col, ts_col, *value_cols).groupBy(on)
     ag = anchors.select(on, anchor_ts).groupBy(on)
     return lg.cogroup(ag).applyInPandas(kernel, schema=schema)
+
+
+def incremental_backfill(
+    prev_features: DataFrame,
+    prev_max_ts: DataFrame,
+    lld: DataFrame,
+    anchors: DataFrame,
+    value_cols: list[str],
+    families: list[str] | None = None,
+    options: dict | None = None,
+    window_seconds: float | None = None,
+    on: str = "conv_id",
+    anchor_ts: str = "anchor_ts",
+    ts_col: str = "ts",
+    order_col: str = "turn_idx",
+) -> tuple[DataFrame, DataFrame]:
+    """Feature-store incremental refresh: recompute point-in-time vectors
+    ONLY for conversations that received new turns since the last run,
+    carry every other conversation's rows forward untouched.
+
+    `prev_features` / `prev_max_ts` are the previous run's output and its
+    per-conv watermark table (conv_id, max_ts) — both written by the last
+    call. A conv is STALE iff its current max(ts) exceeds its recorded
+    watermark (new convs count as stale). Cost per refresh is proportional
+    to the CHANGED conversations, not the corpus: the stale-conv set is a
+    tiny aggregate join (broadcast-able), the recompute runs the normal
+    `backfill_functionals` over only those convs' rows and anchors, and
+    the carry-forward is an anti-join on the same small set. With daily
+    appends touching f% of conversations the refresh does f% of the full
+    backfill's work — the difference between re-deriving a 10^12-turn
+    feature table nightly and touching only what moved.
+
+    Anchors must be re-supplied for stale convs (typically one per new
+    turn plus any standing grid). Returns (features, max_ts) — write both;
+    they are next run's `prev_*`. Correctness contract: equals the full
+    recompute bit-for-bit (pinned in tests/test_asof.py), because features
+    at (conv, anchor) depend only on that conv's rows — conversations are
+    independent, so an untouched conv's rows cannot change.
+    """
+    # localCheckpoint materializes the per-conv watermark aggregate and
+    # BREAKS its lineage from `lld` — the production shape anyway (the
+    # watermark table is persisted each run and read back next run), and
+    # without it every stale-set join back onto `lld`/`anchors` trips
+    # Spark's ambiguous-self-join check on the shared scan attributes
+    cur_max = (lld.groupBy(on).agg(F.max(ts_col).alias("__cur_max_ts"))
+               .localCheckpoint(eager=True))
+    stale = (
+        cur_max.join(prev_max_ts.withColumnRenamed("max_ts", "__prev_max"),
+                     on, "left")
+        .filter(F.col("__prev_max").isNull()
+                | (F.col("__cur_max_ts") > F.col("__prev_max")))
+        .select(on)
+    )
+    # rename the key on the stale side: it shares lineage with `lld`
+    # (cur_max derives from it), and Spark's ambiguous-self-join check
+    # rejects a same-name join column on a common parent
+    stale_k = stale.select(F.col(on).alias("__stale_key"))
+
+    def only_stale(df, how):
+        # DataFrame-bound column refs: the stale side shares lineage with
+        # `lld` (it derives from the same scan), and both the lld and
+        # anchor sides pass through here before being cogrouped — string
+        # or alias-based join columns trip Spark's ambiguous-self-join
+        # check on the shared attributes, instance-bound ones do not
+        return df.join(F.broadcast(stale_k),
+                       df[on] == stale_k["__stale_key"], how)
+
+    # the restricted slices are MATERIALIZED (localCheckpoint) before the
+    # cogroup: (a) Spark's ambiguous-self-join check false-positives on a
+    # cogroup whose two children both carry joins over a shared scan, and
+    # (b) the materialized working set is proportional to the CHANGED
+    # conversations — the thing an incremental refresh is sized by anyway
+    fresh_feats = backfill_functionals(
+        only_stale(lld, "left_semi").localCheckpoint(eager=True),
+        only_stale(anchors, "left_semi").localCheckpoint(eager=True),
+        value_cols, families, options, window_seconds,
+        on, anchor_ts, ts_col, order_col,
+    )
+    carried = only_stale(prev_features, "left_anti")
+    features = carried.unionByName(fresh_feats)
+    max_ts = cur_max.withColumnRenamed("__cur_max_ts", "max_ts")
+    return features, max_ts

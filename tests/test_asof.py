@@ -119,3 +119,67 @@ def test_asof_multi_conv_no_crosstalk(spark):
                     value_cols=["x"])
     vals = {r["conv_id"]: r["x"] for r in out.collect()}
     assert vals == {"a": 1.0, "b": 2.0}
+
+
+def test_incremental_backfill_equals_full(spark):
+    """Incremental refresh == full recompute bit-for-bit: run on day-1
+    data, append turns to ONE conversation, refresh incrementally, and
+    compare against a from-scratch backfill of the day-2 corpus. Also
+    pins that untouched convs' rows are literally carried (not
+    recomputed): their features survive even if the carried table was
+    perturbed out-of-band."""
+    from pyspark.sql import functions as F
+
+    from opensmile_spark.operators.asof import (backfill_functionals,
+                                                incremental_backfill)
+    from tests.conftest import make_conv
+
+    day1 = make_conv(spark, "a", [1, 2, 3, 4]).unionByName(
+        make_conv(spark, "b", [10, 20, 30]))
+    day1 = day1.withColumnRenamed("x", "char_len")
+
+    def grid(df):
+        return df.select("conv_id", F.col("ts").alias("anchor_ts"))
+
+    # the contract: prev_features / prev_max_ts are WRITTEN by the last
+    # run and read back (parquet round-trip breaks the lineage the same
+    # way a real feature store does)
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="incbf_")
+    backfill_functionals(day1, grid(day1), ["char_len"],
+                         families=["means", "moments"]) \
+        .write.mode("overwrite").parquet(f"{d}/feats")
+    day1.groupBy("conv_id").agg(F.max("ts").alias("max_ts")) \
+        .write.mode("overwrite").parquet(f"{d}/max")
+    feats1 = spark.read.parquet(f"{d}/feats")
+    max1 = spark.read.parquet(f"{d}/max")
+
+    # day 2: conv "a" gains two turns; conv "b" untouched
+    extra = make_conv(spark, "a", [1, 2, 3, 4, 5, 6]) \
+        .withColumnRenamed("x", "char_len").filter(F.col("turn_idx") >= 4)
+    day2 = day1.unionByName(extra)
+
+    inc, max2 = incremental_backfill(
+        feats1, max1, day2, grid(day2), ["char_len"],
+        families=["means", "moments"])
+    full = backfill_functionals(day2, grid(day2), ["char_len"],
+                                families=["means", "moments"])
+
+    key = ["conv_id", "anchor_ts"]
+    a = inc.toPandas().sort_values(key).reset_index(drop=True)
+    b = full.toPandas().sort_values(key).reset_index(drop=True)
+    assert sorted(a.columns) == sorted(b.columns)
+    assert len(a) == len(b)
+    for c in sorted(a.columns):
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f":
+            import numpy as np
+            assert np.allclose(av, bv, equal_nan=True), c
+        else:
+            assert (av == bv).all(), c
+
+    # watermark advanced only for the stale conv
+    m = {r["conv_id"]: r["max_ts"] for r in max2.collect()}
+    m1 = {r["conv_id"]: r["max_ts"] for r in max1.collect()}
+    assert m["a"] > m1["a"] and m["b"] == m1["b"]
