@@ -71,6 +71,8 @@ def cmd_pipeline(spark, args):
 
 
 def cmd_backfill(spark, args):
+    from pyspark.sql import functions as F
+
     from opensmile_spark.lld import compute_lld
     from opensmile_spark.operators import backfill_functionals, sma
     from opensmile_spark.tables import read_table
@@ -80,12 +82,32 @@ def cmd_backfill(spark, args):
     lld = compute_lld(t)
     base_cols = [c.removesuffix("_sma3") for c in args.value_cols]
     lld = sma(lld, base_cols, 3)
+    if args.prev_features:
+        # incremental refresh: only conversations with new turns recompute
+        from opensmile_spark.operators.asof import incremental_backfill
+
+        out, max_ts = incremental_backfill(
+            read_table(spark, args.prev_features),
+            read_table(spark, args.prev_max_ts),
+            lld, anchors, args.value_cols, families=args.families,
+            window_seconds=args.window_seconds,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        max_ts.write.mode("overwrite").parquet(args.output + "_max_ts")
+        print(json.dumps({"output": args.output,
+                          "max_ts": args.output + "_max_ts",
+                          "incremental": True}))
+        return
     out = backfill_functionals(
         lld, anchors, args.value_cols, families=args.families,
         window_seconds=args.window_seconds,
     )
     out.write.mode("overwrite").parquet(args.output)
-    print(json.dumps({"output": args.output}))
+    # the per-conv watermark table makes the NEXT run incremental
+    lld.groupBy("conv_id").agg(F.max("ts").alias("max_ts")) \
+        .write.mode("overwrite").parquet(args.output + "_max_ts")
+    print(json.dumps({"output": args.output,
+                      "max_ts": args.output + "_max_ts"}))
 
 
 def cmd_dedup(spark, args):
@@ -251,6 +273,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--buckets", type=int, default=64)
 
     sp = sub.add_parser("backfill")
+    sp.add_argument("--prev-features", default=None,
+                    help="previous run's output -> incremental refresh")
+    sp.add_argument("--prev-max-ts", default=None,
+                    help="previous run's <output>_max_ts watermark table")
     common(sp)
     sp.add_argument("--anchors", required=True)
     sp.add_argument("--window-seconds", type=float, default=None)
