@@ -216,3 +216,44 @@ def arff_sink(
         .csv(os.path.join(path, "data"))
     with open(os.path.join(path, "header.arff"), "w") as fh:
         fh.write(header)
+
+
+def nan_inf_check(df, cols=None, policy: str = "report"):
+    """Output-sanity pass mirroring the reference's batch checker
+    (`scripts/arff_naninfzero_checker.pl`): count NaN / +-Inf per numeric
+    column in ONE map-side-combinable aggregate, and optionally scrub.
+
+    policy='report'  returns (df, counts) untouched
+    policy='zero'    replaces NaN/Inf with 0.0 (the checker's fix-up)
+    policy='fail'    raises if any NaN/Inf exists (CI gate)
+
+    `counts` is {col: (n_nan, n_inf)} — tiny driver-side metadata, not a
+    data path. At 100 TB this is the cheap invariant check between a
+    feature-materialization job and its consumers.
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    if cols is None:
+        cols = [f.name for f in df.schema.fields
+                if isinstance(f.dataType, (DoubleType, FloatType))]
+    aggs = []
+    for c in cols:
+        x = F.col(c)
+        aggs.append(F.sum(F.when(F.isnan(x), 1).otherwise(0))
+                    .alias(f"__nan_{c}"))
+        aggs.append(F.sum(F.when(x.isin(float("inf"), float("-inf")), 1)
+                          .otherwise(0)).alias(f"__inf_{c}"))
+    row = df.agg(*aggs).first()
+    counts = {c: (row[f"__nan_{c}"] or 0, row[f"__inf_{c}"] or 0)
+              for c in cols}
+    bad = {c: v for c, v in counts.items() if v[0] or v[1]}
+    if policy == "fail" and bad:
+        raise ValueError(f"NaN/Inf in output columns: {bad}")
+    if policy == "zero" and bad:
+        for c in bad:
+            x = F.col(c)
+            df = df.withColumn(
+                c, F.when(F.isnan(x)
+                          | x.isin(float("inf"), float("-inf")),
+                          F.lit(0.0)).otherwise(x))
+    return df, counts

@@ -116,3 +116,30 @@ def test_arff_roundtrip_both_layouts(spark, tmp_path):
     a = sorted(map(tuple, back1.collect()))
     b = sorted(map(tuple, back2.collect()))
     assert a == b
+
+
+def test_nan_inf_check_policies(spark):
+    """arff_naninfzero_checker analogue: exact per-column counts, zero
+    scrub, and the fail gate."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from opensmile_spark.io import nan_inf_check
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (float("nan"), float("inf")),
+         (3.0, float("-inf"))], "a double, b double")
+    _, counts = nan_inf_check(df)
+    assert counts == {"a": (1, 0), "b": (0, 2)}
+
+    fixed, _ = nan_inf_check(df, policy="zero")
+    vals = sorted(fixed.select(F.col("a") + F.col("b")).toPandas()
+                  .iloc[:, 0].tolist())
+    assert vals == [0.0, 3.0, 3.0]
+    _, c2 = nan_inf_check(fixed)
+    assert c2 == {"a": (0, 0), "b": (0, 0)}
+
+    with pytest.raises(ValueError, match="NaN/Inf"):
+        nan_inf_check(df, policy="fail")
