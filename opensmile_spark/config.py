@@ -27,6 +27,13 @@ Stage types: lld, sma, delta, preemphasis, sessionize, mvn, mvn_transform
 fullinput_mean, valbased_selector, data_selector, viterbi, functionals,
 functionals_sql, backfill (needs cfg["anchors"] DataFrame),
 weighted_sma, contour_direction, segment_by_meta, select, filter.
+
+Training-data corpus stages (documents-shaped frames): token_count,
+quality_score, c4_signals, redact, hash_sample, stratified_sample,
+dedup_exact, decontaminate (needs cfg["benchmark"] DataFrame), shuffle,
+pack (mode=concat|greedy), chunk, corpus_pipeline — so a whole corpus
+build is one declarative config, the same UX the reference gives feature
+extraction.
 """
 
 from __future__ import annotations
@@ -92,6 +99,63 @@ def run_config(df: DataFrame, config: dict) -> DataFrame:
             out = out.select(*s["cols"])
         elif kind == "filter":
             out = out.filter(s["condition"])
+        # ---- training-data corpus stages (documents-shaped frames) ----
+        elif kind == "token_count":
+            from opensmile_spark.text import token_count
+
+            out = token_count(out, **s)
+        elif kind == "quality_score":
+            from opensmile_spark.text import quality_score
+
+            out = quality_score(out, **s)
+        elif kind == "c4_signals":
+            from opensmile_spark.text import c4_signals
+
+            out = c4_signals(out, **s)
+        elif kind == "redact":
+            from opensmile_spark.text import redact
+
+            out = redact(out, **s)
+        elif kind == "hash_sample":
+            from opensmile_spark.sampling import hash_sample
+
+            out = hash_sample(out, s.pop("rate"), **s)
+        elif kind == "stratified_sample":
+            from opensmile_spark.sampling import stratified_sample
+
+            out = stratified_sample(out, s.pop("strata_col"),
+                                    s.pop("rates"), **s)
+        elif kind == "dedup_exact":
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+
+            id_col = s.pop("id_col", "doc_id")
+            text_col = s.pop("text_col", "text")
+            w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+            out = (out.withColumn("__rn", F.row_number().over(w))
+                   .filter(F.col("__rn") == 1).drop("__rn"))
+        elif kind == "decontaminate":
+            from opensmile_spark.dedup import decontaminate_survivors
+
+            out = decontaminate_survivors(out, s.pop("benchmark"), **s)
+        elif kind == "shuffle":
+            from opensmile_spark.packing import deterministic_shuffle
+
+            out = deterministic_shuffle(out, **s)
+        elif kind == "pack":
+            from opensmile_spark.packing import pack_concat, pack_greedy
+
+            mode = s.pop("mode", "concat")
+            fn = pack_concat if mode == "concat" else pack_greedy
+            out = fn(out, s.pop("budget"), **s)
+        elif kind == "chunk":
+            from opensmile_spark.packing import chunk_documents
+
+            out = chunk_documents(out, **s)
+        elif kind == "corpus_pipeline":
+            from opensmile_spark.pipeline import corpus_pipeline
+
+            out = corpus_pipeline(out, s.pop("benchmark"), **s)
         else:
             raise ValueError(f"unknown stage type: {kind!r}")
     return out

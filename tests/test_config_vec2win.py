@@ -80,3 +80,35 @@ def test_config_new_stage_types(spark):
     assert "char_len_whan3" in cols and "char_len_direction" in cols
     assert "char_len_mvn" in cols and "meta_seg" in cols
     assert out.count() == 6
+
+
+def test_config_corpus_stages(spark):
+    """The declarative runner drives a corpus build end-to-end: quality ->
+    exact dedup -> sample -> shuffle -> pack, equivalent to calling the
+    operators directly."""
+    from pyspark.sql import functions as F
+
+    from opensmile_spark.config import run_config
+
+    docs = spark.createDataFrame(
+        [(i, "src" + str(i % 2),
+          ("the quick brown fox jumps over the lazy dog and it is here "
+           * (1 + i % 3)))
+         for i in range(20)] + [(100, "src0", "dup text"),
+                                (101, "src0", "dup text")],
+        "doc_id long, source string, text string")
+    out = run_config(docs, {"stages": [
+        {"type": "token_count"},
+        {"type": "quality_score"},
+        {"type": "filter", "condition": "quality >= 0.3"},
+        {"type": "dedup_exact"},
+        {"type": "hash_sample", "rate": 1.0, "key_col": "doc_id"},
+        {"type": "shuffle", "n_shards": 4, "seed": 2},
+        {"type": "pack", "mode": "greedy", "budget": 64,
+         "group_cols": ["shard"]},
+    ]})
+    rows = out.collect()
+    assert len(rows) > 0
+    ids = {r["doc_id"] for r in rows}
+    assert not ({100, 101} <= ids)  # dup pair collapsed to one survivor
+    assert all(r["pack_tokens"] <= 64 or r["pack_pos"] == 0 for r in rows)
