@@ -1216,6 +1216,20 @@ def q_shuffle_shards(spark, sf_dir):
     ).select("doc_id", "shard", "shuffle_pos")
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ fusion (coarse cells + residual PQ/ADC + exact re-rank) —
+    the canonical billion-scale ANN layout. Approximate by construction;
+    rows-only driver check, recall pinned in tests/test_similarity.py."""
+    from opensmile_spark.similarity import ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivfpq_topk(emb, queries, k=10, n_centroids=8, n_probe=4,
+                     m=8, n_codes=32, rescore_factor=4)
+    return out.select("query_id", "item_id", "rank",
+                      F.round("cosine", 5).alias("cosine"))
+
+
 def q_winnow_pairs(spark, sf_dir):
     """MOSS near-dup pairs from shared winnowing fingerprints — the
     positional-overlap complement of MinHash banding. Tail entry
@@ -4281,6 +4295,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,       # rows-only (approximate ANN)
     "ann_ivf_topk": q_ann_ivf_topk,       # rows-only (approximate ANN)
     "ann_pq_topk": q_ann_pq_topk,         # rows-only (approximate ANN)
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,   # rows-only (approximate ANN)
     "winnow_pairs": q_winnow_pairs,       # oracle-checked (replica; window full)
     "datagen": q_datagen,                 # rows-only (xxhash64 has no twin)
     "formants": q_formants,               # rows-only (sextic roots: no closed form)

@@ -611,3 +611,136 @@ def pq_topk(index: DataFrame, queries: DataFrame, k: int = 10,
     return (exact.withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= k)
             .select("query_id", "item_id", "cosine", "rank"))
+
+
+def ivfpq_topk(index: DataFrame, queries: DataFrame, k: int = 10,
+               n_centroids: int = 8, n_probe: int = 3,
+               m: int = 8, n_codes: int = 32, rescore_factor: int = 4,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               seed: int = 42,
+               fit_fraction: float | None = 1.0) -> DataFrame:
+    """IVF-PQ fusion — the canonical billion-scale ANN layout (Jegou'11
+    §IV; what FAISS calls IVFxx,PQyy): a coarse k-means quantizer routes
+    each query to `n_probe` cells, and within the probed cells candidates
+    are scored by PQ/ADC over RESIDUAL codes (vector minus its cell
+    centroid — residuals are tighter than raw vectors, so the same
+    codebook budget quantizes finer). The tiny exact-rescored tail makes
+    the final ranking exact on true vectors.
+
+    Spark shape: coarse fit on a sample (never iterates the full table),
+    ONE pass assigns cells and encodes residual codes (m ints + a cell id
+    per vector — the persistable layout), probing is a broadcast of the
+    centroid table, ADC scoring touches only probed cells' code rows, and
+    the emitted candidate stream is bounded by queries x k*rescore_factor
+    per cell-partition. Approximation lives only in candidate generation
+    + ADC ordering; returned cosines are exact."""
+    import numpy as np
+
+    idx, model = _ivf_fit(index, n_centroids, seed, vec_col, fit_fraction)
+    centers = np.array(model.clusterCenters(), dtype=np.float64)
+    assigned = model.transform(idx).select(
+        F.col(id_col), F.col(vec_col), F.col("__cell"))
+
+    # residual PQ codebooks fit on a bounded driver-side sample
+    sample_rows = 200 * n_codes
+    n = index.count()
+    frac = min(1.0, sample_rows / max(n, 1))
+    srows = assigned.select(vec_col, "__cell")
+    if frac < 1.0:
+        srows = srows.sample(fraction=frac, seed=seed)
+    sm = srows.limit(sample_rows).collect()
+    sx = _normalize_rows(np.array([r[0] for r in sm], dtype=np.float64))
+    scell = np.array([r[1] for r in sm], dtype=np.int64)
+    res = sx - centers[scell]
+    dim = res.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    codebooks = np.stack([
+        _lloyd(res[:, j * sub:(j + 1) * sub], n_codes, seed + 31 * j)
+        for j in range(m)
+    ])
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = _normalize_rows(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            r = x - centers[pdf["__cell"].to_numpy()]
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                sx_j = r[:, j * sub:(j + 1) * sub]
+                d = -2.0 * sx_j @ codebooks[j].T + (codebooks[j] ** 2).sum(1)
+                codes[:, j] = d.argmin(1)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "__cell": pdf["__cell"].to_numpy(),
+                                "pq_code": list(codes)})
+
+    codes = assigned.mapInPandas(
+        enc, schema=f"{id_col} long, __cell int, pq_code array<int>")
+
+    # query-side: probed cells + per-(query, cell) ADC tables of
+    # q . (centroid + residual-centroid) inner products
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_x = _normalize_rows(np.array([r[1] for r in q_rows], dtype=np.float64))
+    qc = q_x @ centers.T                                    # (nq, ncell)
+    probe_cells = np.argsort(-qc, axis=1, kind="stable")[:, :n_probe]
+    # tables[qi][j] = q_sub . cb[j].T  (residual part; the centroid part
+    # qc[qi, cell] is a per-(query, cell) scalar added at scoring time)
+    tables = np.stack([
+        np.stack([q_x[:, j * sub:(j + 1) * sub] @ codebooks[j].T
+                  for j in range(m)], axis=1)
+    ])[0]
+    probed = {int(c) for row in probe_cells for c in row}
+    local_k = k * rescore_factor
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_q, out_i, out_s = [], [], []
+            cells = pdf["__cell"].to_numpy()
+            items = pdf[id_col].to_numpy()
+            c_arr = np.stack(pdf["pq_code"].to_numpy())
+            for qi in range(len(q_ids)):
+                mask = np.isin(cells, probe_cells[qi])
+                if not mask.any():
+                    continue
+                cc = c_arr[mask]
+                s = tables[qi][np.arange(m), cc].sum(1) \
+                    + qc[qi][cells[mask]]
+                top = np.argsort(-s, kind="stable")[:local_k]
+                out_q.append(np.full(len(top), q_ids[qi]))
+                out_i.append(items[mask][top])
+                out_s.append(s[top])
+            if out_q:
+                yield pd.DataFrame({
+                    "query_id": np.concatenate(out_q),
+                    "item_id": np.concatenate(out_i),
+                    "adc_score": np.concatenate(out_s),
+                })
+
+    scored = codes.filter(F.col("__cell").isin(sorted(probed))) \
+        .mapInPandas(score,
+                     schema="query_id long, item_id long, adc_score double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("item_id").asc())
+    cand = (scored.filter(F.col("item_id") != F.col("query_id"))
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= local_k)
+            .select("query_id", "item_id"))
+    iv = index.select(F.col(id_col).alias("item_id"),
+                      F.col(vec_col).alias("i_vec"))
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("q_vec"))
+    exact = (cand.join(iv, "item_id").join(F.broadcast(qv), "query_id")
+             .withColumn("cosine",
+                         _dot(F.col("q_vec"), F.col("i_vec"))
+                         / (_norm(F.col("q_vec")) * _norm(F.col("i_vec")))))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("item_id").asc())
+    return (exact.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "item_id", "cosine", "rank"))

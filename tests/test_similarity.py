@@ -362,3 +362,32 @@ def test_pq_encode_shape_and_determinism(spark, emb):
     arr = np.stack(codes["pq_code"].to_numpy())
     assert arr.shape[1] == 8
     assert arr.min() >= 0 and arr.max() < 16
+
+
+def test_ivfpq_topk_recall(spark, emb):
+    """IVF-PQ fusion: probing ALL cells isolates residual-PQ quality
+    (recall ~0.96 — deterministic seeds); a 4/8-cell probe trades recall
+    for a 2x candidate cut (0.72 measured on this corpus, whose synthetic
+    embeddings cluster weakly so routing dominates). Scores are exact
+    cosines (re-rank on true vectors)."""
+    from opensmile_spark.similarity import cosine_topk, ivfpq_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=10).toPandas()
+    truth = {qid: set(grp.item_id) for qid, grp in exact.groupby("query_id")}
+
+    def recall(ann):
+        return np.mean([
+            len(truth[q] & set(ann[ann.query_id == q].item_id))
+            / len(truth[q]) for q in truth])
+
+    full = ivfpq_topk(emb, queries, k=10, n_centroids=8, n_probe=8,
+                      m=8, n_codes=64, rescore_factor=8).toPandas()
+    assert recall(full) >= 0.9, recall(full)
+    merged = full.merge(exact, on=["query_id", "item_id"],
+                        suffixes=("_ann", "_exact"))
+    assert np.allclose(merged.cosine_ann, merged.cosine_exact)
+
+    probed = ivfpq_topk(emb, queries, k=10, n_centroids=8, n_probe=4,
+                        m=8, n_codes=64, rescore_factor=8).toPandas()
+    assert recall(probed) >= 0.6, recall(probed)
