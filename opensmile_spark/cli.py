@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 
 def _pipeline_df(spark, args):
@@ -86,6 +87,22 @@ def cmd_backfill(spark, args):
         # incremental refresh: only conversations with new turns recompute
         from opensmile_spark.operators.asof import incremental_backfill
 
+        if not args.prev_max_ts:
+            raise SystemExit(
+                "backfill: --prev-features requires --prev-max-ts "
+                "(the watermark table the previous run wrote next to "
+                "its output)")
+        same = {os.path.abspath(args.prev_features),
+                os.path.abspath(args.prev_max_ts)}
+        if os.path.abspath(args.output) in same \
+                or os.path.abspath(args.output + "_max_ts") in same:
+            # carried rows are read LAZILY from the prev parquet; an
+            # in-place mode('overwrite') would clobber the files the
+            # plan is still reading (AnalysisException or data loss).
+            # Refresh-in-place = write to a new path, then swap.
+            raise SystemExit(
+                "backfill: --output must not equal --prev-features / "
+                "--prev-max-ts (write to a fresh path, then rename)")
         out, max_ts = incremental_backfill(
             read_table(spark, args.prev_features),
             read_table(spark, args.prev_max_ts),
@@ -104,7 +121,10 @@ def cmd_backfill(spark, args):
     )
     out.write.mode("overwrite").parquet(args.output)
     # the per-conv watermark table makes the NEXT run incremental
-    lld.groupBy("conv_id").agg(F.max("ts").alias("max_ts")) \
+    # ((max_ts, n_rows) pair: the count catches late/corrected rows
+    # whose ts does not advance the max — see incremental_backfill)
+    lld.groupBy("conv_id").agg(F.max("ts").alias("max_ts"),
+                               F.count(F.lit(1)).alias("n_rows")) \
         .write.mode("overwrite").parquet(args.output + "_max_ts")
     print(json.dumps({"output": args.output,
                       "max_ts": args.output + "_max_ts"}))

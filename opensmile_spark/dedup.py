@@ -156,18 +156,29 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     h = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
     )
-    bit_cols = []
-    for b in range(bits):
-        vote = F.aggregate(
-            h, F.lit(0),
-            lambda acc, v: acc + F.when(
-                F.shiftright(v, b) % 2 == 1, 1).otherwise(-1),
-        )
-        bit_cols.append(F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)))
-    sig = bit_cols[0]
-    for c in bit_cols[1:]:
-        sig = sig + c
-    return df.select(F.col(id_col), sig.cast("long").alias("simhash"))
+    # ONE fold over the token array producing ALL `bits` vote counters at
+    # once (accumulator = int array), instead of `bits` separate aggregate
+    # expressions each re-traversing the array — O(tokens * bits) work
+    # either way, but a single pass over the data and one expression tree
+    # instead of `bits` of them (the r3 bench's most expensive stage was
+    # dominated by the 32-fold variant)
+    votes = F.aggregate(
+        h,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, v: F.zip_with(
+            acc,
+            F.array(*[F.when(F.shiftright(v, b) % 2 == 1, 1).otherwise(-1)
+                      for b in range(bits)]),
+            lambda a, d: a + d),
+    )
+    weights = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    sig = F.aggregate(
+        F.zip_with(votes, weights,
+                   lambda vote, w: F.when(vote > 0, w)
+                   .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda a, x: a + x,
+    )
+    return df.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",

@@ -252,8 +252,13 @@ def nan_inf_check(df, cols=None, policy: str = "report"):
     if policy == "zero" and bad:
         for c in bad:
             x = F.col(c)
+            # replacement cast to the column's ORIGINAL type: a bare
+            # F.lit(0.0) is DoubleType and would silently upcast
+            # FloatType columns — a schema change downstream readers
+            # of the scrubbed table would trip over
             df = df.withColumn(
                 c, F.when(F.isnan(x)
                           | x.isin(float("inf"), float("-inf")),
-                          F.lit(0.0)).otherwise(x))
+                          F.lit(0.0).cast(df.schema[c].dataType))
+                .otherwise(x))
     return df, counts

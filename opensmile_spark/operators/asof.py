@@ -280,9 +280,17 @@ def incremental_backfill(
     carry every other conversation's rows forward untouched.
 
     `prev_features` / `prev_max_ts` are the previous run's output and its
-    per-conv watermark table (conv_id, max_ts) — both written by the last
-    call. A conv is STALE iff its current max(ts) exceeds its recorded
-    watermark (new convs count as stale). Cost per refresh is proportional
+    per-conv watermark table (conv_id, max_ts, n_rows) — both written by
+    the last call. A conv is STALE iff its current (max(ts), count(*))
+    pair differs from the recorded watermark (new convs count as stale):
+    the count catches late-arriving turns with ts <= the recorded max and
+    corrected/deleted rows, which a max-only watermark would silently
+    classify fresh. (A same-count in-place VALUE edit at an existing ts is
+    still invisible — watermarks are O(1) per conv by design; full
+    content-addressed staleness needs a row-hash aggregate, at which point
+    run the full recompute.) A legacy (conv_id, max_ts)-only watermark
+    table is accepted and degrades to max-equality staleness.
+    Cost per refresh is proportional
     to the CHANGED conversations, not the corpus: the stale-conv set is a
     tiny aggregate join (broadcast-able), the recompute runs the normal
     `backfill_functionals` over only those convs' rows and anchors, and
@@ -303,15 +311,16 @@ def incremental_backfill(
     # watermark table is persisted each run and read back next run), and
     # without it every stale-set join back onto `lld`/`anchors` trips
     # Spark's ambiguous-self-join check on the shared scan attributes
-    cur_max = (lld.groupBy(on).agg(F.max(ts_col).alias("__cur_max_ts"))
+    cur_max = (lld.groupBy(on).agg(F.max(ts_col).alias("__cur_max_ts"),
+                                   F.count(F.lit(1)).alias("__cur_n"))
                .localCheckpoint(eager=True))
-    stale = (
-        cur_max.join(prev_max_ts.withColumnRenamed("max_ts", "__prev_max"),
-                     on, "left")
-        .filter(F.col("__prev_max").isNull()
-                | (F.col("__cur_max_ts") > F.col("__prev_max")))
-        .select(on)
-    )
+    prev = prev_max_ts.withColumnRenamed("max_ts", "__prev_max")
+    changed = (F.col("__prev_max").isNull()
+               | (F.col("__cur_max_ts") != F.col("__prev_max")))
+    if "n_rows" in prev_max_ts.columns:
+        prev = prev.withColumnRenamed("n_rows", "__prev_n")
+        changed = changed | (F.col("__cur_n") != F.col("__prev_n"))
+    stale = cur_max.join(prev, on, "left").filter(changed).select(on)
     # rename the key on the stale side: it shares lineage with `lld`
     # (cur_max derives from it), and Spark's ambiguous-self-join check
     # rejects a same-name join column on a common parent
@@ -339,5 +348,6 @@ def incremental_backfill(
     )
     carried = only_stale(prev_features, "left_anti")
     features = carried.unionByName(fresh_feats)
-    max_ts = cur_max.withColumnRenamed("__cur_max_ts", "max_ts")
+    max_ts = cur_max.withColumnRenamed("__cur_max_ts", "max_ts") \
+        .withColumnRenamed("__cur_n", "n_rows")
     return features, max_ts

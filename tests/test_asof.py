@@ -183,3 +183,57 @@ def test_incremental_backfill_equals_full(spark):
     m = {r["conv_id"]: r["max_ts"] for r in max2.collect()}
     m1 = {r["conv_id"]: r["max_ts"] for r in max1.collect()}
     assert m["a"] > m1["a"] and m["b"] == m1["b"]
+
+
+def test_incremental_backfill_detects_deletion(spark):
+    """A corrected/deleted row that does NOT move max(ts) must still mark
+    the conv stale: the watermark is a (max_ts, n_rows) pair, and the
+    count catches row-set changes a max-only watermark misses."""
+    from pyspark.sql import functions as F
+
+    from opensmile_spark.operators.asof import (backfill_functionals,
+                                                incremental_backfill)
+    from tests.conftest import make_conv
+
+    day1 = make_conv(spark, "a", [1, 2, 3, 4]).unionByName(
+        make_conv(spark, "b", [10, 20, 30]))
+    day1 = day1.withColumnRenamed("x", "char_len")
+
+    def grid(df):
+        return df.select("conv_id", F.col("ts").alias("anchor_ts"))
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="incbf_del_")
+    backfill_functionals(day1, grid(day1), ["char_len"],
+                         families=["means"]) \
+        .write.mode("overwrite").parquet(f"{d}/feats")
+    # the count-bearing watermark incremental_backfill itself emits
+    day1.groupBy("conv_id").agg(F.max("ts").alias("max_ts"),
+                                F.count(F.lit(1)).alias("n_rows")) \
+        .write.mode("overwrite").parquet(f"{d}/max")
+    feats1 = spark.read.parquet(f"{d}/feats")
+    max1 = spark.read.parquet(f"{d}/max")
+
+    # day 2: conv "a" loses its SECOND turn (max ts unchanged)
+    day2 = day1.filter(~((F.col("conv_id") == "a")
+                         & (F.col("turn_idx") == 1)))
+
+    inc, max2 = incremental_backfill(
+        feats1, max1, day2, grid(day2), ["char_len"], families=["means"])
+    full = backfill_functionals(day2, grid(day2), ["char_len"],
+                                families=["means"])
+
+    key = ["conv_id", "anchor_ts"]
+    a = inc.toPandas().sort_values(key).reset_index(drop=True)
+    b = full.toPandas().sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    import numpy as np
+    for c in sorted(a.columns):
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f":
+            assert np.allclose(av, bv, equal_nan=True), c
+        else:
+            assert (av == bv).all(), c
+    n2 = {r["conv_id"]: r["n_rows"] for r in max2.collect()}
+    assert n2 == {"a": 3, "b": 3}
