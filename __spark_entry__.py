@@ -399,6 +399,26 @@ def q_vector_ops(spark, sf_dir):
     )
 
 
+def q_resample(spark, sf_dir):
+    """Uniform-grid time regularization (cSmileResample/cSpecResample
+    analogue): each conversation's irregular turn series lands on a 1-day
+    grid with linear interpolation between surrounding turns."""
+    from opensmile_spark.operators import resample
+
+    lld = _lld(spark, sf_dir)
+    out = resample(
+        lld.select("conv_id", "turn_idx", "ts", "char_len", "token_cnt"),
+        86400.0, policy="linear",
+    )
+    return out.select(
+        "conv_id",
+        _epoch("ts").alias("grid_epoch"),
+        "n_seen",
+        F.round("char_len", 6).alias("char_len"),
+        F.round("token_cnt", 6).alias("token_cnt"),
+    )
+
+
 def q_interval_join(spark, sf_dir):
     """frameMode=list analogue: count turns inside per-conv day-1 interval."""
     from opensmile_spark.operators import interval_join
@@ -1565,6 +1585,37 @@ SELECT a.conv_id, 1e-6*a.anchor_us AS anchor_epoch, l.char_len, l.token_cnt
 FROM anchors a
 ASOF LEFT JOIN lld l
   ON a.conv_id = l.conv_id AND epoch_us(l.ts) <= a.anchor_us
+"""
+
+_ORACLES["resample"] = SQL_PREFIX + """
+, d AS (
+  SELECT conv_id, epoch_us(ts) AS t2, char_len, token_cnt FROM lld
+), b AS (
+  SELECT conv_id, min(t2) AS mn, max(t2) AS mx FROM d GROUP BY conv_id
+), g AS (
+  SELECT conv_id, unnest(generate_series(mn, mx, 86400000000)) AS t FROM b
+), p AS (
+  SELECT g.conv_id, g.t, d.t2 AS pt, d.char_len AS p_cl, d.token_cnt AS p_tc
+  FROM g ASOF LEFT JOIN d ON g.conv_id = d.conv_id AND g.t >= d.t2
+), n AS (
+  SELECT g.conv_id, g.t, d.t2 AS nt, d.char_len AS n_cl, d.token_cnt AS n_tc
+  FROM g ASOF LEFT JOIN d ON g.conv_id = d.conv_id AND g.t <= d.t2
+)
+SELECT p.conv_id,
+  1e-6 * p.t AS grid_epoch,
+  (SELECT count(*) FROM d d2
+   WHERE d2.conv_id = p.conv_id AND d2.t2 <= p.t) AS n_seen,
+  round(CASE WHEN p.pt IS NULL THEN n.n_cl
+             WHEN n.nt IS NULL OR n.nt = p.pt THEN p.p_cl
+             ELSE p.p_cl + (n.n_cl - p.p_cl)
+                  * (CAST(p.t - p.pt AS DOUBLE)
+                     / CAST(n.nt - p.pt AS DOUBLE)) END, 6) AS char_len,
+  round(CASE WHEN p.pt IS NULL THEN n.n_tc
+             WHEN n.nt IS NULL OR n.nt = p.pt THEN p.p_tc
+             ELSE p.p_tc + (n.n_tc - p.p_tc)
+                  * (CAST(p.t - p.pt AS DOUBLE)
+                     / CAST(n.nt - p.pt AS DOUBLE)) END, 6) AS token_cnt
+FROM p JOIN n ON p.conv_id = n.conv_id AND p.t = n.t
 """
 
 _ORACLES["backfill_means"] = SQL_PREFIX + """
@@ -3875,6 +3926,25 @@ def q_pack_bank(spark, sf_dir):
         greedy, ["source", "doc_id"])
 
 
+def q_lpc_lsp_bank(spark, sf_dir):
+    """cFunctionalLpc + cFunctionalModulation + cLsp in one per-conv bank
+    (constituents: `lpc_modulation`, `lsp` — round-4 consolidation to free
+    a driver-window slot)."""
+    return _merge(("conv_id", "n_turns"),
+                  q_lpc_modulation(spark, sf_dir), q_lsp(spark, sf_dir))
+
+
+def q_framer_bank(spark, sf_dir):
+    """cFramer trailing frames + cVecToWinProcessor overlap-add
+    resynthesis per (conv, position) (constituents: `frame_vector`,
+    `overlap_add` — its pos IS the turn position, so the bank joins on
+    (conv_id, turn_idx))."""
+    return _merge(("conv_id", "turn_idx"),
+                  q_frame_vector(spark, sf_dir),
+                  q_overlap_add(spark, sf_dir)
+                  .withColumnRenamed("pos", "turn_idx"))
+
+
 def q_corpus_pipeline(spark, sf_dir):
     """The END-TO-END training-corpus pipeline as ONE oracle-checked
     gate: quality filter (>= 0.55) -> prefix exact-dedup (min-id
@@ -3966,7 +4036,8 @@ def q_docfeat_bank(spark, sf_dir):
     return _merge(("doc_id",),
                   q_text_metrics(spark, sf_dir),
                   q_doc_signatures(spark, sf_dir),
-                  c4, ent)
+                  c4, ent,
+                  q_redact(spark, sf_dir))
 
 
 def q_streaming_sessions(spark, sf_dir):
@@ -4084,7 +4155,16 @@ WITH c AS (
 SELECT doc_id,
   round(-sum((n / tot) * log2(n / tot)), 6) AS char_entropy
 FROM f JOIN tot USING (doc_id) GROUP BY doc_id
-""")
+""", _ORACLES.pop("redact"))
+
+_ORACLES["lpc_modulation"] = _join_sql(
+    ("conv_id", "n_turns"), _ORACLES["lpc_modulation"],
+    _ORACLES.pop("lsp"))
+
+_ORACLES["frame_vector"] = _join_sql(
+    _KEYS_CT, _ORACLES["frame_vector"],
+    "SELECT conv_id, pos AS turn_idx, value FROM ("
+    + _ORACLES.pop("overlap_add") + ") oa")
 
 _ORACLES["pack_bank"] = _join_sql(
     ("source", "doc_id"), _ORACLES.pop("pack_concat"),
@@ -4238,20 +4318,20 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "meta_segments": q_meta_segments,
     "tumbling_window": q_tumbling_window,
     "interval_join": q_interval_join,
-    "frame_vector": q_frame_vector,
-    "overlap_add": q_overlap_add,
+    "frame_vector": q_framer_bank,   # + overlap_add (round-4 bank)
     # functionals
     "functionals_sql": q_functionals_sql,
     "functionals_session": q_functionals_session,
     "functionals_extras": q_functionals_extras,
     "functionals_qreg": q_regression_bank,
     "peaks2_restricted": q_peaks2_restricted,
-    "lpc_modulation": q_lpc_modulation,   # oracle (unrolled Levinson + DFT)
-    "lsp": q_lsp,                         # oracle (closed-form quadratics)
+    "lpc_modulation": q_lpc_lsp_bank,     # oracle (unrolled Levinson + DFT
+    #                                       + closed-form LSP quadratics)
     "viterbi_smooth": q_viterbi_smooth,   # oracle (recursive-CTE trellis)
-    # point-in-time / joins
+    # point-in-time / joins / time-grid regularization
     "asof_join": q_asof_join,
     "backfill_means": q_backfill_means,
+    "resample": q_resample,               # cSmileResample/cSpecResample
     # normalization
     "mvn": q_mvn_bank,
     # selection / vector math
@@ -4274,15 +4354,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_near_dups": q_simhash_near_dups,
     "embedding_near_dups": q_embedding_near_dups,
+    "embedding_near_dups_lsh": q_embedding_near_dups_lsh,  # rows-only (ANN)
     "dedup_components": q_dedup_components,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_pairs": q_winnow_pairs,
     "cosine_topk": q_cosine_topk,
     "quantize_embeddings": q_quantize_embeddings,
     # training-data pipeline (decontamination / sampling / stats / scrub)
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
     "corpus_stats": q_corpus_stats,
-    "redact": q_redact,
     # sequence assembly (training-data last mile)
     "chunk_documents": q_chunk_documents,
     "pack_bank": q_pack_bank,
@@ -4290,13 +4371,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the composed end-to-end corpus build (one oracle-checked gate)
     "corpus_pipeline": q_corpus_pipeline,
     # ---- position 51+: rows-only BY CONSTRUCTION (outside driver window) --
-    "embedding_near_dups_lsh": q_embedding_near_dups_lsh,  # rows-only (ANN)
     "egemaps_bundle": q_egemaps_bundle,   # rows-only (named preset)
     "ann_lsh_topk": q_ann_lsh_topk,       # rows-only (approximate ANN)
     "ann_ivf_topk": q_ann_ivf_topk,       # rows-only (approximate ANN)
     "ann_pq_topk": q_ann_pq_topk,         # rows-only (approximate ANN)
     "ann_ivfpq_topk": q_ann_ivfpq_topk,   # rows-only (approximate ANN)
-    "winnow_pairs": q_winnow_pairs,       # oracle-checked (replica; window full)
     "datagen": q_datagen,                 # rows-only (xxhash64 has no twin)
     "formants": q_formants,               # rows-only (sextic roots: no closed form)
     "emo_large": q_emo_large,             # rows-only (named preset bundle)

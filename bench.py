@@ -6,12 +6,26 @@ Runs the headline pipeline stages at $SPARK_GRAFT_SF_DIR (default
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {stage: sec, ...}, "sf": ...,
    "rows": ..., "rows_per_sec": ..., "feature_vectors_per_sec": ...,
-   "scaling": {"n_small": 8, "n_large": 32, "small_sec": ..,
+   "skew": {...}, "wide": {...},
+   "scaling": {"n_small": 4, "n_large": 16, "small_sec": ..,
                "large_sec": .., "speedup": .., "efficiency": ..}}
 
+Measurement protocol (r3 verdict follow-up — the shared host has
+±30%-2x wall-clock noise, and a single noisy window poisoned the r3
+record):
+  * the SCALING block runs FIRST, while the host is coldest — it is the
+    north-rule number (efficiency >= 0.8 from N to 4N cores);
+  * suite stages run INTERLEAVED round-robin (A,B,C,A,B,C — not
+    AAA,BBB), $SPARK_GRAFT_SUITE_REPS rounds (default 3), and each
+    stage reports its MIN across rounds — a noise spike poisons one
+    round of one stage, not the whole record;
+  * `value` remains the sum of the same 10 headline stages as r1-r3
+    (comparable across rounds); the round-4 skew and wide-vector
+    evidence stages are reported under separate keys.
+
 Scaling evidence (BASELINE.md row 8): the flagship job (LLD -> sma ->
-sessionize -> per-session functional vectors, kernel path) is run twice on
-the SAME deterministic synthetic corpus at local[N] and local[4N]
+sessionize -> per-session functional vectors, kernel path) is run on the
+SAME deterministic synthetic corpus at local[N] and local[4N]
 (N = SPARK_GRAFT_CPUS/4); efficiency = (t_N / t_4N) / 4.
 
 Set SPARK_GRAFT_SKIP_SCALING=1 to skip the scaling runs (fast iteration).
@@ -21,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -29,6 +44,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SF = SF_DIR.rstrip("/").split("sf")[-1]
+SCRATCH = "/dev/shm/opensmile_spark_bench_scratch"
 
 
 def _spark(n_threads: int):
@@ -41,7 +57,7 @@ def _spark(n_threads: int):
             "spark.sql.execution.arrow.maxRecordsPerBatch": "20000",
             # tmpfs shuffle scratch: the sandbox disk serializes shuffle IO;
             # a real cluster has per-executor local SSDs
-            "spark.local.dir": "/dev/shm/opensmile_spark_bench_scratch",
+            "spark.local.dir": SCRATCH,
         },
     )
 
@@ -69,96 +85,251 @@ def flagship(spark, transcripts):
     )
 
 
+def run_scaling() -> dict:
+    """North-rule evidence: same job, same input, local[N] vs local[4N].
+
+    Protocol (BASELINE.md row 8): the functional-kernel job (the CPU-heavy,
+    embarrassingly-parallel stage — repartition by conv + one mapInPandas
+    pass) over a pre-materialized multi-million-turn corpus, run
+    interleaved N,4N,N,4N with min-of-k per level. N=4 vs 4N=16 rather
+    than 8/32: above ~half the box the shared host saturates (<26
+    effective cores), which would measure the neighbours, not the engine.
+    Shuffle scratch on /dev/shm — the stand-in for a real cluster's
+    per-executor local SSDs."""
+    from opensmile_spark.datagen import generate_transcripts
+    from opensmile_spark.functionals import functionals_kernel
+    from opensmile_spark.lld import compute_lld
+    from opensmile_spark.operators import sessionize, sma
+
+    n_small = int(os.environ.get("SPARK_GRAFT_SCALE_SMALL", "4"))
+    n_large = int(os.environ.get("SPARK_GRAFT_SCALE_LARGE", "16"))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+    n_convs = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "360000"))
+    corpus = "/dev/shm/opensmile_spark_bench_lld"
+    lld_cols = ["char_len", "token_cnt", "punct_density", "ttr",
+                "reply_latency"]
+    vcols = [c + "_sma3" for c in lld_cols]
+    fams = ["means", "moments", "percentiles", "regression", "peaks2",
+            "times", "crossings", "segments", "onset"]
+
+    # untimed prep: generate + LLD + smooth + sessionize, materialize
+    # group-contiguously (repartition by conv + in-partition sort, files
+    # well under maxPartitionBytes) so the timed job can take the
+    # zero-shuffle pre_partitioned kernel path — the bucketed-Iceberg
+    # layout a production deployment would maintain anyway.
+    s = _spark(CPUS)
+    t = generate_transcripts(s, n_convs=n_convs, turns_per_conv=60,
+                             mega_conv_factor=50, partitions=2 * CPUS)
+    sess = sessionize(sma(compute_lld(t), lld_cols, 3),
+                      gap_seconds=43200.0)
+    (sess.repartition(128, "conv_id")
+     .sortWithinPartitions("conv_id", "session_id", "turn_idx")
+     .write.mode("overwrite").parquet(corpus))
+    scale_rows = s.read.parquet(corpus).count()
+    s.stop()
+
+    times: dict[int, list[float]] = {n_small: [], n_large: []}
+    for _ in range(reps):
+        for n in (n_small, n_large):
+            s = _spark(n)
+            s.conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled", "false")
+            s.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+            lld2 = s.read.parquet(corpus)
+            fk2 = functionals_kernel(lld2, vcols,
+                                     ("conv_id", "session_id"),
+                                     families=fams,
+                                     pre_partitioned=True)
+            # untimed warm-up: spawn the Python workers + JIT the scan
+            # path once per session (a long-lived cluster's executors
+            # are warm; local[N] cold-starts N pyspark workers on the
+            # first mapInPandas job, a fixed cost that is NOT the
+            # engine's scaling behavior). One trivial Arrow pass over
+            # every scan partition touches all workers.
+            def _warm(batches):
+                for b in batches:
+                    yield b.iloc[:1]
+
+            _noop(lld2.select(vcols[0]).mapInPandas(
+                _warm, schema=f"`{vcols[0]}` double"))
+            t0 = time.time()
+            _noop(fk2)
+            times[n].append(time.time() - t0)
+            s.stop()
+    small = min(times[n_small])
+    large = min(times[n_large])
+    speedup = small / large
+    out = {
+        "n_small": n_small,
+        "n_large": n_large,
+        "small_sec": round(small, 3),
+        "large_sec": round(large, 3),
+        "all_small_sec": [round(x, 2) for x in times[n_small]],
+        "all_large_sec": [round(x, 2) for x in times[n_large]],
+        "rows": scale_rows,
+        "rows_per_sec_large": round(scale_rows / large, 1),
+        "speedup": round(speedup, 3),
+        "efficiency": round(speedup / (n_large / n_small), 3),
+    }
+    shutil.rmtree(corpus, ignore_errors=True)
+    return out
+
+
 def main():
     from pyspark.sql import functions as F
 
     from opensmile_spark.datagen import generate_transcripts
+    from opensmile_spark.dedup import minhash_lsh_pairs, ngram_jaccard
     from opensmile_spark.functionals import functionals_kernel, functionals_sql
     from opensmile_spark.lld import compute_lld
     from opensmile_spark.operators import (
-        asof_join, backfill_functionals, delta_regression, sessionize, sma,
+        asof_join, backfill_functionals, delta_regression, overlap_salt,
+        sessionize, sma,
     )
+    from opensmile_spark.similarity import cosine_topk
     from opensmile_spark.transcripts import transcripts_from_events
 
-    timings: dict[str, float] = {}
+    # ---- scaling evidence FIRST: the north-rule number runs while the
+    # host is coldest (r3's record ran it last, in the noisiest window)
+    scaling = None
+    if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
+        scaling = run_scaling()
+
     spark = _spark(CPUS)
-
-    def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
-        return out
-
     transcripts = transcripts_from_events(spark, SF_DIR)
     n_rows = transcripts.count()
 
-    # stage timings on the driver tables. The LLD stage is timed cold, then
-    # CACHED so the downstream stage timings measure each operator, not a
-    # recomputation of the shared upstream lineage (a production pipeline
-    # materializes the LLD table once).
-    lld = compute_lld(transcripts)
-    timed("lld", lambda: _noop(lld))
-    lld = lld.cache()
+    # shared upstream: the LLD table is computed ONCE and cached so each
+    # downstream stage measures its own operator, not a recomputation of
+    # the shared lineage (a production pipeline materializes LLD once).
+    # The `lld` stage itself measures the UNCACHED plan.
+    lld_plan = compute_lld(transcripts)
+    lld = lld_plan.cache()
     lld.count()
 
-    smoothed = delta_regression(
-        sma(lld, ["char_len", "token_cnt", "reply_latency"], 3),
-        ["char_len"], 2)
-    timed("windows_sma_delta", lambda: _noop(smoothed))
-
-    sess = sessionize(lld, gap_seconds=43200.0)
-    timed("sessionize", lambda: _noop(sess))
-
-    timed("functionals_sql", lambda: _noop(
-        functionals_sql(lld, ["char_len", "token_cnt", "reply_latency"])))
+    anchors = lld.select("conv_id", F.col("ts").alias("anchor_ts"))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 
     fk = flagship(spark, transcripts)
-    timed("functionals_kernel", lambda: _noop(fk))
     n_vectors = fk.count()
 
-    anchors = lld.select(
-        "conv_id", F.col("ts").alias("anchor_ts"))
-    timed("asof_join", lambda: _noop(
-        asof_join(anchors, lld.select("conv_id", "ts", "char_len"),
-                  value_cols=["char_len"])))
-
-    timed("backfill_means", lambda: _noop(
-        backfill_functionals(lld, anchors, ["char_len"],
-                             families=["means", "moments"])))
-
-    # the COMPLETE per-anchor functional vector (all five default families)
-    # — every family runs linear in conversation length on this unbounded
-    # grid (prefix / blocked-Chan / offline order statistics; only the two
-    # |residual| regression keys gather)
-    timed("backfill_full", lambda: _noop(
-        backfill_functionals(lld, anchors, ["char_len"],
-                             families=["means", "moments", "extremes",
-                                       "percentiles", "regression"])))
-
-    # training-data ops on documents/embeddings
-    from opensmile_spark.dedup import minhash_lsh_pairs, ngram_jaccard
-    from opensmile_spark.similarity import cosine_topk
-
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    # untimed warm-up on a small sample: the FIRST execution of the
-    # md5/explode/shuffle codegen paths pays a one-time JVM JIT cost
-    # (observed 4-9 s vs ~2 s warm for identical plans) that a long-lived
-    # cluster's executors don't pay per query — the same rationale as the
-    # scaling block's untimed Arrow warm-up below
+    # untimed warm-ups: first execution of the md5/explode/shuffle and
+    # Arrow codegen paths pays a one-time JVM JIT / worker-spawn cost
+    # (observed 4-9 s vs ~2 s warm for identical plans) that a
+    # long-lived cluster's executors don't pay per query
     sample = docs.limit(500)
     _noop(ngram_jaccard(sample,
                         minhash_lsh_pairs(sample, n_hashes=8, bands=4)))
-    timed("dedup_minhash_lsh", lambda: _noop(
-        ngram_jaccard(docs, minhash_lsh_pairs(docs, n_hashes=8, bands=4))))
-
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     _noop(cosine_topk(emb.limit(500), emb.filter(F.col("vec_id") < 2), k=5))
-    timed("ann_cosine_topk", lambda: _noop(
-        cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=10)))
 
+    # ---- headline stages (same 10 as r1-r3; `value` sums these) ----
+    stages: list[tuple[str, object]] = [
+        ("lld", lambda: _noop(lld_plan)),
+        ("windows_sma_delta", lambda: _noop(delta_regression(
+            sma(lld, ["char_len", "token_cnt", "reply_latency"], 3),
+            ["char_len"], 2))),
+        ("sessionize", lambda: _noop(
+            sessionize(lld, gap_seconds=43200.0))),
+        ("functionals_sql", lambda: _noop(
+            functionals_sql(lld,
+                            ["char_len", "token_cnt", "reply_latency"]))),
+        ("functionals_kernel", lambda: _noop(
+            flagship(spark, transcripts))),
+        ("asof_join", lambda: _noop(
+            asof_join(anchors, lld.select("conv_id", "ts", "char_len"),
+                      value_cols=["char_len"]))),
+        ("backfill_means", lambda: _noop(
+            backfill_functionals(lld, anchors, ["char_len"],
+                                 families=["means", "moments"]))),
+        # the COMPLETE per-anchor functional vector (all five default
+        # families) — every family linear in conversation length on this
+        # unbounded grid (prefix / blocked-Chan / offline order stats)
+        ("backfill_full", lambda: _noop(
+            backfill_functionals(lld, anchors, ["char_len"],
+                                 families=["means", "moments", "extremes",
+                                           "percentiles", "regression"]))),
+        ("dedup_minhash_lsh", lambda: _noop(
+            ngram_jaccard(docs,
+                          minhash_lsh_pairs(docs, n_hashes=8, bands=4)))),
+        ("ann_cosine_topk", lambda: _noop(
+            cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=10))),
+    ]
+
+    # ---- round-4 evidence stages (reported separately from `value`) ----
+    #
+    # skew: one mega-conversation holding ~80% of all rows. The unsalted
+    # per-conv sliding-window chain (sma3 + delta2 — one sort, shared
+    # partitioning) serializes the mega conv into ONE task; the
+    # overlap-salted variant (identical results — gate
+    # `salted_sma_equivalence`; dense-index bucketing is a pure
+    # projection, no per-conv row_number) splits it into 100k-row buckets
+    # with 2-row boundary overlap, bounding the straggler. The input is
+    # CACHED so both variants measure the window work, not the scan —
+    # this is the 10^12-turn north rule's skew story measured, not just
+    # gated.
+    skew = generate_transcripts(spark, n_convs=20_000, turns_per_conv=30,
+                                mega_conv_factor=100_000,
+                                partitions=2 * CPUS)
+    skew_lld = compute_lld(skew) \
+        .select("conv_id", "turn_idx", "ts", "char_len").cache()
+    skew_rows = skew_lld.count()
+    mega_rows = skew_lld.groupBy("conv_id").count() \
+        .agg(F.max("count")).first()[0]
+
+    def _skew_chain(df, parts):
+        return delta_regression(
+            sma(df, ["char_len"], 3, partition_cols=parts),
+            ["char_len_sma3"], 2, partition_cols=parts)
+
+    def skew_unsalted():
+        _noop(_skew_chain(skew_lld, ("conv_id",)))
+
+    def skew_salted():
+        salted = overlap_salt(skew_lld, max_rows=100_000, pre=2, post=2,
+                              dense_index=True)
+        out = _skew_chain(salted, ("conv_id", "salt_bucket"))
+        _noop(out.filter(F.col("is_owner")).drop("salt_bucket", "is_owner"))
+
+    # wide vectors: the reference's big preset is 6,373 columns
+    # (ComParE_2016). Prove the Arrow kernel path holds at reference
+    # widths: 12 value columns x all batched families ~= 600 output
+    # columns in ONE kernel pass over the sf corpus.
+    wide_cols = ["char_len", "token_cnt", "punct_density", "caps_ratio",
+                 "ttr", "reply_latency"]
+    wide_lld = lld
+    for c in wide_cols:
+        wide_lld = wide_lld.withColumn(f"{c}_sq", F.col(c) * F.col(c))
+    wide_vcols = wide_cols + [f"{c}_sq" for c in wide_cols]
+    wide_fams = ["means", "moments", "extremes", "percentiles",
+                 "regression", "peaks2", "times", "crossings", "segments",
+                 "onset", "samples", "dct"]
+    wide_df = functionals_kernel(wide_lld, wide_vcols, ("conv_id",),
+                                 families=wide_fams)
+    n_wide_cols = len(wide_df.columns)
+
+    def wide_vector():
+        _noop(wide_df)
+
+    extra_stages = [("skew_unsalted", skew_unsalted),
+                    ("skew_salted", skew_salted),
+                    ("wide_vector", wide_vector)]
+
+    # ---- interleaved min-of-N measurement ----
+    reps = int(os.environ.get("SPARK_GRAFT_SUITE_REPS", "3"))
+    samples: dict[str, list[float]] = {n: [] for n, _ in
+                                       stages + extra_stages}
+    for _ in range(reps):
+        for name, fn in stages + extra_stages:
+            t0 = time.time()
+            fn()
+            samples[name].append(time.time() - t0)
+
+    timings = {n: round(min(v), 3) for n, v in samples.items()
+               if n in dict(stages)}
     total = round(sum(timings.values()), 3)
     kernel_sec = timings["functionals_kernel"]
-    spark.stop()
 
     result = {
         "metric": ("feature vectors/sec, reference-parity functionals "
@@ -166,102 +337,36 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "all_samples": {n: [round(x, 2) for x in v]
+                        for n, v in samples.items()},
+        "suite_reps": reps,
         "sf": SF,
         "rows": n_rows,
         "rows_per_sec": round(n_rows / max(total, 1e-9), 1),
         "feature_vectors": n_vectors,
-        "feature_vectors_per_sec": round(n_vectors / max(kernel_sec, 1e-9), 1),
+        "feature_vectors_per_sec": round(n_vectors / max(kernel_sec, 1e-9),
+                                         1),
+        "skew": {
+            "rows": skew_rows,
+            "mega_conv_rows": mega_rows,
+            "mega_frac": round(mega_rows / skew_rows, 3),
+            "unsalted_sec": round(min(samples["skew_unsalted"]), 3),
+            "salted_sec": round(min(samples["skew_salted"]), 3),
+            "speedup": round(min(samples["skew_unsalted"])
+                             / min(samples["skew_salted"]), 2),
+        },
+        "wide": {
+            "n_output_cols": n_wide_cols,
+            "sec": round(min(samples["wide_vector"]), 3),
+            "cols_x_rows_per_sec": round(
+                n_wide_cols * n_rows / min(samples["wide_vector"]), 1),
+        },
     }
+    if scaling is not None:
+        result["scaling"] = scaling
 
-    # ---- scaling evidence: same job, same input, local[N] vs local[4N] ----
-    #
-    # Protocol (BASELINE.md row 8): the functional-kernel job (the CPU-heavy,
-    # embarrassingly-parallel stage — repartition by conv + one mapInPandas
-    # pass) over a pre-materialized 7.2M-turn corpus, run interleaved
-    # N,4N,N,4N with min-of-k per level (this sandbox is a shared host with
-    # ~2x wall-clock noise; min-of-k + interleaving is the standard remedy).
-    # N=4 vs 4N=16 rather than 8/32: above ~half the box the shared host
-    # saturates (<26 effective cores), which would measure the neighbours,
-    # not the engine. Shuffle scratch on /dev/shm — the stand-in for a real
-    # cluster's per-executor local SSDs.
-    if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
-        n_small = int(os.environ.get("SPARK_GRAFT_SCALE_SMALL", "4"))
-        n_large = int(os.environ.get("SPARK_GRAFT_SCALE_LARGE", "16"))
-        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
-        n_convs = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "360000"))
-        corpus = "/dev/shm/opensmile_spark_bench_lld"
-        scratch = "/dev/shm/opensmile_spark_bench_scratch"
-        lld_cols = ["char_len", "token_cnt", "punct_density", "ttr",
-                    "reply_latency"]
-        vcols = [c + "_sma3" for c in lld_cols]
-        fams = ["means", "moments", "percentiles", "regression", "peaks2",
-                "times", "crossings", "segments", "onset"]
-
-        # untimed prep: generate + LLD + smooth + sessionize, materialize
-        # group-contiguously (repartition by conv + in-partition sort, files
-        # well under maxPartitionBytes) so the timed job can take the
-        # zero-shuffle pre_partitioned kernel path — the bucketed-Iceberg
-        # layout a production deployment would maintain anyway.
-        s = _spark(CPUS)
-        t = generate_transcripts(s, n_convs=n_convs, turns_per_conv=60,
-                                 mega_conv_factor=50, partitions=2 * CPUS)
-        sess = sessionize(sma(compute_lld(t), lld_cols, 3),
-                          gap_seconds=43200.0)
-        (sess.repartition(128, "conv_id")
-         .sortWithinPartitions("conv_id", "session_id", "turn_idx")
-         .write.mode("overwrite").parquet(corpus))
-        scale_rows = s.read.parquet(corpus).count()
-        s.stop()
-
-        times: dict[int, list[float]] = {n_small: [], n_large: []}
-        for _ in range(reps):
-            for n in (n_small, n_large):
-                s = _spark(n)
-                s.conf.set(
-                    "spark.sql.adaptive.coalescePartitions.enabled", "false")
-                s.conf.set(
-                    "spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
-                lld2 = s.read.parquet(corpus)
-                fk2 = functionals_kernel(lld2, vcols,
-                                         ("conv_id", "session_id"),
-                                         families=fams,
-                                         pre_partitioned=True)
-                # untimed warm-up: spawn the Python workers + JIT the scan
-                # path once per session (a long-lived cluster's executors
-                # are warm; local[N] cold-starts N pyspark workers on the
-                # first mapInPandas job, a fixed cost that is NOT the
-                # engine's scaling behavior). One trivial Arrow pass over
-                # every scan partition touches all workers.
-                def _warm(batches):
-                    for b in batches:
-                        yield b.iloc[:1]
-
-                _noop(lld2.select(vcols[0]).mapInPandas(
-                    _warm, schema=f"`{vcols[0]}` double"))
-                t0 = time.time()
-                _noop(fk2)
-                times[n].append(time.time() - t0)
-                s.stop()
-        small = min(times[n_small])
-        large = min(times[n_large])
-        speedup = small / large
-        result["scaling"] = {
-            "n_small": n_small,
-            "n_large": n_large,
-            "small_sec": round(small, 3),
-            "large_sec": round(large, 3),
-            "all_small_sec": [round(x, 2) for x in times[n_small]],
-            "all_large_sec": [round(x, 2) for x in times[n_large]],
-            "rows": scale_rows,
-            "rows_per_sec_large": round(scale_rows / large, 1),
-            "speedup": round(speedup, 3),
-            "efficiency": round(speedup / (n_large / n_small), 3),
-        }
-        import shutil
-
-        shutil.rmtree(corpus, ignore_errors=True)
-        shutil.rmtree(scratch, ignore_errors=True)
-
+    spark.stop()
+    shutil.rmtree(SCRATCH, ignore_errors=True)
     print(json.dumps(result))
 
 

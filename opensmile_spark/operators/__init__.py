@@ -38,4 +38,5 @@ from opensmile_spark.operators.framing import (  # noqa: F401
     tumbling_frames,
 )
 from opensmile_spark.operators.salt import overlap_salt, salted_partial_stats  # noqa: F401
+from opensmile_spark.operators.resample import resample  # noqa: F401
 from opensmile_spark.operators.viterbi import viterbi_smooth_df  # noqa: F401

@@ -35,13 +35,25 @@ def overlap_salt(
     order_col: str = "turn_idx",
     bucket_col: str = "salt_bucket",
     owner_col: str = "is_owner",
+    dense_index: bool = False,
 ) -> DataFrame:
     """Assign each row an owning bucket of <= max_rows rows per conversation
     and replicate `pre` rows into the following bucket / `post` rows into the
     preceding one. Window ops then partition by (conv, bucket); rows with
-    is_owner=false exist only as context and their outputs are dropped."""
-    w = Window.partitionBy(*partition_cols).orderBy(order_col)
-    d = df.withColumn("__rn", F.row_number().over(w) - 1)
+    is_owner=false exist only as context and their outputs are dropped.
+
+    dense_index=True declares that `order_col` is ALREADY a dense 0-based
+    per-key index (true for `turn_idx` by construction of the transcript
+    schema): the bucket then derives directly from it — a pure map-side
+    projection with NO per-key window. This matters precisely on the
+    skewed inputs this operator exists for: the default row_number path
+    must itself sort the mega-conversation in one task before any salting
+    happens, re-creating the straggler it is meant to remove."""
+    if dense_index:
+        d = df.withColumn("__rn", F.col(order_col).cast("long"))
+    else:
+        w = Window.partitionBy(*partition_cols).orderBy(order_col)
+        d = df.withColumn("__rn", F.row_number().over(w) - 1)
     d = d.withColumn(bucket_col, (F.col("__rn") / max_rows).cast("int"))
     owner = d.withColumn(owner_col, F.lit(True))
 
