@@ -391,3 +391,47 @@ def test_ivfpq_topk_recall(spark, emb):
     probed = ivfpq_topk(emb, queries, k=10, n_centroids=8, n_probe=4,
                         m=8, n_codes=64, rescore_factor=8).toPandas()
     assert recall(probed) >= 0.6, recall(probed)
+
+
+def test_pq_topk_query_side_never_collected(spark, emb):
+    """The r3-verdict contract: pq_topk must accept a large query
+    DataFrame WITHOUT driver materialization. With pre-fit codebooks the
+    whole plan must build lazily — zero Spark jobs during construction
+    (a queries.collect() would run one) — and the scoring stage must be
+    the cogrouped Arrow kernel."""
+    from opensmile_spark.similarity import pq_fit, pq_topk
+
+    cb = pq_fit(emb, m=8, n_codes=16)
+    queries = emb.filter(F.col("vec_id") < 50)
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup())
+    out = pq_topk(emb, queries, k=5, codebooks=cb)     # construction only
+    after = set(tracker.getJobIdsForGroup())
+    assert before == after, "pq_topk ran a Spark job during construction"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert out.count() > 0
+
+
+def test_ivfpq_query_side_lazy(spark, emb):
+    """ivfpq_topk's query side must be consumed lazily (no driver
+    collect): a counting accumulator inside a query-side mapInPandas
+    stays ZERO through plan construction (index-side sample fit is
+    allowed to run jobs) and only fires on execution."""
+    from opensmile_spark.similarity import ivfpq_topk
+
+    acc = spark.sparkContext.accumulator(0)
+    schema = emb.schema.simpleString()[7:-1].replace(":", " ")
+
+    def touch(batches):
+        for b in batches:
+            acc.add(len(b))
+            yield b
+
+    queries = emb.filter(F.col("vec_id") < 10).mapInPandas(
+        touch, schema=schema)
+    out = ivfpq_topk(emb, queries, k=5, n_centroids=4, n_probe=2,
+                     m=8, n_codes=16)                  # construction only
+    assert acc.value == 0, "query side was materialized during construction"
+    assert out.count() > 0
+    assert acc.value > 0
