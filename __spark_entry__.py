@@ -1100,8 +1100,8 @@ def q_lsp(spark, sf_dir):
     antipalindromic Q factor out (1±z^-1), leaving symmetric quartics
     that are QUADRATICS in u = 2*cos(w); the kernel's np.roots
     eigensolve and the closed form agree to ~1e-14 relative (measured),
-    eight orders inside the gate rounding. Past the driver window;
-    oracle-checked by the replica."""
+    eight orders inside the gate rounding. Driver-recorded inside the
+    window via the `lpc_modulation` bank (round-4 merge)."""
     from opensmile_spark.functionals import functionals_kernel
     from opensmile_spark.util import round_sig
 
@@ -1120,7 +1120,8 @@ def q_redact(spark, sf_dir):
     gate plants deterministic fake email/IP/phone strings derived from
     doc_id, then checks the full scrub chain (sequential pattern order,
     per-doc counts, redacted text) against the identical SQL chain.
-    Past the driver window; oracle-checked by the replica."""
+    Driver-recorded inside the window via the `text_metrics` bank
+    (round-4 merge)."""
     from opensmile_spark.text import redact
 
     docs = _docs(spark, sf_dir).withColumn(

@@ -11,13 +11,15 @@ module (the cWaveSource analogue — header fields + PCM normalization per
 like cMonoMixdown) and featurized with numpy (RMS/ZCR/spectral moments —
 the cEnergy/cMZcr/cSpectral LLD shapes). IMAGE decode is REAL for
 uncompressed 24-bit BMP (pure-struct header parse + numpy pixel view;
-channel means / luma stats / edge energy / histogram entropy). VIDEO
-decode is REAL for uncompressed AVI (pure-struct RIFF walk, '00db'
-raw-DIB frames; selective frame decode honors frame_sample_plan), so all
-three modalities exercise a genuine decode path. Compressed codecs
-(JPEG/H.264 — PIL/av are NOT in this container) remain a clearly marked
-stub with a deterministic fake behind `fake=True`: batch shapes, schemas
-and partitioning are real and tested; only the codec call is replaced.
+channel means / luma stats / edge energy / histogram entropy) AND for
+baseline-sequential JPEG (opensmile_spark/jpeg.py: a from-the-spec
+pure-numpy Huffman+DCT codec — round 4 closed the last compressed-image
+stub without PIL). VIDEO decode is REAL for uncompressed AVI
+(pure-struct RIFF walk, '00db' raw-DIB frames; selective frame decode
+honors frame_sample_plan), so all three modalities exercise a genuine
+decode path. H.264 video (needs av) remains the one clearly marked stub
+with a deterministic fake behind `fake=True`: batch shapes, schemas and
+partitioning are real and tested; only that codec call is replaced.
 """
 
 from __future__ import annotations
@@ -153,6 +155,32 @@ def synthesize_bmp_bytes(media_id: int, width: int = 64,
     info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
                        len(rows), 2835, 2835, 0, 0)
     return header + info + rows
+
+
+def synthesize_jpeg_bytes(media_id: int, width: int = 64,
+                          height: int = 48, quality: int = 90) -> bytes:
+    """Deterministic baseline JPEG via the from-scratch pure-numpy codec
+    (opensmile_spark/jpeg.py): a seeded smooth two-tone field (JPEG-
+    friendly) with one bright rectangle — the compressed-image twin of
+    synthesize_bmp_bytes."""
+    import numpy as np
+
+    from opensmile_spark.jpeg import encode_jpeg
+
+    rng = np.random.RandomState(int(media_id) % (2 ** 31))
+    yy, xx = np.mgrid[0:height, 0:width]
+    f1 = 5.0 + (media_id % 7)
+    f2 = 7.0 + (media_id % 5)
+    img = np.stack([
+        128 + 90 * np.sin(xx / f1) * np.cos(yy / f2),
+        128 + 70 * np.cos(xx / f2),
+        128 + 50 * np.sin((xx + yy) / (f1 + f2)),
+    ], axis=-1)
+    x0, y0 = int(media_id) % max(width - 8, 1), int(media_id) % max(
+        height - 8, 1)
+    img[y0:y0 + 8, x0:x0 + 8] = 250.0
+    img = np.clip(img + rng.randn(height, width, 3) * 2, 0, 255)
+    return encode_jpeg(img.astype(np.uint8), quality=quality)
 
 
 def decode_bmp(payload: bytes):
@@ -387,24 +415,29 @@ def synthetic_media(spark, n: int = 64, seed: int = 42,
     if real_images:
         from pyspark.sql.functions import pandas_udf
 
+        codec = "jpeg" if real_images == "jpeg" else "bmp"
+        synth = (synthesize_jpeg_bytes if codec == "jpeg"
+                 else synthesize_bmp_bytes)
+
         @pandas_udf("binary")
-        def _bmp(mid: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+        def _img(mid: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
             # Catalyst extracts Python UDFs out of the WHEN, so this also
             # sees non-image rows (null geometry) — emit a placeholder the
             # unreached branch never uses
             return pd.Series([
                 b"" if pd.isna(wv) or pd.isna(hv)
-                else synthesize_bmp_bytes(int(m), int(wv), int(hv))
+                else synth(int(m), int(wv), int(hv))
                 for m, wv, hv in zip(mid, w, h)])
 
         is_img = F.col("kind") == "image"
         out = out.withColumn(
             "payload",
-            F.when(is_img, _bmp("media_id", "width", "height"))
+            F.when(is_img, _img("media_id", "width", "height"))
             .otherwise(F.col("payload")),
         ).withColumn(
             "mime",
-            F.when(is_img, F.lit("image/bmp")).otherwise(F.col("mime")))
+            F.when(is_img, F.lit(f"image/{codec}"))
+            .otherwise(F.col("mime")))
     if real_video:
         from pyspark.sql.functions import pandas_udf
 
@@ -430,13 +463,14 @@ def extract_media_features(
 ) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow-batched bytes).
 
-    WAV/PCM audio, uncompressed AVI video and 24-bit BMP images are
-    decoded FOR REAL (stdlib/pure-struct parsers + numpy featurizers).
-    Remaining (compressed) payloads: fake=True substitutes a
-    deterministic md5-seeded featurizer so the distributed plumbing —
-    binary Arrow transfer, per-batch iteration, output schema — is fully
-    exercised; fake=False raises NotImplementedError for them (PIL/av
-    are not in this image).
+    WAV/PCM audio, uncompressed AVI video, 24-bit BMP and baseline
+    sequential JPEG images are decoded FOR REAL (stdlib/pure-struct/
+    pure-numpy parsers incl. the from-spec JPEG codec in jpeg.py +
+    numpy featurizers). Remaining compressed payloads (H.264 video):
+    fake=True substitutes a deterministic md5-seeded featurizer so the
+    distributed plumbing — binary Arrow transfer, per-batch iteration,
+    output schema — is fully exercised; fake=False raises
+    NotImplementedError for them (av is not in this image).
     """
     import hashlib
 
@@ -467,6 +501,13 @@ def extract_media_features(
                 elif payload[:2] == b"BM":
                     feats[r] = image_features(decode_bmp(bytes(payload)),
                                               n_features)
+                elif payload[:2] == b"\xff\xd8":
+                    from opensmile_spark.jpeg import decode_jpeg
+
+                    img = decode_jpeg(bytes(payload))
+                    if img.ndim == 2:          # grayscale stream
+                        img = np.stack([img] * 3, axis=-1)
+                    feats[r] = image_features(img, n_features)
                 elif fake:
                     h = hashlib.md5(payload).digest()
                     feats[r] = [h[i % 16] / 255.0 for i in range(n_features)]
@@ -474,9 +515,9 @@ def extract_media_features(
                     raise NotImplementedError(
                         "this codec needs PIL/av — not available in this "
                         "image; pass fake=True for the deterministic "
-                        "plumbing path (WAV audio, BMP images and "
-                        "uncompressed AVI video decode for real either "
-                        "way)")
+                        "plumbing path (WAV audio, BMP + baseline-JPEG "
+                        "images and uncompressed AVI video decode for "
+                        "real either way)")
             for i, c in enumerate(feat_cols):
                 out[c] = feats[:, i]
             yield pd.DataFrame(out)
