@@ -272,6 +272,23 @@ def cmd_datagen(spark, args):
     print(json.dumps({"output": args.output, "rows": t.count()}))
 
 
+def cmd_resample(spark, args):
+    from opensmile_spark.operators import resample
+    from opensmile_spark.tables import read_table
+
+    df = read_table(spark, args.input)
+    out = resample(
+        df, args.period_seconds, by=args.by, ts_col=args.ts_col,
+        value_cols=args.value_cols, policy=args.policy,
+        order_col=args.order_col,
+        origin_epoch=args.origin_epoch,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"output": args.output,
+                      "period_seconds": args.period_seconds,
+                      "policy": args.policy}))
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="opensmile_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -353,6 +370,23 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--n-shards", type=int, default=1024)
 
+    sp = sub.add_parser("resample",
+                        help="regularize an irregular series onto a "
+                             "uniform time grid (cSmileResample analogue)")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--period-seconds", type=float, required=True)
+    sp.add_argument("--policy", choices=["hold", "linear", "nearest"],
+                    default="linear")
+    sp.add_argument("--by", default="conv_id")
+    sp.add_argument("--ts-col", default="ts")
+    sp.add_argument("--order-col", default="turn_idx")
+    sp.add_argument("--value-cols", default=None,
+                    type=lambda s: s.split(","))
+    sp.add_argument("--origin-epoch", type=float, default=None,
+                    help="global grid lattice origin (epoch seconds); "
+                         "default anchors each key at its first sample")
+
     sp = sub.add_parser("pack")
     sp.add_argument("--input", required=True)
     sp.add_argument("--output", required=True)
@@ -385,6 +419,7 @@ def main(argv=None):
      "sample": cmd_sample,
      "redact": cmd_redact,
      "corpus": cmd_corpus,
+     "resample": cmd_resample,
      "pack": cmd_pack}[args.cmd](spark, args)
 
 

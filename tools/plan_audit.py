@@ -256,6 +256,36 @@ def main():
           f"(joins={joins}, shuffle exchanges={n_op('Exchange', p)} — "
           f"2 carry full corpus rows, rest are derived count streams)")
 
+    # resample (round 4): grid + data resolve through a union and two
+    # ordered window passes — NO join node ever forms, and the only
+    # full-row shuffle is the per-key window exchange (the grid bounds
+    # aggregate is a tiny separate stream).
+    from opensmile_spark.operators import resample
+
+    p = plan_str(resample(
+        lld.select("conv_id", "turn_idx", "ts", "char_len"),
+        86400.0, value_cols=["char_len"]))
+    check("resample no join node, zero Python",
+          count(r"\) \w*Join", p) == 0
+          and count(r"(?i)pythonudf|ArrowEval|BatchEval", p) == 0,
+          f"(union + window merge; exchanges={n_op('Exchange', p)}: "
+          f"one per-key window shuffle + the tiny bounds aggregate)")
+
+    # IVF-PQ query path (round 4): ADC scoring between the cell-key join
+    # and the top-k window is a pure JVM expression — the only Python in
+    # the whole plan is the two Arrow encode passes (index codes + query
+    # tables), never in the per-candidate scoring path.
+    from opensmile_spark.similarity import ivfpq_topk
+
+    p = plan_str(ivfpq_topk(emb, emb.filter(F.col("vec_id") < 3), k=5,
+                            n_centroids=4, n_probe=2, m=8, n_codes=8))
+    n_py = (n_op("ArrowEvalPython", p) + n_op("MapInPandas", p)
+            + n_op("FlatMapGroupsInPandas", p))
+    check("ivfpq JVM-only ADC scoring (Python = 2 encode passes only)",
+          n_py == 2 and count(r"CartesianProduct", p) == 0,
+          f"(python nodes={n_py}; candidates via cell-key join, "
+          f"score = m array lookups in codegen)")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
