@@ -722,6 +722,25 @@ def ivfpq_topk(index: DataFrame, queries: DataFrame, k: int = 10,
     lookups), no Python in the scoring path at all. Exact cosine re-rank
     of the bounded candidate set closes it. Approximation lives only in
     candidate generation + ADC ordering; returned cosines are exact."""
+    codes, centers, codebooks = _ivfpq_fit_encode(
+        index, n_centroids, m, n_codes, seed, fit_fraction,
+        id_col, vec_col)
+    qt = _ivfpq_query_tables(queries, centers, codebooks, n_probe,
+                             id_col, vec_col)
+    shortlist = _ivfpq_shortlist(codes, qt, m, n_codes,
+                                 k * rescore_factor, id_col)
+    return _exact_rerank(shortlist.select("query_id", "item_id"),
+                         index, queries, k, id_col, vec_col)
+
+
+def _ivfpq_fit_encode(index: DataFrame, n_centroids: int, m: int,
+                      n_codes: int, seed: int,
+                      fit_fraction: float | None,
+                      id_col: str, vec_col: str):
+    """Build side of IVF-PQ: sample-fit the coarse quantizer in
+    normalized space, sample-fit per-subspace RESIDUAL codebooks, and
+    encode the whole index in ONE Arrow pass to (id, cell, m ints) —
+    the persistable layout. Returns (codes_df, centers, codebooks)."""
     import numpy as np
 
     idx, model = _ivf_fit(index, n_centroids, seed, vec_col, fit_fraction,
@@ -768,13 +787,110 @@ def ivfpq_topk(index: DataFrame, queries: DataFrame, k: int = 10,
 
     codes = assigned.mapInPandas(
         enc, schema=f"{id_col} long, __cell int, pq_code array<int>")
+    return codes, centers, codebooks
 
-    # query-side, DISTRIBUTED: one Arrow pass turns each query into its
-    # n_probe (query, cell) rows carrying the flattened residual ADC
-    # table plus the per-cell centroid dot qc (the scalar part of the
-    # score). Probe ranking is L2 distance to the (normalized-space)
-    # centroids — the same metric the coarse assignment minimizes.
-    local_k = k * rescore_factor
+
+def ivfpq_build(
+    index: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    m: int = 8,
+    n_codes: int = 32,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_fraction: float | None = None,
+) -> None:
+    """Build the PERSISTED IVF-PQ layout — the billion-scale production
+    form of ivfpq_topk, paralleling ivf_build: codes are written
+    `partitionBy("__cell")` (m small ints per vector — the float
+    embedding column is NOT in the index), plus the tiny centroid table
+    and residual codebooks next to them. Probing (ivfpq_probe) then
+    statically prunes to the probed cell directories, so a query batch
+    physically reads ~n_probe/n_centroids of an already-25x-smaller
+    table. The original embedding table is only touched by the exact
+    re-rank of the final shortlist."""
+    codes, centers, codebooks = _ivfpq_fit_encode(
+        index, n_centroids, m, n_codes, seed, fit_fraction,
+        id_col, vec_col)
+    codes.write.mode("overwrite").partitionBy("__cell") \
+        .parquet(f"{path}/codes")
+    spark = index.sparkSession
+    spark.createDataFrame(
+        [(ci, [float(x) for x in c]) for ci, c in enumerate(centers)],
+        "__cell int, c_vec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    mm, kk, sub = codebooks.shape
+    spark.createDataFrame(
+        [(j, c, [float(x) for x in codebooks[j, c]])
+         for j in range(mm) for c in range(kk)],
+        "subspace int, code int, c_vec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def ivfpq_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 3,
+    rescore_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Query a persisted IVF-PQ layout (ivfpq_build): centroids and
+    codebooks load as tiny driver metadata, the query DataFrame becomes
+    distributed ADC rows, the probed-cell set (bounded by n_centroids —
+    metadata, not data) statically prunes the codes scan to the probed
+    cell directories, and scoring/shortlisting is the same JVM-only
+    bucketed join as ivfpq_topk. `index` (the original embedding table)
+    exact-re-ranks the shortlist; without it the ADC-ordered top-k is
+    returned with approximate scores (column `adc_score`)."""
+    import numpy as np
+
+    cent = spark.read.parquet(f"{path}/centroids").collect()
+    centers = np.zeros((len(cent), len(cent[0].c_vec)))
+    for r in cent:
+        centers[r["__cell"]] = r.c_vec
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = max(r.subspace for r in cb_rows) + 1
+    n_codes = max(r.code for r in cb_rows) + 1
+    sub = len(cb_rows[0].c_vec)
+    codebooks = np.zeros((m, n_codes, sub))
+    for r in cb_rows:
+        codebooks[r.subspace, r.code] = r.c_vec
+
+    qt = _ivfpq_query_tables(queries, centers, codebooks, n_probe,
+                             id_col, vec_col)
+    # the probed-cell list is bounded by n_centroids: tiny metadata that
+    # turns the codes read into a statically partition-pruned scan
+    cells = [int(r[0]) for r in qt.select("__cell").distinct().collect()]
+    codes = spark.read.parquet(f"{path}/codes") \
+        .filter(F.col("__cell").isin(cells))
+    shortlist = _ivfpq_shortlist(codes, qt, m, n_codes,
+                                 k * rescore_factor, id_col)
+    if index is None:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adc_score").desc(), F.col("item_id").asc())
+        return (shortlist.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "item_id", "adc_score", "rank"))
+    return _exact_rerank(shortlist.select("query_id", "item_id"),
+                         index, queries, k, id_col, vec_col)
+
+
+def _ivfpq_query_tables(queries: DataFrame, centers, codebooks,
+                        n_probe: int, id_col: str,
+                        vec_col: str) -> DataFrame:
+    """Query side of IVF-PQ, DISTRIBUTED: one Arrow pass turns each query
+    into its n_probe (query, cell) rows carrying the flattened residual
+    ADC table plus the per-cell centroid dot qc (the scalar part of the
+    score). Probe ranking is L2 distance to the (normalized-space)
+    centroids — the same metric the coarse assignment minimizes."""
+    import numpy as np
+
+    m, n_codes, sub = codebooks.shape
 
     def qtab(batches):
         import pandas as pd
@@ -804,15 +920,18 @@ def ivfpq_topk(index: DataFrame, queries: DataFrame, k: int = 10,
                 "qc": qc[rows, cells],
             })
 
-    qt = queries.select(id_col, vec_col).mapInPandas(
+    return queries.select(id_col, vec_col).mapInPandas(
         qtab,
         schema="query_id long, __cell int, adc array<double>, qc double")
 
-    # bucketed candidate join on the cell key: each code row meets only
-    # the queries probing its cell; unprobed cells drop out of the inner
-    # join (the partition-pruning analogue of ivf_probe's cell filter).
-    # ADC score = qc + sum_j adc[j*n_codes + code_j] as a pure JVM
-    # expression — zero Python in the scoring path.
+
+def _ivfpq_shortlist(codes: DataFrame, qt: DataFrame, m: int,
+                     n_codes: int, local_k: int, id_col: str) -> DataFrame:
+    """Bucketed candidate join on the cell key: each code row meets only
+    the queries probing its cell; unprobed cells drop out of the inner
+    join (the partition-pruning analogue of ivf_probe's cell filter).
+    ADC score = qc + sum_j adc[j*n_codes + code_j] as a pure JVM
+    expression — zero Python in the scoring path."""
     cand = codes.join(qt, "__cell") \
         .filter(F.col(id_col) != F.col("query_id"))
     s = F.col("qc")
@@ -824,7 +943,6 @@ def ivfpq_topk(index: DataFrame, queries: DataFrame, k: int = 10,
         s.alias("adc_score"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_score").desc(), F.col("item_id").asc())
-    shortlist = (scored.withColumn("__r", F.row_number().over(w))
-                 .filter(F.col("__r") <= local_k)
-                 .select("query_id", "item_id"))
-    return _exact_rerank(shortlist, index, queries, k, id_col, vec_col)
+    return (scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= local_k)
+            .select("query_id", "item_id", "adc_score"))
