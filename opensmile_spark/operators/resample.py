@@ -52,6 +52,11 @@ def resample(
     origin_epoch + k*period (for cross-key-aligned grids). Output: one row
     per (key, grid ts) with each value column filled per `policy`, plus
     `n_seen` = number of samples with ts <= the grid point.
+
+    Value columns may be numeric scalars OR array<numeric> (the
+    cSpecResample case: per-turn spectra landing on the grid) —
+    arrays interpolate element-wise (zip_with) under `linear` and are
+    picked whole under `hold`/`nearest`.
     """
     if policy not in _POLICIES:
         raise ValueError(f"policy must be one of {_POLICIES}, got {policy!r}")
@@ -64,13 +69,26 @@ def resample(
     ord_expr = (F.col(order_col).cast("long") if order_col is not None
                 and order_col in df.columns else F.lit(0).cast("long"))
 
+    from pyspark.sql.types import ArrayType
+
+    # array<numeric> value columns (the cSpecResample case — per-turn
+    # SPECTRA landing on the uniform grid) interpolate element-wise via
+    # zip_with; scalars stay plain column arithmetic
+    is_arr = {c: isinstance(df.schema[c].dataType, ArrayType)
+              for c in value_cols}
+
+    def _in(c):
+        col = F.col(c)
+        return (F.transform(col, lambda x: x.cast("double")) if is_arr[c]
+                else col.cast("double"))
+
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     data = df.select(
         F.col(by),
         us.alias("__t"),
         F.lit(0).alias("__is_grid"),
         ord_expr.alias("__ord"),
-        *[F.col(c).cast("double").alias(c) for c in value_cols],
+        *[_in(c).alias(c) for c in value_cols],
     )
 
     # per-key grid: a tiny (key, min, max) aggregate, then sequence+explode
@@ -90,7 +108,8 @@ def resample(
                              F.lit(p_us))).alias("__t"),
         F.lit(1).alias("__is_grid"),
         F.lit(None).cast("long").alias("__ord"),
-        *[F.lit(None).cast("double").alias(c) for c in value_cols],
+        *[F.lit(None).cast("array<double>" if is_arr[c] else "double")
+          .alias(c) for c in value_cols],
     )
 
     merged = data.unionByName(grid)
@@ -135,8 +154,13 @@ def resample(
                    .otherwise(nv))
         else:  # linear
             frac = (t - pt).cast("double") / (nt - pt).cast("double")
+            if is_arr[c]:
+                interp = F.zip_with(pv, nv,
+                                    lambda p, n: p + (n - p) * frac)
+            else:
+                interp = pv + (nv - pv) * frac
             val = (F.when(pv.isNull(), nv)
                    .when(nv.isNull() | (nt == pt), pv)
-                   .otherwise(pv + (nv - pv) * frac))
+                   .otherwise(interp))
         cols.append(val.alias(c))
     return out.select(*cols)

@@ -69,6 +69,27 @@ def test_null_values_interpolate_across(spark):
     assert [v for _, _, _, v in out] == [0.0, 5.0, 10.0]
 
 
+def test_array_column_spectra(spark):
+    """cSpecResample case: array<double> value columns interpolate
+    element-wise under linear and are picked whole under hold."""
+    from opensmile_spark.operators import resample
+
+    rows = [("a", 0, 0.0, [0.0, 100.0]), ("a", 1, 10.0, [10.0, 0.0])]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, sec double, spec array<double>"
+    ).withColumn("ts", F.timestamp_micros(
+        (F.col("sec") * 1e6).cast("long"))).drop("sec")
+
+    lin = resample(df, 5.0, policy="linear", value_cols=["spec"]) \
+        .orderBy("ts").collect()
+    assert [r.spec for r in lin] == [[0.0, 100.0], [5.0, 50.0],
+                                     [10.0, 0.0]]
+    hold = resample(df, 5.0, policy="hold", value_cols=["spec"]) \
+        .orderBy("ts").collect()
+    assert [r.spec for r in hold] == [[0.0, 100.0], [0.0, 100.0],
+                                      [10.0, 0.0]]
+
+
 def test_rejects_bad_args(spark):
     from opensmile_spark.operators import resample
 

@@ -393,6 +393,26 @@ def test_ivfpq_topk_recall(spark, emb):
     assert recall(probed) >= 0.6, recall(probed)
 
 
+def test_pq_topk_blocking_invariance(spark, emb):
+    """The block nested-loop decomposition must not change results: any
+    (query_blocks, index_chunks) choice yields the same top-k, because
+    each group emits its per-query top k*rf and the global shortlist is
+    a superset-union reduction of those."""
+    from opensmile_spark.similarity import pq_fit, pq_topk
+
+    cb = pq_fit(emb, m=8, n_codes=16)
+    queries = emb.filter(F.col("vec_id") < 8)
+    a = pq_topk(emb, queries, k=5, codebooks=cb,
+                query_blocks=1, index_chunks=1).toPandas()
+    b = pq_topk(emb, queries, k=5, codebooks=cb,
+                query_blocks=5, index_chunks=7).toPandas()
+    key = ["query_id", "rank"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.item_id.tolist() == b.item_id.tolist()
+    assert np.allclose(a.cosine, b.cosine)
+
+
 def test_ivfpq_build_probe_persisted_layout(spark, emb, tmp_path):
     """The persisted IVF-PQ layout (ivfpq_build/ivfpq_probe) must (a)
     store only m ints + a cell id per vector with codes partitioned by
