@@ -25,8 +25,9 @@ the wiring/fusion the component manager did by hand.
 Stage types: lld, sma, delta, preemphasis, sessionize, mvn, mvn_transform
 (needs cfg["stats"] DataFrame — the frozen pre-trained stats path),
 fullinput_mean, valbased_selector, data_selector, viterbi, functionals,
-functionals_sql, backfill (needs cfg["anchors"] DataFrame),
-weighted_sma, contour_direction, segment_by_meta, select, filter.
+functionals_sql, backfill (needs cfg["anchors"] DataFrame), resample
+(uniform time grid — cSmileResample), weighted_sma, contour_direction,
+segment_by_meta, select, filter.
 
 Training-data corpus stages (documents-shaped frames): token_count,
 quality_score, c4_signals, redact, hash_sample, stratified_sample,
@@ -95,6 +96,10 @@ def run_config(df: DataFrame, config: dict) -> DataFrame:
         elif kind == "backfill":
             out = backfill_functionals(
                 out, s.pop("anchors"), s.pop("value_cols"), **s)
+        elif kind == "resample":
+            from opensmile_spark.operators import resample
+
+            out = resample(out, s.pop("period_seconds"), **s)
         elif kind == "select":
             out = out.select(*s["cols"])
         elif kind == "filter":

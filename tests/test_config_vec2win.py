@@ -34,6 +34,27 @@ def test_run_config_matches_manual_pipeline(spark):
     assert got.equals(manual)
 
 
+def test_run_config_resample_stage(spark):
+    from opensmile_spark.config import run_config
+    from opensmile_spark.lld import compute_lld
+    from opensmile_spark.operators import resample
+    from opensmile_spark.transcripts import transcripts_from_events
+
+    t = transcripts_from_events(spark, "/root/testdata/sf0.001")
+    cfg = {"stages": [
+        {"type": "lld"},
+        {"type": "resample", "period_seconds": 86400.0,
+         "policy": "linear", "value_cols": ["char_len"]},
+    ]}
+    got = run_config(t, cfg).toPandas() \
+        .sort_values(["conv_id", "ts"]).reset_index(drop=True)
+    manual = resample(compute_lld(t), 86400.0, policy="linear",
+                      value_cols=["char_len"]).toPandas() \
+        .sort_values(["conv_id", "ts"]).reset_index(drop=True)
+    assert got[["conv_id", "ts", "n_seen", "char_len"]].equals(
+        manual[["conv_id", "ts", "n_seen", "char_len"]])
+
+
 def test_run_config_unknown_stage(spark):
     from opensmile_spark.config import run_config
 
