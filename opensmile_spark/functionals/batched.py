@@ -5,8 +5,11 @@ module computes the SAME formulas for the array-expressible families across
 ALL groups of a batch at once with numpy reduceat — removing the per-group
 Python dispatch that dominates when groups are small (the common case:
 tens of turns per session). Families with sequential automatons (peaks2,
-segments, onset) and per-group transforms (samples, dct, lpc, modulation)
-stay on the per-group path.
+segments, onset) and genuinely per-group transforms (lpc, modulation)
+stay on the per-group path; samples (a gather) and dct (per-element basis
++ reduceat) joined the batched set in round 4 — the wide-preset
+measurement showed the per-group dispatch of those two dominating at
+ComParE-width output.
 
 Numerical discipline: central moments are computed exactly as kernels.py
 does (sum((x-mean)^k)), NOT via raw-moment expansion (which catastrophically
@@ -20,7 +23,7 @@ import numpy as np
 
 BATCHED_FAMILIES = {
     "means", "moments", "extremes", "percentiles", "regression", "crossings",
-    "times",
+    "times", "samples", "dct", "onset",
 }
 
 # per-family options the batched path implements with kernel-equal results;
@@ -35,6 +38,12 @@ BATCHED_SUPPORTED_OPTIONS = {
     "regression": set(),
     "crossings": set(),
     "times": {"timeNorm"},
+    "samples": {"positions"},
+    "dct": {"firstCoeff", "lastCoeff"},
+    # onset batches ONLY under the default equal thresholds (the automaton
+    # degenerates to edge detection); any threshold/useAbsVal option falls
+    # back to the per-group reference path
+    "onset": {"timeNorm", "T"},
 }
 
 _BIG = np.iinfo(np.int64).max
@@ -784,5 +793,70 @@ def compute_batched(x: np.ndarray, starts: np.ndarray, ends: np.ndarray,
         out["leftctime"] = np.where(Norm2 != 0, nLC / safe2, 0.0)
         out["rightctime"] = np.where(Norm2 != 0, nRC / safe2, 0.0)
         out["duration"] = N
+
+    if "samples" in families:
+        # f_samples (functionalSamples.cpp:107): si = (int)((N-1)*p) — the
+        # C cast TRUNCATES; (N-1)*p >= 0 so int64 astype matches exactly.
+        # Pure per-group gather -> one fancy-index across all groups.
+        positions = options.get("samples", {}).get(
+            "positions", (0.0, 0.25, 0.5, 0.75, 1.0))
+        Ni = (ends - starts).astype(np.int64)
+        for p in positions:
+            idx = ((Ni - 1).astype(np.float64) * p).astype(np.int64)
+            np.clip(idx, 0, Ni - 1, out=idx)
+            out[f"samplepos{p:g}"] = x[starts + idx]
+
+    if "onset" in families:
+        # f_onset with the DEFAULT equal thresholds (0.0/0.0, no abs):
+        # with thresholdOnset == thresholdOffset the automaton state after
+        # element i is exactly (x[i] > t), so onsets are the rising edges
+        # of the boolean series and offsets the falling ones — pure
+        # vectorized edge detection. Any explicit threshold/useAbsVal
+        # option routes the family back to the per-group reference path
+        # (BATCHED_SUPPORTED_OPTIONS).
+        b = x > 0.0
+        bm1 = np.empty_like(b)
+        bm1[1:] = b[:-1]
+        bm1[0] = False
+        not_first = ii >= 1.0
+        up = not_first & b & ~bm1
+        down = not_first & ~b & bm1
+        idx = np.arange(x.size, dtype=np.int64)
+        n_on = _seg_sum(up.astype(np.float64), starts)
+        n_off = _seg_sum(down.astype(np.float64), starts)
+        first_up = np.minimum.reduceat(
+            np.where(up, idx, _BIG), starts) - starts
+        last_down = np.maximum.reduceat(
+            np.where(down, idx, -1), starts) - starts
+        onset_pos = np.where(n_on > 0, first_up, 0).astype(np.float64)
+        offset_pos = np.where(n_off > 0, last_down,
+                              (ends - starts) - 1).astype(np.float64)
+        oopts = options.get("onset", {})
+        tn = oopts.get("timeNorm", "segment")
+        T = oopts.get("T", 1.0)
+        if tn == "segment":
+            op, fp = onset_pos / N, offset_pos / N
+        elif tn == "second":
+            op, fp = onset_pos * T, offset_pos * T
+        else:
+            op, fp = onset_pos, offset_pos
+        out["onsetPos"] = op
+        out["offsetPos"] = fp
+        out["numOnsets"] = n_on
+        out["numOffsets"] = n_off
+        out["onsetRate"] = n_on / (N * T)
+
+    if "dct" in families:
+        # f_dct (functionalDCT.cpp:38-40): c_k = sqrt(2/N) *
+        # sum_n x[n] cos(pi*k/N*(n+0.5)) — per-element basis with the
+        # group-local index ii and per-group N, one reduceat per k.
+        dopts = options.get("dct", {})
+        first_c = dopts.get("firstCoeff", 1)
+        last_c = dopts.get("lastCoeff", 6)
+        N_rep = np.repeat(N, (ends - starts))
+        factor = np.sqrt(2.0 / N)
+        for k in range(first_c, last_c + 1):
+            basis = np.cos(np.pi * k / N_rep * (ii + 0.5))
+            out[f"dct{k}"] = factor * _seg_sum(x * basis, starts)
 
     return out
