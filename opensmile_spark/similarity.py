@@ -68,6 +68,81 @@ def cosine_topk(
     )
 
 
+def knn_join(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    query_blocks: int = 8,
+    index_chunks: int | None = None,
+) -> DataFrame:
+    """EXACT bulk k-nearest-neighbors join by cosine — the large-query-set
+    complement of `cosine_topk` (whose broadcast contract wants a small
+    query side) and the exact sibling of the PQ block join: queries hash
+    into `query_blocks` blocks, index rows into `index_chunks` chunks,
+    and a cogrouped Arrow kernel scores each (chunk x block) pair with
+    ONE normalized matmul, emitting only per-query top-k per group. A
+    global window then reduces the bounded candidate stream. O(|Q| x |X|)
+    multiply-adds are inherent to exact kNN — this spreads them across
+    the cluster at BLAS speed with no driver materialization and no
+    full-score shuffle (emission is |Q| x chunks x k rows). Use the
+    ANN paths (lsh/ivf/pq) when approximate recall is acceptable."""
+    import numpy as np
+
+    query_id_col = query_id_col or id_col
+    sc = index.sparkSession.sparkContext
+    n_chunks = index_chunks or max(4, sc.defaultParallelism)
+    xi = (index.select(F.col(id_col).alias("__iid"),
+                       F.col(vec_col).alias("__ivec"))
+          .withColumn("__blk", F.explode(F.sequence(
+              F.lit(0), F.lit(query_blocks - 1))))
+          .withColumn("__chunk", F.pmod(
+              F.xxhash64("__iid"), F.lit(n_chunks)).cast("int")))
+    qi = (queries.select(F.col(query_id_col).alias("__qid"),
+                         F.col(vec_col).alias("__qvec"))
+          .withColumn("__blk", F.pmod(
+              F.xxhash64("__qid"), F.lit(query_blocks)).cast("int"))
+          .withColumn("__chunk", F.explode(F.sequence(
+              F.lit(0), F.lit(n_chunks - 1)))))
+
+    def score(key, idf, qdf):
+        import pandas as pd
+
+        cols = ["query_id", "item_id", "cosine"]
+        if not len(idf) or not len(qdf):
+            return pd.DataFrame(columns=cols)
+        X = _normalize_rows(
+            np.stack(idf["__ivec"].to_numpy()).astype(np.float64))
+        Q = _normalize_rows(
+            np.stack(qdf["__qvec"].to_numpy()).astype(np.float64))
+        S = Q @ X.T                                          # (nq, n)
+        items = idf["__iid"].to_numpy()
+        qids = qdf["__qid"].to_numpy()
+        # self-match exclusion before the cut so k survivors remain
+        S = np.where(items[None, :] == qids[:, None], -np.inf, S)
+        lk = min(k, S.shape[1])
+        top = np.argsort(-S, axis=1, kind="stable")[:, :lk]
+        out = pd.DataFrame({
+            "query_id": np.repeat(qids, lk),
+            "item_id": items[top].reshape(-1),
+            "cosine": np.take_along_axis(S, top, axis=1).reshape(-1),
+        })
+        return out[np.isfinite(out.cosine)]
+
+    scored = (xi.groupBy("__blk", "__chunk")
+              .cogroup(qi.groupBy("__blk", "__chunk"))
+              .applyInPandas(
+                  score,
+                  schema="query_id long, item_id long, cosine double"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("item_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "item_id", "cosine", "rank"))
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-gaussian hyperplanes from md5 counters
     (Box-Muller over md5-derived uniforms — stdlib only, cluster-stable)."""

@@ -393,6 +393,29 @@ def test_ivfpq_topk_recall(spark, emb):
     assert recall(probed) >= 0.6, recall(probed)
 
 
+def test_knn_join_matches_cosine_topk(spark, emb):
+    """The exact bulk kNN join must agree with the broadcast cosine_topk
+    path (same items, allclose scores — both are exact cosine), and be
+    invariant to the block decomposition."""
+    from opensmile_spark.similarity import cosine_topk, knn_join
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    want = cosine_topk(emb, queries, k=10).toPandas()
+    got = knn_join(emb, queries, k=10).toPandas()
+    for qid, grp in want.groupby("query_id"):
+        g = got[got.query_id == qid].sort_values("rank")
+        assert g.item_id.tolist() == grp.sort_values("rank").item_id.tolist()
+        assert np.allclose(g.cosine.to_numpy(),
+                           grp.sort_values("rank").cosine.to_numpy(),
+                           atol=1e-9)
+    alt = knn_join(emb, queries, k=10, query_blocks=3,
+                   index_chunks=5).toPandas()
+    key = ["query_id", "rank"]
+    a = got.sort_values(key).reset_index(drop=True)
+    b = alt.sort_values(key).reset_index(drop=True)
+    assert a.item_id.tolist() == b.item_id.tolist()
+
+
 def test_pq_topk_blocking_invariance(spark, emb):
     """The block nested-loop decomposition must not change results: any
     (query_blocks, index_chunks) choice yields the same top-k, because
