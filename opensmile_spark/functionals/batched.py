@@ -23,7 +23,7 @@ import numpy as np
 
 BATCHED_FAMILIES = {
     "means", "moments", "extremes", "percentiles", "regression", "crossings",
-    "times", "samples", "dct", "onset",
+    "times", "samples", "dct", "onset", "segments",
 }
 
 # per-family options the batched path implements with kernel-equal results;
@@ -44,6 +44,11 @@ BATCHED_SUPPORTED_OPTIONS = {
     # degenerates to edge detection); any threshold/useAbsVal option falls
     # back to the per-group reference path
     "onset": {"timeNorm", "T"},
+    # segments batches ONLY under the default nonX/X=0/segMinLng=3/
+    # pauseMinLng=2/maxNumSeg=20 config (the automaton reduces to
+    # run-length algebra there); any algorithm/threshold/length option
+    # falls back to the reference automaton
+    "segments": {"timeNorm", "T"},
 }
 
 _BIG = np.iinfo(np.int64).max
@@ -805,6 +810,98 @@ def compute_batched(x: np.ndarray, starts: np.ndarray, ends: np.ndarray,
             idx = ((Ni - 1).astype(np.float64) * p).astype(np.int64)
             np.clip(idx, 0, Ni - 1, out=idx)
             out[f"samplepos{p:g}"] = x[starts + idx]
+
+    if "segments" in families:
+        # f_segments under the DEFAULT config (nonX, X=0, segMinLng=3,
+        # pauseMinLng=2, maxNumSeg=20; any explicit algorithm/threshold
+        # option falls back to the reference automaton). The state machine
+        # reduces exactly to run-length algebra: consecutive non-match
+        # runs of length >= pauseMinLng split a group into CLUSTERS
+        # (shorter gaps never reset the match counter — state 1/2 only
+        # advance segEnd); a cluster emits one segment iff its cumulative
+        # match count reaches segMinLng, with the reference's length
+        # quirk length = last_match_pos - first_match_pos (the close
+        # formula i - segEnd - segStartIndex, both at gap-close and at
+        # EOF); only the first maxNumSeg emitted segments per group are
+        # recorded (add_segment's cap).
+        segMinLng, pauseMinLng, maxNumSeg = 3, 2, 20
+        m = x != 0.0
+        n_el = x.size
+        n_groups_i = starts.size
+        grp_rep = np.repeat(np.arange(n_groups_i, dtype=np.int64),
+                            (ends - starts))
+        new_run = np.ones(n_el, dtype=bool)
+        if n_el > 1:
+            new_run[1:] = (m[1:] != m[:-1]) | (grp_rep[1:] != grp_rep[:-1])
+        r_start = np.flatnonzero(new_run)
+        r_len = np.diff(np.append(r_start, n_el))
+        r_match = m[r_start]
+        r_grp = grp_rep[r_start]
+        n_runs = r_start.size
+        breaking = (~r_match) & (r_len >= pauseMinLng)
+        new_cluster = np.ones(n_runs, dtype=bool)
+        if n_runs > 1:
+            new_cluster[1:] = (r_grp[1:] != r_grp[:-1]) | breaking[:-1]
+        c_start = np.flatnonzero(new_cluster)
+        n_clusters = c_start.size
+        c_matches = np.add.reduceat(np.where(r_match, r_len, 0), c_start)
+        first_m = np.minimum.reduceat(
+            np.where(r_match, r_start, _BIG), c_start)
+        last_m = np.maximum.reduceat(
+            np.where(r_match, r_start + r_len - 1, -1), c_start)
+        c_grp = r_grp[c_start]
+        emitted = c_matches >= segMinLng
+        seg_len_c = np.where(emitted, last_m - first_m, 0).astype(np.float64)
+        # first maxNumSeg emitted clusters per group (clusters are in
+        # group-contiguous order, so a per-group running count is the
+        # global cumsum minus its value at the group's first cluster)
+        new_grp_c = np.ones(n_clusters, dtype=bool)
+        if n_clusters > 1:
+            new_grp_c[1:] = c_grp[1:] != c_grp[:-1]
+        gfirst = np.flatnonzero(new_grp_c)
+        cum = np.cumsum(emitted)
+        base = np.where(gfirst > 0, cum[gfirst - 1], 0)
+        g_sizes = np.diff(np.append(gfirst, n_clusters))
+        rank = cum - np.repeat(base, g_sizes)
+        kept = emitted & (rank <= maxNumSeg)
+
+        nSeg = np.add.reduceat(kept.astype(np.float64), gfirst)
+        sumLen = np.add.reduceat(np.where(kept, seg_len_c, 0.0), gfirst)
+        maxLen = np.maximum.reduceat(
+            np.where(kept, seg_len_c, -np.inf), gfirst)
+        minLen = np.minimum.reduceat(
+            np.where(kept, seg_len_c, np.inf), gfirst)
+        maxLen = np.where(nSeg > 0, maxLen, 0.0)
+        minLen = np.where(nSeg > 0, minLen, 0.0)
+        safe_n = np.where(nSeg > 0, nSeg, 1.0)
+        meanL = np.where(nSeg > 1, sumLen / safe_n, sumLen)
+        mean_rep_c = np.repeat(meanL, g_sizes)
+        dev = np.add.reduceat(
+            np.where(kept, (seg_len_c - mean_rep_c) ** 2, 0.0), gfirst)
+        lenDev = np.where(nSeg > 1, np.sqrt(dev / safe_n), 0.0)
+
+        sopts = options.get("segments", {})
+        tn = sopts.get("timeNorm", "segment")
+        T = sopts.get("T", 1.0)
+        if tn == "second":
+            out["numSegments"] = nSeg / (N * T if T != 0.0 else N)
+            Norm = T if T != 0.0 else 1.0
+            out["meanSegLen"] = meanL * Norm
+            out["maxSegLen"] = maxLen * Norm
+            out["minSegLen"] = minLen * Norm
+            out["segLenStddev"] = lenDev * Norm
+        elif tn == "segment":
+            out["numSegments"] = nSeg / maxNumSeg
+            out["meanSegLen"] = meanL / N
+            out["maxSegLen"] = maxLen / N
+            out["minSegLen"] = minLen / N
+            out["segLenStddev"] = lenDev / N
+        else:
+            out["numSegments"] = nSeg
+            out["meanSegLen"] = meanL
+            out["maxSegLen"] = maxLen
+            out["minSegLen"] = minLen
+            out["segLenStddev"] = lenDev
 
     if "onset" in families:
         # f_onset with the DEFAULT equal thresholds (0.0/0.0, no abs):

@@ -307,3 +307,41 @@ def test_expanding_moments_regression_equals_pergroup(case):
                 if k.endswith("errQ") else 1e-9 * scale
             assert np.isclose(got, v, rtol=1e-8, atol=atol), \
                 (case, h, k, got, v)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_segments_onset_automaton_reduction(seed):
+    """Adversarial pin for the round-4 run-length reductions of the
+    segments and onset automatons: sparse/zero-heavy series whose gap and
+    run lengths cluster AROUND the thresholds (pauseMinLng=2, segMinLng=3),
+    where any off-by-one in the cluster algebra flips a segment."""
+    rng = np.random.RandomState(seed)
+    chunks, sizes = [], []
+    for _ in range(60):
+        n = rng.randint(1, 40)
+        # alternating runs of matches/zeros with lengths 1..4 (straddling
+        # both thresholds), occasionally negative values (still matches)
+        parts, is_match = [], rng.rand() < 0.5
+        while sum(len(p) for p in parts) < n:
+            ln = rng.randint(1, 5)
+            parts.append((rng.randn(ln) + 2.0) * (1 if is_match else 0.0)
+                         if is_match else np.zeros(ln))
+            is_match = not is_match
+        arr = np.concatenate(parts)[:n]
+        # sprinkle sign flips so onset rising/falling edges differ from
+        # segment match edges
+        flip = rng.rand(n) < 0.2
+        arr = np.where(flip, -arr, arr)
+        chunks.append(arr)
+        sizes.append(n)
+    x = np.concatenate(chunks)
+    ends = np.cumsum(sizes).astype(np.int64)
+    starts = ends - np.array(sizes, dtype=np.int64)
+    bat = compute_batched(x, starts, ends, ["segments", "onset"])
+    for gi, (s, e) in enumerate(zip(starts, ends)):
+        want = compute_all(x[s:e], ["segments", "onset"])
+        for k, v in want.items():
+            got = float(bat[k][gi])
+            assert np.isclose(got, v, rtol=1e-12, atol=1e-12), (
+                f"group {gi} (n={e - s}) {k}: batched={got} pergroup={v} "
+                f"series={x[s:e].tolist()}")
