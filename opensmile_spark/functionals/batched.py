@@ -23,7 +23,7 @@ import numpy as np
 
 BATCHED_FAMILIES = {
     "means", "moments", "extremes", "percentiles", "regression", "crossings",
-    "times", "samples", "dct", "onset", "segments",
+    "times", "samples", "dct", "onset", "segments", "peaks2",
 }
 
 # per-family options the batched path implements with kernel-equal results;
@@ -49,6 +49,10 @@ BATCHED_SUPPORTED_OPTIONS = {
     # run-length algebra there); any algorithm/threshold/length option
     # falls back to the reference automaton
     "segments": {"timeNorm", "T"},
+    # peaks2 batches under EVERY option: the lane-parallel transcription
+    # (_peaks2_batched) implements the full automaton, not a reduction
+    "peaks2": {"timeNorm", "T", "relThresh", "dynRelThresh",
+               "absThreshIn", "doRatioLimit"},
 }
 
 _BIG = np.iinfo(np.int64).max
@@ -492,6 +496,465 @@ def compute_expanding(x: np.ndarray, his: np.ndarray,
         out["centroid"] = fin(centroid)
 
     return out
+
+
+def _peaks2_batched(x, starts, ends, gmin, gmax, gmean, opts):
+    """Cross-group vectorized f_peaks2 (functionalPeaks2.cpp:314-919) —
+    the LAST per-group family moved to the batched path. The 3-pass
+    extremum automaton and 4 stats passes are transcribed lane-parallel:
+    each group's scalar state (lastVal/lastMin/lastMax/minFlag/backref
+    indices) becomes an (n_groups,) array and the sequential loop runs
+    over the PADDED extremum index — step j touches extremum j of every
+    group at once, so per-group operation order (and therefore float
+    accumulation order) is IDENTICAL to kernels.f_peaks2. Cost per batch
+    is O(M_max) numpy steps over all groups instead of O(sum M_g) Python
+    steps; equality is pinned by tests/test_batched_kernels.py."""
+    n_groups = starts.size
+    sizes = ends - starts
+    Nf = sizes.astype(np.float64)
+    timeNorm = opts.get("timeNorm", "frames")
+    T = opts.get("T", 1.0)
+    relThresh = opts.get("relThresh", 0.1)
+    dynRelThresh = opts.get("dynRelThresh", False)
+    absThreshIn = opts.get("absThreshIn", None)
+    doRatioLimit = opts.get("doRatioLimit", False)
+
+    rng_ = gmax - gmin
+    absThresh = (np.full(n_groups, float(absThreshIn))
+                 if absThreshIn is not None else relThresh * rng_)
+
+    if dynRelThresh:
+        def below(diff, base):
+            safe = np.where(base == 0.0, 1.0, base)
+            return np.where(base == 0.0, diff != 0.0,
+                            np.abs(diff / safe) < relThresh)
+    else:
+        def below(diff, base):
+            return diff < absThresh
+
+    x0 = x[starts].astype(np.float64)
+    xl = x[ends - 1].astype(np.float64)
+
+    # --- step 1: local extrema at group-local i in [2, N-3] ---
+    n_el = x.size
+    rep_starts = np.repeat(starts, sizes)
+    iig = np.arange(n_el, dtype=np.int64) - rep_starts
+    size_rep = np.repeat(sizes, sizes)
+    interior = (iig >= 2) & (iig <= size_rep - 3)
+    xm1 = np.empty_like(x)
+    xp1 = np.empty_like(x)
+    xm1[1:] = x[:-1]
+    xm1[0] = np.inf
+    xp1[:-1] = x[1:]
+    xp1[-1] = np.inf
+    is_max_el = interior & (x > xm1) & (x > xp1)
+    is_min_el = interior & (x < xm1) & (x < xp1)
+    e_idx = np.flatnonzero(is_max_el | is_min_el)
+    grp_rep = np.repeat(np.arange(n_groups, dtype=np.int64), sizes)
+    e_grp = grp_rep[e_idx]
+    Mg = np.bincount(e_grp, minlength=n_groups)
+    M_max = int(Mg.max()) if e_idx.size else 0
+    W = max(M_max, 1)
+    # lattice is (W, n_groups) so step j reads CONTIGUOUS rows (the
+    # (n_groups, W) layout makes every per-step slice a strided gather —
+    # measured ~10x slower at 10k groups)
+    Ev = np.zeros((W, n_groups))
+    Et = np.zeros((W, n_groups), dtype=bool)
+    Ep = np.zeros((W, n_groups))
+    Va = np.zeros((W, n_groups), dtype=bool)
+    if e_idx.size:
+        first = np.concatenate(([0], np.cumsum(Mg)[:-1]))
+        jr = np.arange(e_idx.size) - first[e_grp]
+        Ev[jr, e_grp] = x[e_idx]
+        Et[jr, e_grp] = is_max_el[e_idx]
+        Ep[jr, e_grp] = iig[e_idx].astype(np.float64)
+        Va[jr, e_grp] = True
+    alive = Va.copy()
+
+    # --- pass 2a (no alive guard: the scalar loop visits every extremum) ---
+    lastVal = x0.copy()
+    lastMin = x0.copy()
+    lastMax = x0.copy()
+    minFlag = np.zeros(n_groups, dtype=bool)
+    lmi = np.full(n_groups, -1, dtype=np.int64)
+    for j in range(M_max):
+        act = Va[j]
+        y = Ev[j]
+        bel1 = below(np.abs(y - lastVal), np.minimum(y, lastVal))
+        mx = act & Et[j]
+        mn = act & ~Et[j]
+        mb = mx & bel1
+        bel2 = below(y - lastMin, lastMin)
+        alive[j, mb & bel2] = False
+        grow = mb & ~bel2
+        big = grow & (y > lastMax * 1.05)
+        rows = np.flatnonzero(big & (lmi >= 0))
+        alive[lmi[rows], rows] = False
+        take2 = grow & ~big & minFlag
+        alive[j, grow & ~big & ~minFlag] = False
+        mnb = mx & ~bel1                      # not-below max branch
+        upd = big | take2 | mnb
+        lastMax = np.where(upd, y, lastMax)
+        lmi = np.where(upd, j, lmi)
+        # minFlag=0 only on the not-bel2 and not-bel1 max branches — a max
+        # killed via bel2 leaves minFlag UNCHANGED (kernels.py:1119 sits
+        # inside the else:, not at the below(d,base) level)
+        minFlag = minFlag & ~(grow | mnb)
+        mnnb = mn & ~bel1                     # min branch, not below
+        minFlag = minFlag | mnnb
+        lastMin = np.where(mnnb, y, lastMin)
+        lastVal = np.where(act, y, lastVal)
+
+    # --- pass 2b ---
+    lastMax = x0.copy()
+    for j in range(M_max):
+        act = Va[j] & alive[j, :]
+        y = Ev[j]
+        mn = act & ~Et[j]
+        alive[j, mn & below(lastMax - y, y)] = False
+        mx = act & Et[j]
+        lastMax = np.where(mx, y, lastMax)
+
+    # --- pass 3: alternation ---
+    lastMax = x0.copy()
+    lastMin = x0.copy()
+    minFlag = np.zeros(n_groups, dtype=bool)
+    init = np.ones(n_groups, dtype=bool)
+    lni = np.full(n_groups, -1, dtype=np.int64)
+    lmi = np.full(n_groups, -1, dtype=np.int64)
+    for j in range(M_max):
+        act = Va[j] & alive[j, :]
+        y = Ev[j]
+        mn = act & ~Et[j]
+        mx = act & Et[j]
+        take = mn & (~minFlag | init)
+        other = mn & ~(~minFlag | init)
+        alive[j, other & (y >= lastMin)] = False
+        better = other & (y < lastMin)
+        rows = np.flatnonzero(better & (lni != j) & (lni >= 0))
+        alive[lni[rows], rows] = False
+        updn = take | better
+        lastMin = np.where(updn, y, lastMin)
+        lni = np.where(updn, j, lni)
+        minFlag = minFlag | take
+        init = init & ~take
+        takex = mx & (minFlag | init)
+        otherx = mx & ~(minFlag | init)
+        alive[j, otherx & (y <= lastMax)] = False
+        betterx = otherx & (y > lastMax)
+        rows = np.flatnonzero(betterx & (lmi != j) & (lmi >= 0))
+        alive[lmi[rows], rows] = False
+        updx = takex | betterx
+        lastMax = np.where(updx, y, lastMax)
+        lmi = np.where(updx, j, lmi)
+        minFlag = minFlag & ~takex
+        init = init & ~takex
+
+    fin = Va & alive
+
+    # --- stats pass 1 ---
+    z = np.zeros
+    peakMax, peakMin = z(n_groups), z(n_groups)
+    peakDist, peakDiff = z(n_groups), z(n_groups)
+    nPeakDist, peakMean, nPeaks = z(n_groups), z(n_groups), z(n_groups)
+    minMax, minMin = z(n_groups), z(n_groups)
+    minDist, minDiff = z(n_groups), z(n_groups)
+    nMinDist, minMean, nMins = z(n_groups), z(n_groups), z(n_groups)
+    lmx, lmy = z(n_groups), z(n_groups)
+    lnx, lny = z(n_groups), z(n_groups)
+    has_lm = np.zeros(n_groups, dtype=bool)
+    has_ln = np.zeros(n_groups, dtype=bool)
+    for j in range(M_max):
+        act = fin[j]
+        y = Ev[j]
+        pos = Ep[j]
+        mn = act & ~Et[j]
+        firstn = mn & ~has_ln
+        minMin = np.where(firstn, y, minMin)
+        minMax = np.where(firstn, y, minMax)
+        restn = mn & has_ln
+        nMinDist += restn
+        minDist += np.where(restn, pos - lnx, 0.0)
+        minDiff += np.where(restn, np.abs(y - lny), 0.0)
+        minMin = np.where(restn & (y < minMin), y, minMin)
+        minMax = np.where(restn & (y > minMax), y, minMax)
+        lnx = np.where(mn, pos, lnx)
+        lny = np.where(mn, y, lny)
+        minMean += np.where(mn, y, 0.0)
+        nMins += mn
+        has_ln |= mn
+        mx = act & Et[j]
+        firstm = mx & ~has_lm
+        peakMin = np.where(firstm, y, peakMin)
+        peakMax = np.where(firstm, y, peakMax)
+        restm = mx & has_lm
+        nPeakDist += restm
+        peakDist += np.where(restm, pos - lmx, 0.0)
+        peakDiff += np.where(restm, np.abs(y - lmy), 0.0)
+        peakMin = np.where(restm & (y < peakMin), y, peakMin)
+        peakMax = np.where(restm & (y > peakMax), y, peakMax)
+        lmx = np.where(mx, pos, lmx)
+        lmy = np.where(mx, y, lmy)
+        peakMean += np.where(mx, y, 0.0)
+        nPeaks += mx
+        has_lm |= mx
+
+    pm_div = nPeaks > 1
+    peakMean = np.where(pm_div,
+                        peakMean / np.where(pm_div, nPeaks, 1.0), peakMean)
+    pd_div = nPeakDist > 1          # implies nPeaks > 1 (reference nesting)
+    peakDist = np.where(pd_div,
+                        peakDist / np.where(pd_div, nPeakDist, 1.0), peakDist)
+    peakDiff = np.where(pd_div,
+                        peakDiff / np.where(pd_div, nPeakDist, 1.0), peakDiff)
+    mm_div = nMins > 0
+    minMean = np.where(mm_div,
+                       minMean / np.where(mm_div, nMins, 1.0), minMean)
+    md_div = nMinDist > 1
+    minDist = np.where(md_div,
+                       minDist / np.where(md_div, nMinDist, 1.0), minDist)
+    minDiff = np.where(md_div,
+                       minDiff / np.where(md_div, nMinDist, 1.0), minDiff)
+
+    # --- stats pass 2 (reference quirk kept: max branch refs last MIN) ---
+    peakSDist, peakSDiff = z(n_groups), z(n_groups)
+    minSDist, minSDiff = z(n_groups), z(n_groups)
+    lmx2, lmy2 = z(n_groups), z(n_groups)
+    lnx2, lny2 = z(n_groups), z(n_groups)
+    has_lm2 = np.zeros(n_groups, dtype=bool)
+    has_ln2 = np.zeros(n_groups, dtype=bool)
+    for j in range(M_max):
+        act = fin[j]
+        y = Ev[j]
+        pos = Ep[j]
+        mn = act & ~Et[j]
+        c = mn & has_ln2
+        dd = pos - lnx2 - minDist
+        minSDist += np.where(c, dd * dd, 0.0)
+        ddf = np.abs(y - lny2) - minDiff
+        minSDiff += np.where(c, ddf * ddf, 0.0)
+        mx = act & Et[j]
+        cm = mx & has_lm2
+        rx = np.where(has_ln2, lnx2, lmx2)
+        ry = np.where(has_ln2, lny2, lmy2)
+        dd = pos - rx - peakDist
+        peakSDist += np.where(cm, dd * dd, 0.0)
+        ddf = np.abs(y - ry) - peakDiff
+        peakSDiff += np.where(cm, ddf * ddf, 0.0)
+        lnx2 = np.where(mn, pos, lnx2)
+        lny2 = np.where(mn, y, lny2)
+        has_ln2 |= mn
+        lmx2 = np.where(mx, pos, lmx2)
+        lmy2 = np.where(mx, y, lmy2)
+        has_lm2 |= mx
+
+    peakSDist = np.where(pd_div,
+                         peakSDist / np.where(pd_div, nPeakDist, 1.0),
+                         peakSDist)
+    peakSDiff = np.where(pd_div,
+                         peakSDiff / np.where(pd_div, nPeakDist, 1.0),
+                         peakSDiff)
+    peakSDist = np.where(peakSDist > 0,
+                         np.sqrt(np.where(peakSDist > 0, peakSDist, 1.0)),
+                         0.0)
+    peakSDiff = np.where(peakSDiff > 0,
+                         np.sqrt(np.where(peakSDiff > 0, peakSDiff, 1.0)),
+                         0.0)
+    minSDist = np.where(md_div,
+                        minSDist / np.where(md_div, nMinDist, 1.0), minSDist)
+    minSDiff = np.where(md_div,
+                        minSDiff / np.where(md_div, nMinDist, 1.0), minSDiff)
+    minSDist = np.where(minSDist > 0,
+                        np.sqrt(np.where(minSDist > 0, minSDist, 1.0)), 0.0)
+    minSDiff = np.where(minSDiff > 0,
+                        np.sqrt(np.where(minSDiff > 0, minSDiff, 1.0)), 0.0)
+
+    # --- slopes ---
+    meanRS, meanFS = z(n_groups), z(n_groups)
+    nRising, nFalling = z(n_groups), z(n_groups)
+    minRS, maxRS = z(n_groups), z(n_groups)
+    minFS, maxFS = z(n_groups), z(n_groups)
+    lastIsMax = np.full(n_groups, -1, dtype=np.int64)
+    lastMaxV = x0.copy()
+    lastMaxPos = z(n_groups)
+    lastMinV = x0.copy()
+    lastMinPos = z(n_groups)
+
+    def _acc_slope(c, slope, mean_, n_, mn_, mx_):
+        mean_ += np.where(c, slope, 0.0)
+        first = c & (n_ == 0)
+        mn_ = np.where(first, slope, mn_)
+        mx_ = np.where(first, slope, mx_)
+        rest = c & (n_ > 0)
+        mn_ = np.where(rest & (slope < mn_), slope, mn_)
+        mx_ = np.where(rest & (slope > mx_), slope, mx_)
+        n_ = n_ + c
+        return mean_, n_, mn_, mx_
+
+    for j in range(M_max):
+        act = fin[j]
+        y = Ev[j]
+        pos = Ep[j]
+        mn = act & ~Et[j]
+        lastMinV = np.where(mn, y, lastMinV)
+        lastMinPos = np.where(mn, pos, lastMinPos)
+        dpos = lastMinPos - lastMaxPos
+        c = mn & (dpos > 0)
+        slope = (lastMaxV - lastMinV) / np.where(c, dpos * T, 1.0)
+        meanFS, nFalling, minFS, maxFS = _acc_slope(
+            c, slope, meanFS, nFalling, minFS, maxFS)
+        lastIsMax = np.where(c, 0, lastIsMax)
+        mx = act & Et[j]
+        lastMaxV = np.where(mx, y, lastMaxV)
+        lastMaxPos = np.where(mx, pos, lastMaxPos)
+        dpos = lastMaxPos - lastMinPos
+        c = mx & (dpos > 0)
+        slope = (lastMaxV - lastMinV) / np.where(c, dpos * T, 1.0)
+        meanRS, nRising, minRS, maxRS = _acc_slope(
+            c, slope, meanRS, nRising, minRS, maxRS)
+        lastIsMax = np.where(c, 1, lastIsMax)
+
+    # trailing element closes the last half-slope
+    c = (lastIsMax == 1) & (Nf - 1 - lastMaxPos > 0)
+    slope = (xl - lastMaxV) / np.where(c, (Nf - 1 - lastMaxPos) * T, 1.0)
+    meanFS, nFalling, minFS, maxFS = _acc_slope(
+        c, slope, meanFS, nFalling, minFS, maxFS)
+    c = (lastIsMax == 0) & (Nf - 1 - lastMinPos > 0)
+    slope = (xl - lastMinV) / np.where(c, (Nf - 1 - lastMinPos) * T, 1.0)
+    meanRS, nRising, minRS, maxRS = _acc_slope(
+        c, slope, meanRS, nRising, minRS, maxRS)
+    cneg = lastIsMax == -1
+    slope = (xl - x0) / Nf
+    rpos = cneg & (slope > 0)
+    meanRS = np.where(rpos, slope, meanRS)
+    maxRS = np.where(rpos, slope, maxRS)
+    minRS = np.where(rpos, slope, minRS)
+    nRising = np.where(rpos, 1.0, nRising)
+    rneg = cneg & (slope < 0)
+    meanFS = np.where(rneg, slope, meanFS)
+    maxFS = np.where(rneg, slope, maxFS)
+    minFS = np.where(rneg, slope, minFS)
+    nFalling = np.where(rneg, 1.0, nFalling)
+
+    r_div = nRising > 1
+    meanRS = np.where(r_div, meanRS / np.where(r_div, nRising, 1.0), meanRS)
+    f_div = nFalling > 1
+    meanFS = np.where(f_div, meanFS / np.where(f_div, nFalling, 1.0), meanFS)
+
+    # --- slope stddev (reference quirk kept: rising tests dpos != 0) ---
+    stddevRS, stddevFS = z(n_groups), z(n_groups)
+    lastMaxV = x0.copy()
+    lastMaxPos = z(n_groups)
+    lastMinV = x0.copy()
+    lastMinPos = z(n_groups)
+    for j in range(M_max):
+        act = fin[j]
+        y = Ev[j]
+        pos = Ep[j]
+        mn = act & ~Et[j]
+        lastMinV = np.where(mn, y, lastMinV)
+        lastMinPos = np.where(mn, pos, lastMinPos)
+        dpos = lastMinPos - lastMaxPos
+        c = mn & (dpos > 0)
+        slope = (lastMaxV - lastMinV) / np.where(c, dpos * T, 1.0)
+        dd = slope - meanFS
+        stddevFS += np.where(c, dd * dd, 0.0)
+        mx = act & Et[j]
+        lastMaxV = np.where(mx, y, lastMaxV)
+        lastMaxPos = np.where(mx, pos, lastMaxPos)
+        dpos = lastMaxPos - lastMinPos
+        c = mx & (dpos != 0)
+        slope = (lastMaxV - lastMinV) / np.where(c, dpos * T, 1.0)
+        dd = slope - meanRS
+        stddevRS += np.where(c, dd * dd, 0.0)
+    stddevRS = np.where(r_div,
+                        stddevRS / np.where(r_div, nRising, 1.0), stddevRS)
+    stddevFS = np.where(f_div,
+                        stddevFS / np.where(f_div, nFalling, 1.0), stddevFS)
+    stddevRS = np.where(stddevRS > 0,
+                        np.sqrt(np.where(stddevRS > 0, stddevRS, 1.0)), 0.0)
+    stddevFS = np.where(stddevFS > 0,
+                        np.sqrt(np.where(stddevFS > 0, stddevFS, 1.0)), 0.0)
+
+    if timeNorm == "second":
+        peakDist = peakDist * T
+        peakSDist = peakSDist * T
+        minDist = minDist * T
+        minSDist = minSDist * T
+    elif timeNorm == "segment":
+        peakDist = peakDist / Nf
+        peakSDist = peakSDist / Nf
+        minDist = minDist / Nf
+        minSDist = minSDist / Nf
+    numPeaks = nPeaks / (Nf * T) if timeNorm == "second" else nPeaks
+
+    def unity(v):
+        return np.clip(v, -1.0, 1.0) if doRatioLimit else v
+
+    def ratio_limit_vec(q, limit1, excess):
+        out_ = q.copy()
+        hi = q > limit1
+        if hi.any():
+            out_[hi] = np.tanh(
+                (np.sqrt(q[hi] - limit1 + 1.0) - 1.0)
+                / (excess * 0.5)) * excess + limit1
+        lo = q < -limit1
+        if lo.any():
+            out_[lo] = np.tanh(
+                -(np.sqrt(-(q[lo] + limit1) + 1.0) - 1.0)
+                / (excess * 0.5)) * excess - limit1
+        return out_
+
+    def mean_ratio(v):
+        nz = gmean != 0.0
+        q = np.where(nz, v / np.where(nz, gmean, 1.0), 0.0)
+        if doRatioLimit:
+            return np.where(nz, ratio_limit_vec(q, 10.0, 10.0), 20.0)
+        return np.where(nz, q, v)
+
+    rnz = rng_ != 0.0
+    srng = np.where(rnz, rng_, 1.0)
+
+    return {
+        "numPeaks": numPeaks,
+        "meanPeakDist": peakDist,
+        "peakDistStddev": peakSDist,
+        "peakRangeAbs": peakMax - peakMin,
+        "peakRangeRel": np.where(
+            rnz, unity(np.abs((peakMax - peakMin) / srng)),
+            peakMax - peakMin),
+        "peakMean": peakMean,
+        "peakMeanMeanDist": peakMean - gmean,
+        "peakMeanMeanRatio": mean_ratio(peakMean),
+        "ptpAmpMeanAbs": peakDiff,
+        "ptpAmpMeanRel": np.where(rnz, unity(peakDiff / srng), peakDiff),
+        "ptpAmpStddevAbs": peakSDiff,
+        "ptpAmpStddevRel": np.where(rnz, unity(peakSDiff / srng), peakSDiff),
+        "minRangeAbs": minMax - minMin,
+        "minRangeRel": np.where(
+            rnz, unity(np.abs((minMax - minMin) / srng)), minMax - minMin),
+        "minMean": minMean,
+        "minMeanMeanDist": gmean - minMean,
+        "minMeanMeanRatio": mean_ratio(minMean),
+        "mtmAmpMeanAbs": minDiff,
+        "mtmAmpMeanRel": np.where(rnz, unity(minDiff / srng), minDiff),
+        "mtmAmpStddevAbs": minSDiff,
+        "mtmAmpStddevRel": np.where(rnz, unity(minSDiff / srng), minSDiff),
+        "meanRisingSlope": meanRS,
+        "maxRisingSlope": maxRS,
+        "minRisingSlope": minRS,
+        "stddevRisingSlope": stddevRS,
+        "meanFallingSlope": meanFS,
+        "maxFallingSlope": maxFS,
+        "minFallingSlope": minFS,
+        "stddevFallingSlope": stddevFS,
+        "covFallingSlope": np.where(
+            meanFS > 0.0, stddevFS / np.where(meanFS > 0.0, meanFS, 1.0),
+            0.0),
+        "covRisingSlope": np.where(
+            meanRS > 0.0, stddevRS / np.where(meanRS > 0.0, meanRS, 1.0),
+            0.0),
+    }
 
 
 def compute_batched(x: np.ndarray, starts: np.ndarray, ends: np.ndarray,
@@ -955,5 +1418,12 @@ def compute_batched(x: np.ndarray, starts: np.ndarray, ends: np.ndarray,
         for k in range(first_c, last_c + 1):
             basis = np.cos(np.pi * k / N_rep * (ii + 0.5))
             out[f"dct{k}"] = factor * _seg_sum(x * basis, starts)
+
+    if "peaks2" in families:
+        p2 = _peaks2_batched(x, starts, ends, gmin, gmax, mean,
+                             options.get("peaks2", {}))
+        for k, v in p2.items():
+            if k not in out:        # first-writer-wins like compute_all
+                out[k] = v
 
     return out

@@ -18,6 +18,33 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _row_topk(S, k: int):
+    """Per-row top-k column indices of a score matrix, descending: O(n)
+    argpartition then a stable sort of just the k-slice. Among EXACTLY
+    tied scores at the partition boundary the surviving candidate set is
+    implementation-defined (the downstream exact re-rank / global window
+    still orders deterministically); a full stable argsort would cost
+    O(n log n) per row, which dominates bulk kNN joins."""
+    import numpy as np
+
+    lk = min(k, S.shape[1])
+    if lk < S.shape[1]:
+        part = np.argpartition(-S, lk - 1, axis=1)[:, :lk]
+    else:
+        part = np.broadcast_to(np.arange(S.shape[1]),
+                               S.shape).copy()
+    ps = np.take_along_axis(S, part, axis=1)
+    order = np.argsort(-ps, axis=1, kind="stable")
+    return np.take_along_axis(part, order, axis=1)
+
+
+def _id_ddl(df: DataFrame, col: str) -> str:
+    """DDL string of an id column's type, so Arrow-kernel output schemas
+    carry the caller's id type (string doc-ids are the common corpus
+    case) instead of assuming long."""
+    return df.schema[col].dataType.simpleString()
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -122,8 +149,8 @@ def knn_join(
         qids = qdf["__qid"].to_numpy()
         # self-match exclusion before the cut so k survivors remain
         S = np.where(items[None, :] == qids[:, None], -np.inf, S)
-        lk = min(k, S.shape[1])
-        top = np.argsort(-S, axis=1, kind="stable")[:, :lk]
+        top = _row_topk(S, k)
+        lk = top.shape[1]
         out = pd.DataFrame({
             "query_id": np.repeat(qids, lk),
             "item_id": items[top].reshape(-1),
@@ -135,7 +162,9 @@ def knn_join(
               .cogroup(qi.groupBy("__blk", "__chunk"))
               .applyInPandas(
                   score,
-                  schema="query_id long, item_id long, cosine double"))
+                  schema=(f"query_id {_id_ddl(queries, query_id_col)}, "
+                          f"item_id {_id_ddl(index, id_col)}, "
+                          "cosine double")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("item_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -626,7 +655,7 @@ def pq_encode(index: DataFrame, codebooks,
                                 out_col: list(codes)})
 
     return index.select(id_col, vec_col).mapInPandas(
-        enc, schema=f"{id_col} long, {out_col} array<int>")
+        enc, schema=f"{id_col} {_id_ddl(index, id_col)}, {out_col} array<int>")
 
 
 def _adc_tables_df(queries: DataFrame, codebooks,
@@ -661,7 +690,7 @@ def _adc_tables_df(queries: DataFrame, codebooks,
             })
 
     return queries.select(id_col, vec_col).mapInPandas(
-        tab, schema="query_id long, adc array<double>")
+        tab, schema=f"query_id {_id_ddl(queries, id_col)}, adc array<double>")
 
 
 def _exact_rerank(cand: DataFrame, index: DataFrame, queries: DataFrame,
@@ -742,15 +771,20 @@ def pq_topk(index: DataFrame, queries: DataFrame, k: int = 10,
         cols = ["query_id", "item_id", "adc_score"]
         if not len(cdf) or not len(qdf):
             return pd.DataFrame(columns=cols)
-        T = np.stack(qdf["adc"].to_numpy()).reshape(len(qdf), m, n_codes)
+        # (m, nq, n_codes) CONTIGUOUS so each per-subspace gather is a
+        # fast `take` over a contiguous 2-D block (a strided fancy-index
+        # over the (nq, m, n_codes) layout measures ~9x slower)
+        T = np.ascontiguousarray(
+            np.stack(qdf["adc"].to_numpy())
+            .reshape(len(qdf), m, n_codes).transpose(1, 0, 2))
         c = np.stack(cdf["pq_code"].to_numpy())              # (n, m)
         items = cdf[id_col].to_numpy()
         qids = qdf["query_id"].to_numpy()
         S = np.zeros((len(qdf), len(c)))
         for j in range(m):
-            S += T[:, j, :][:, c[:, j]]                      # (nq, n)
-        lk = min(local_k, S.shape[1])
-        top = np.argsort(-S, axis=1, kind="stable")[:, :lk]  # (nq, lk)
+            S += T[j].take(c[:, j], axis=1)                  # (nq, n)
+        top = _row_topk(S, local_k)                          # (nq, lk)
+        lk = top.shape[1]
         return pd.DataFrame({
             "query_id": np.repeat(qids, lk),
             "item_id": items[top].reshape(-1),
@@ -761,7 +795,9 @@ def pq_topk(index: DataFrame, queries: DataFrame, k: int = 10,
               .cogroup(qt_rep.groupBy("__blk", "__chunk"))
               .applyInPandas(
                   score,
-                  schema="query_id long, item_id long, adc_score double"))
+                  schema=(f"query_id {_id_ddl(queries, id_col)}, "
+                          f"item_id {_id_ddl(index, id_col)}, "
+                          "adc_score double")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_score").desc(), F.col("item_id").asc())
     cand = (scored.filter(F.col("item_id") != F.col("query_id"))
@@ -861,7 +897,8 @@ def _ivfpq_fit_encode(index: DataFrame, n_centroids: int, m: int,
                                 "pq_code": list(codes)})
 
     codes = assigned.mapInPandas(
-        enc, schema=f"{id_col} long, __cell int, pq_code array<int>")
+        enc, schema=(f"{id_col} {_id_ddl(assigned, id_col)}, "
+                     "__cell int, pq_code array<int>"))
     return codes, centers, codebooks
 
 
@@ -997,7 +1034,8 @@ def _ivfpq_query_tables(queries: DataFrame, centers, codebooks,
 
     return queries.select(id_col, vec_col).mapInPandas(
         qtab,
-        schema="query_id long, __cell int, adc array<double>, qc double")
+        schema=(f"query_id {_id_ddl(queries, id_col)}, "
+                "__cell int, adc array<double>, qc double"))
 
 
 def _ivfpq_shortlist(codes: DataFrame, qt: DataFrame, m: int,

@@ -309,6 +309,53 @@ def test_expanding_moments_regression_equals_pergroup(case):
                 (case, h, k, got, v)
 
 
+@pytest.mark.parametrize("opts", [
+    {"timeNorm": "second", "T": 0.25},
+    {"timeNorm": "segment"},
+    {"relThresh": 0.02},                      # near-zero: many extrema live
+    {"relThresh": 0.45},                      # high: most extrema culled
+    {"dynRelThresh": True, "relThresh": 0.1},
+    {"absThreshIn": 1.5},
+    {"doRatioLimit": True},
+    {"dynRelThresh": True, "relThresh": 0.3, "doRatioLimit": True,
+     "timeNorm": "second", "T": 0.1},
+])
+def test_peaks2_batched_option_sweep(opts):
+    """peaks2 claims batched support under EVERY option combination
+    (BATCHED_SUPPORTED_OPTIONS) — sweep each branch of the automaton's
+    thresholding (static/dynamic/absolute), ratio limiting, and time
+    normalization against the per-group kernel, on series dense in local
+    extrema (the regime where pass-2a/2b/3 culling decisions diverge
+    fastest if any lane-parallel branch is wrong)."""
+    rng = np.random.RandomState(42)
+    chunks, sizes = [], []
+    for gi in range(50):
+        n = rng.randint(1, 80)
+        kind = gi % 4
+        if kind == 0:
+            arr = np.sin(np.arange(n) * 1.1) * 5 + rng.randn(n)  # oscillating
+        elif kind == 1:
+            arr = rng.randn(n) * 0.01 + 3.0        # tiny range (thresh edge)
+        elif kind == 2:
+            arr = np.zeros(n)                      # constant -> range 0
+        else:
+            arr = rng.randn(n) * 10
+            arr[rng.rand(n) < 0.3] = 0.0           # plateaus break extrema
+        chunks.append(arr.astype(float))
+        sizes.append(n)
+    x = np.concatenate(chunks)
+    ends = np.cumsum(sizes).astype(np.int64)
+    starts = ends - np.array(sizes, dtype=np.int64)
+    bat = compute_batched(x, starts, ends, ["peaks2"], {"peaks2": opts})
+    for gi, (s, e) in enumerate(zip(starts, ends)):
+        want = compute_all(x[s:e], ["peaks2"], {"peaks2": opts})
+        for k, v in want.items():
+            got = float(bat[k][gi])
+            assert np.isclose(got, v, rtol=1e-10, atol=1e-12), (
+                f"group {gi} (n={e - s}) opts={opts} {k}: "
+                f"batched={got} pergroup={v}")
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
 def test_segments_onset_automaton_reduction(seed):
     """Adversarial pin for the round-4 run-length reductions of the
