@@ -596,13 +596,23 @@ def q_embedding_near_dups_lsh(spark, sf_dir):
 
 
 def q_cosine_topk(spark, sf_dir):
-    from opensmile_spark.similarity import cosine_topk
+    """Bank of the two EXACT kNN paths (round-4 join): `cosine_topk`
+    (broadcast small-query contract, 5 queries x k=10) and `knn_join`
+    (block nested-loop bulk join, the WHOLE corpus as the query set x
+    k=3) — both hash-checked against the same all-pairs window oracle."""
+    from opensmile_spark.similarity import cosine_topk, knn_join
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
-    out = cosine_topk(emb, queries, k=10)
-    return out.select("query_id", "item_id", "rank",
-                      F.round("cosine", 5).alias("cosine"))
+    small = (cosine_topk(emb, queries, k=10)
+             .select(F.lit("broadcast").alias("path"),
+                     "query_id", "item_id", "rank",
+                     F.round("cosine", 5).alias("cosine")))
+    bulk = (knn_join(emb, emb, k=3, query_blocks=4)
+            .select(F.lit("bulk").alias("path"),
+                    "query_id", "item_id", "rank",
+                    F.round("cosine", 5).alias("cosine")))
+    return small.unionByName(bulk)
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -619,17 +629,37 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_quantize_embeddings(spark, sf_dir):
-    """int8 embedding quantization: per-vector scale + three probe
-    elements of the quantized vector."""
+    """Bank (round-4 join): int8 embedding quantization + SemDeDup
+    per-doc decisions (opensmile_spark/semdedup.py, Abbas et al. 2023)
+    joined on vec_id. The gate pins the semdedup DATA PATH (normalized
+    assignment to broadcast centroids, priority order, upper-triangular
+    max-prior-sim prune) against a full pairwise SQL twin; centroids are
+    the normalized embeddings of vec_id < 8 so the oracle can derive the
+    IDENTICAL centroids in SQL — the k-means fit itself is pinned by
+    tests/test_semdedup.py (deterministic, partitioning-invariant)."""
+    import numpy as np
+
+    from opensmile_spark.semdedup import semdedup
     from opensmile_spark.similarity import quantize_embeddings
 
-    out = quantize_embeddings(_emb(spark, sf_dir))
-    return out.select(
+    emb = _emb(spark, sf_dir)
+    seeds = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    C = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in seeds])
+    C = C / np.maximum(np.sqrt((C * C).sum(axis=1, keepdims=True)), 1e-12)
+    sd = semdedup(emb, threshold=0.25, centroids=C)
+    q = quantize_embeddings(emb).select(
         "vec_id",
         F.round("q8_scale", 6).alias("q8_scale"),
         *[F.element_at("embedding_q8", i + 1).alias(f"q_{i}")
           for i in (0, 31, 63)],
     )
+    return q.join(
+        sd.select("vec_id", "cell",
+                  F.round("sim_centroid", 5).alias("sim_centroid"),
+                  F.round("max_prior_sim", 5).alias("max_prior_sim"),
+                  "keep"),
+        "vec_id")
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -1275,6 +1305,33 @@ def q_ann_pq_topk(spark, sf_dir):
                       F.round("cosine", 5).alias("cosine"))
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Cross-snapshot incremental dedup (opensmile_spark/incremental.py):
+    history = docs with doc_id % 20 < 10 reduced to a fingerprint store;
+    the 'new snapshot' is the other half with deterministically planted
+    overlaps (doc_id % 20 == 19 -> previous doc's text = within-batch
+    dup; doc_id % 6 == 0 -> text of doc_id-10 = seen-in-history). Exact
+    path, md5_64 portable fingerprints; the bloom prefilter is pinned
+    equal to this path by tests/test_incremental.py. Tail entry with a
+    FULL oracle — replica-checked by tools/check_correctness.py."""
+    from opensmile_spark.incremental import (build_fingerprint_store,
+                                             incremental_dedup)
+
+    docs = _docs(spark, sf_dir)
+    hist = docs.filter(F.col("doc_id") % 20 < 10)
+    src = F.when(F.col("doc_id") % 20 == 19, F.col("doc_id") - 1) \
+        .when(F.col("doc_id") % 6 == 0, F.col("doc_id") - 10) \
+        .otherwise(F.col("doc_id"))
+    new = (docs.filter(F.col("doc_id") % 20 >= 10)
+           .select("doc_id", src.alias("__src")))
+    new = (new.join(docs.select(F.col("doc_id").alias("__src"), "text"),
+                    "__src")
+           .select("doc_id", "text"))
+    store = build_fingerprint_store(hist, method="md5_64")
+    dec = incremental_dedup(new, store, method="md5_64")
+    return dec.select("doc_id", "fp", "batch_dup", "seen", "keep")
+
+
 def q_datagen(spark, sf_dir):
     """Deterministic synthetic corpus (rows-only: xxhash64 has no DuckDB
     twin). Demonstrates the generator the bench uses."""
@@ -1291,6 +1348,35 @@ def q_datagen(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _ORACLES: dict[str, str] = {}
+
+_ORACLES["incremental_dedup"] = """
+WITH hist AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 20 < 10
+), new_batch AS (
+  SELECT n.doc_id, s.text
+  FROM (SELECT doc_id,
+          CASE WHEN doc_id % 20 = 19 THEN doc_id - 1
+               WHEN doc_id % 6 = 0 THEN doc_id - 10
+               ELSE doc_id END AS src
+        FROM documents WHERE doc_id % 20 >= 10) n
+  JOIN documents s ON s.doc_id = n.src
+), store AS (
+  SELECT DISTINCT CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp
+  FROM hist
+), fps AS (
+  SELECT doc_id,
+    CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp
+  FROM new_batch
+), flags AS (
+  SELECT doc_id, fp,
+    doc_id <> MIN(doc_id) OVER (PARTITION BY fp) AS batch_dup,
+    fp IN (SELECT fp FROM store) AS seen
+  FROM fps
+)
+SELECT doc_id, fp, batch_dup, seen,
+       (NOT batch_dup AND NOT seen) AS keep
+FROM flags
+"""
 
 _ORACLES["transcripts"] = SQL_PREFIX + """
 SELECT conv_id, turn_idx, role, text, tool, 1e-6*epoch_us(ts) AS ts_epoch
@@ -3295,15 +3381,62 @@ WITH s AS (
   SELECT vec_id, embedding,
     CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS scale
   FROM s
+), quant AS (
+  SELECT vec_id, ROUND(scale, 6) AS q8_scale,
+    CAST(GREATEST(-127, LEAST(127,
+        ROUND(CAST(embedding[1] AS DOUBLE) / scale))) AS INTEGER) AS q_0,
+    CAST(GREATEST(-127, LEAST(127,
+        ROUND(CAST(embedding[32] AS DOUBLE) / scale))) AS INTEGER) AS q_31,
+    CAST(GREATEST(-127, LEAST(127,
+        ROUND(CAST(embedding[64] AS DOUBLE) / scale))) AS INTEGER) AS q_63
+  FROM sc
+), nv AS (
+  -- L2-normalized doc vectors (semdedup compares in normalized space)
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      GREATEST(sqrt(list_sum(list_transform(embedding,
+        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 1e-12)) AS v
+  FROM embeddings
+), cent AS (
+  -- gate centroids = normalized embeddings of vec_id < 8 (cell = rank)
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+         v AS cv
+  FROM nv WHERE vec_id < 8
+), cent2 AS (
+  SELECT cell, cv, list_sum(list_transform(cv, x -> x * x)) AS cc
+  FROM cent
+), scored AS (
+  SELECT d.vec_id, c.cell, c.cc,
+    list_sum(list_transform(range(1, 65), k -> d.v[k] * c.cv[k])) AS g
+  FROM nv d CROSS JOIN cent2 c
+), asg AS (
+  -- assignment: argmin ||v-c||^2 = argmin cc - 2g, ties -> lowest cell
+  SELECT vec_id, cell, g / GREATEST(sqrt(cc), 1e-12) AS sim_c,
+    ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY cc - 2 * g ASC, cell ASC) AS rn
+  FROM scored
+), a AS (
+  SELECT vec_id, cell, sim_c FROM asg WHERE rn = 1
+), mp AS (
+  -- max cosine to ANY strictly-higher-priority same-cell doc
+  SELECT i.vec_id,
+    MAX(list_sum(list_transform(range(1, 65),
+        k -> di.v[k] * dj.v[k]))) AS max_prior_sim
+  FROM a i
+  JOIN a j ON j.cell = i.cell
+          AND (j.sim_c > i.sim_c
+               OR (j.sim_c = i.sim_c AND j.vec_id < i.vec_id))
+  JOIN nv di ON di.vec_id = i.vec_id
+  JOIN nv dj ON dj.vec_id = j.vec_id
+  GROUP BY i.vec_id
 )
-SELECT vec_id, ROUND(scale, 6) AS q8_scale,
-  CAST(GREATEST(-127, LEAST(127,
-      ROUND(CAST(embedding[1] AS DOUBLE) / scale))) AS INTEGER) AS q_0,
-  CAST(GREATEST(-127, LEAST(127,
-      ROUND(CAST(embedding[32] AS DOUBLE) / scale))) AS INTEGER) AS q_31,
-  CAST(GREATEST(-127, LEAST(127,
-      ROUND(CAST(embedding[64] AS DOUBLE) / scale))) AS INTEGER) AS q_63
-FROM sc
+SELECT q.vec_id, q.q8_scale, q.q_0, q.q_31, q.q_63,
+  a.cell, ROUND(a.sim_c, 5) AS sim_centroid,
+  ROUND(mp.max_prior_sim, 5) AS max_prior_sim,
+  (mp.max_prior_sim IS NULL OR NOT mp.max_prior_sim > 0.25) AS keep
+FROM quant q
+JOIN a ON a.vec_id = q.vec_id
+LEFT JOIN mp ON mp.vec_id = q.vec_id
 """
 
 _ORACLES["cosine_topk"] = """
@@ -3318,7 +3451,7 @@ scored AS (
     list_sum(list_transform(range(1, 65),
          k -> CAST(q.embedding[k] AS DOUBLE) * CAST(i.embedding[k] AS DOUBLE)))
         / (q.nrm * i.nrm) AS cosine
-  FROM n q JOIN n i ON q.vec_id < 5 AND i.vec_id <> q.vec_id
+  FROM n q JOIN n i ON i.vec_id <> q.vec_id
 ),
 ranked AS (
   SELECT query_id, item_id, cosine,
@@ -3326,9 +3459,13 @@ ranked AS (
                        ORDER BY cosine DESC, item_id ASC) AS rank
   FROM scored
 )
-SELECT query_id, item_id, CAST(rank AS INTEGER) AS rank,
-       ROUND(cosine, 5) AS cosine
-FROM ranked WHERE rank <= 10
+SELECT 'broadcast' AS path, query_id, item_id,
+       CAST(rank AS INTEGER) AS rank, ROUND(cosine, 5) AS cosine
+FROM ranked WHERE query_id < 5 AND rank <= 10
+UNION ALL
+SELECT 'bulk' AS path, query_id, item_id,
+       CAST(rank AS INTEGER) AS rank, ROUND(cosine, 5) AS cosine
+FROM ranked WHERE rank <= 3
 """
 
 
@@ -4380,6 +4517,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "datagen": q_datagen,                 # rows-only (xxhash64 has no twin)
     "formants": q_formants,               # rows-only (sextic roots: no closed form)
     "emo_large": q_emo_large,             # rows-only (named preset bundle)
+    "incremental_dedup": q_incremental_dedup,  # FULL oracle (replica-checked)
 }
 
 
