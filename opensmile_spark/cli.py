@@ -261,6 +261,78 @@ def cmd_redact(spark, args):
     print(json.dumps({"output": args.output, "redactions": counts}))
 
 
+def cmd_ingest(spark, args):
+    """Incremental snapshot ingestion: dedup --input against the
+    fingerprint store at --store, write kept docs to --output, append
+    the kept docs' fingerprints to the store. --init bootstraps the
+    store from the first snapshot (everything kept). The store path
+    must differ from --output (same clobber guard as backfill)."""
+    from pyspark.sql import functions as F
+
+    from opensmile_spark.incremental import (append_to_store,
+                                             build_fingerprint_store,
+                                             incremental_dedup)
+    from opensmile_spark.tables import read_table
+
+    if args.output in (args.store, args.input):
+        raise SystemExit("--output must differ from --store/--input")
+    docs = read_table(spark, args.input)
+    if args.init:
+        store = build_fingerprint_store(
+            docs, id_col=args.id_col, text_col=args.text_col,
+            method=args.method, n_buckets=args.buckets)
+        store.write.partitionBy("bucket").mode("overwrite") \
+            .parquet(args.store)
+        docs.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"output": args.output, "store": args.store,
+                          "rows_in": docs.count(), "kept": docs.count(),
+                          "init": True}))
+        return
+    store = spark.read.parquet(args.store)
+    bloom = None
+    if args.bloom_bits:
+        from opensmile_spark.incremental import bloom_from_store
+        bloom = bloom_from_store(store, m_bits=args.bloom_bits,
+                                 k=args.bloom_k)
+    dec = incremental_dedup(docs, store, id_col=args.id_col,
+                            text_col=args.text_col, method=args.method,
+                            bloom=bloom)
+    # decisions feed both outputs; materialize once so the append and
+    # the survivor write cannot diverge across lazy recomputes
+    dec = dec.localCheckpoint()
+    kept = dec.filter(F.col("keep")).drop("fp", "batch_dup", "seen", "keep")
+    kept.write.mode("overwrite").parquet(args.output)
+    delta = append_to_store(dec, id_col=args.id_col,
+                            n_buckets=args.buckets)
+    delta.write.partitionBy("bucket").mode("append").parquet(args.store)
+    agg = dec.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("seen").cast("long")).alias("seen"),
+        F.sum(F.col("batch_dup").cast("long")).alias("dups"),
+        F.sum(F.col("keep").cast("long")).alias("kept")).first()
+    print(json.dumps({"output": args.output, "store": args.store,
+                      "rows_in": agg["n"], "seen": agg["seen"],
+                      "batch_dup": agg["dups"], "kept": agg["kept"]}))
+
+
+def cmd_semdedup(spark, args):
+    from pyspark.sql import functions as F
+
+    from opensmile_spark.semdedup import semdedup
+    from opensmile_spark.tables import read_table
+
+    emb = read_table(spark, args.input)
+    dec = semdedup(emb, threshold=args.threshold,
+                   n_clusters=args.clusters, id_col=args.id_col,
+                   vec_col=args.vec_col, n_iter=args.iters)
+    dec.write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    n = out.count()
+    kept = out.filter(F.col("keep")).count()
+    print(json.dumps({"output": args.output, "rows_in": n,
+                      "kept": kept, "pruned": n - kept}))
+
+
 def cmd_datagen(spark, args):
     from opensmile_spark.datagen import generate_transcripts
 
@@ -387,6 +459,33 @@ def build_parser() -> argparse.ArgumentParser:
                     help="global grid lattice origin (epoch seconds); "
                          "default anchors each key at its first sample")
 
+    sp = sub.add_parser("ingest",
+                        help="incremental snapshot dedup against a "
+                             "fingerprint store")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--store", required=True)
+    sp.add_argument("--init", action="store_true",
+                    help="bootstrap the store from this first snapshot")
+    sp.add_argument("--method", choices=["xxhash64", "md5_64"],
+                    default="xxhash64")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--buckets", type=int, default=256)
+    sp.add_argument("--bloom-bits", type=int, default=0,
+                    help="bitmap size; 0 disables the bloom prefilter")
+    sp.add_argument("--bloom-k", type=int, default=5)
+
+    sp = sub.add_parser("semdedup",
+                        help="semantic dedup over an embedding column")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--threshold", type=float, default=0.7)
+    sp.add_argument("--clusters", type=int, default=8)
+    sp.add_argument("--iters", type=int, default=10)
+    sp.add_argument("--id-col", default="vec_id")
+    sp.add_argument("--vec-col", default="embedding")
+
     sp = sub.add_parser("pack")
     sp.add_argument("--input", required=True)
     sp.add_argument("--output", required=True)
@@ -420,6 +519,8 @@ def main(argv=None):
      "redact": cmd_redact,
      "corpus": cmd_corpus,
      "resample": cmd_resample,
+     "ingest": cmd_ingest,
+     "semdedup": cmd_semdedup,
      "pack": cmd_pack}[args.cmd](spark, args)
 
 

@@ -31,7 +31,9 @@ segment_by_meta, select, filter.
 
 Training-data corpus stages (documents-shaped frames): token_count,
 quality_score, c4_signals, redact, hash_sample, stratified_sample,
-dedup_exact, decontaminate (needs cfg["benchmark"] DataFrame), shuffle,
+dedup_exact, semdedup (keep-filter join on the decision table),
+incremental_dedup (needs cfg["store"] DataFrame),
+decontaminate (needs cfg["benchmark"] DataFrame), shuffle,
 pack (mode=concat|greedy), chunk, corpus_pipeline — so a whole corpus
 build is one declarative config, the same UX the reference gives feature
 extraction.
@@ -157,6 +159,23 @@ def run_config(df: DataFrame, config: dict) -> DataFrame:
             from opensmile_spark.packing import chunk_documents
 
             out = chunk_documents(out, **s)
+        elif kind == "semdedup":
+            from pyspark.sql import functions as F
+
+            from opensmile_spark.semdedup import semdedup
+
+            id_col = s.get("id_col", "vec_id")
+            dec = semdedup(out, **s)
+            out = (out.join(dec.filter(F.col("keep")).select(id_col),
+                            id_col))
+        elif kind == "incremental_dedup":
+            from pyspark.sql import functions as F
+
+            from opensmile_spark.incremental import incremental_dedup
+
+            dec = incremental_dedup(out, s.pop("store"), **s)
+            out = dec.filter(F.col("keep")) \
+                .drop("fp", "batch_dup", "seen", "keep")
         elif kind == "corpus_pipeline":
             from opensmile_spark.pipeline import corpus_pipeline
 

@@ -133,3 +133,37 @@ def test_config_corpus_stages(spark):
     ids = {r["doc_id"] for r in rows}
     assert not ({100, 101} <= ids)  # dup pair collapsed to one survivor
     assert all(r["pack_tokens"] <= 64 or r["pack_pos"] == 0 for r in rows)
+
+
+def test_config_incremental_and_semdedup_stages(spark):
+    """Round-4 stages: incremental_dedup consumes a store DataFrame from
+    the stage dict; semdedup keep-filters on the decision table."""
+    import numpy as np
+
+    from opensmile_spark.config import run_config
+    from opensmile_spark.incremental import build_fingerprint_store
+
+    hist = spark.createDataFrame(
+        [(0, "seen before"), (1, "also seen")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "seen before"), (11, "fresh one"), (12, "fresh one"),
+         (13, "another fresh")],
+        "doc_id long, text string")
+    out = run_config(new, {"stages": [
+        {"type": "incremental_dedup",
+         "store": build_fingerprint_store(hist)},
+    ]})
+    assert sorted(r["doc_id"] for r in out.collect()) == [11, 13]
+
+    rng = np.random.RandomState(0)
+    base = rng.randn(3, 8)
+    rows = [(i * 10 + j, [float(x) for x in b + rng.randn(8) * 1e-3])
+            for i, b in enumerate(base) for j in range(2)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = run_config(emb, {"stages": [
+        {"type": "semdedup", "threshold": 0.9, "n_clusters": 2,
+         "n_iter": 2, "sample_per_centroid": 3},
+    ]})
+    assert out.count() == 3          # one survivor per planted pair
+    assert set(out.columns) == {"vec_id", "embedding"}

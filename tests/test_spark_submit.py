@@ -175,3 +175,69 @@ def test_cli_redact_inprocess(spark, tmp_path):
     assert got[1] == "clean text"
     cols = spark.read.parquet(out).columns
     assert "text_redacted" not in cols and "n_email" in cols
+
+
+def test_cli_ingest_inprocess(spark, tmp_path):
+    """The ingest subcommand: --init bootstraps the store; a second
+    snapshot keeps only unseen, batch-unique docs and appends its delta
+    so a third identical snapshot keeps nothing."""
+    import pandas as pd
+
+    from opensmile_spark.cli import main
+
+    store = str(tmp_path / "store")
+    s1 = str(tmp_path / "snap1")
+    spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["alpha", "beta", "gamma"],
+    })).write.parquet(s1)
+    out1 = str(tmp_path / "kept1")
+    main(["ingest", "--input", s1, "--output", out1, "--store", store,
+          "--init"])
+    assert spark.read.parquet(out1).count() == 3
+
+    s2 = str(tmp_path / "snap2")
+    spark.createDataFrame(pd.DataFrame({
+        "doc_id": [10, 11, 12, 13],
+        "text": ["beta", "delta", "delta", "epsilon"],
+    })).write.parquet(s2)
+    out2 = str(tmp_path / "kept2")
+    main(["ingest", "--input", s2, "--output", out2, "--store", store,
+          "--bloom-bits", "4096"])
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out2).collect())
+    assert kept == [11, 13]         # 10 seen, 12 dup of 11
+
+    out3 = str(tmp_path / "kept3")
+    main(["ingest", "--input", s2, "--output", out3, "--store", store])
+    assert spark.read.parquet(out3).count() == 0
+
+    with pytest.raises(SystemExit):
+        main(["ingest", "--input", s2, "--output", store,
+              "--store", store])
+
+
+def test_cli_semdedup_inprocess(spark, tmp_path):
+    """The semdedup subcommand prunes planted near-copies to one
+    survivor per set."""
+    import numpy as np
+    import pandas as pd
+
+    from opensmile_spark.cli import main
+
+    rng = np.random.RandomState(0)
+    base = rng.randn(4, 16)
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(3):
+            rows.append((vid, [float(x) for x in b + rng.randn(16) * 1e-3]))
+            vid += 1
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.parquet(str(tmp_path / "emb"))
+    out = str(tmp_path / "dec")
+    main(["semdedup", "--input", str(tmp_path / "emb"), "--output", out,
+          "--threshold", "0.9", "--clusters", "2", "--iters", "3"])
+    dec = spark.read.parquet(out)
+    assert dec.count() == 12
+    assert dec.filter("keep").count() == 4
