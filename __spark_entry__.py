@@ -1332,6 +1332,22 @@ def q_incremental_dedup(spark, sf_dir):
     return dec.select("doc_id", "fp", "batch_dup", "seen", "keep")
 
 
+def q_span_dedup(spark, sf_dir):
+    """Duplicate-SPAN dedup (ExactSubstr, Lee et al. ACL'22 — the
+    substring-level recipe doc-level dedup misses): every token span whose
+    k-gram windows all repeat corpus-wide is found, merged to maximal
+    ranges, and cut from the text. opensmile_spark/spandedup.py — 3
+    linear shuffles (gram-count, hit join, per-doc merge), no pairs.
+    Tail entry with a FULL oracle — replica-checked by
+    tools/check_correctness.py (the driver window is at 50)."""
+    from opensmile_spark.spandedup import span_dedup
+
+    out = span_dedup(_docs(spark, sf_dir), k=4, min_count=2)
+    return out.select(
+        "doc_id", "n_tokens", "n_dup_spans", "dup_tokens",
+        F.round("dup_ratio", 6).alias("dup_ratio"), "clean_text")
+
+
 def q_datagen(spark, sf_dir):
     """Deterministic synthetic corpus (rows-only: xxhash64 has no DuckDB
     twin). Demonstrates the generator the bench uses."""
@@ -1376,6 +1392,55 @@ WITH hist AS (
 SELECT doc_id, fp, batch_dup, seen,
        (NOT batch_dup AND NOT seen) AS keep
 FROM flags
+"""
+
+_ORACLES["span_dedup"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i : i + 3], ' ') AS gram
+  FROM toks, UNNEST(generate_series(1, len(t) - 3)) AS u(i)
+  WHERE len(t) >= 4
+), dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+), hits AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)
+), brk AS (
+  SELECT doc_id, pos,
+    CASE WHEN max(pos + 4) OVER w IS NULL OR pos > max(pos + 4) OVER w
+         THEN 1 ELSE 0 END AS b
+  FROM hits
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), grp AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM brk
+), spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+  FROM grp GROUP BY doc_id, g
+), per_doc AS (
+  SELECT doc_id,
+         list({'s': s, 'e': e} ORDER BY s) AS spans,
+         sum(e - s) AS dup_tokens,
+         count(*) AS n_spans
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(len(d.t) AS INT) AS n_tokens,
+  CAST(coalesce(p.n_spans, 0) AS INT) AS n_dup_spans,
+  CAST(coalesce(p.dup_tokens, 0) AS INT) AS dup_tokens,
+  round(CASE WHEN len(d.t) > 0
+             THEN CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / len(d.t)
+             ELSE 0.0 END, 6) AS dup_ratio,
+  CASE WHEN p.doc_id IS NULL THEN array_to_string(d.t, ' ')
+       ELSE coalesce(array_to_string(
+         [d.t[i] FOR i IN generate_series(1, len(d.t))
+          IF len(list_filter(p.spans,
+                 sp -> sp.s <= i - 1 AND i - 1 < sp.e)) = 0], ' '), '')
+  END AS clean_text
+FROM toks d LEFT JOIN per_doc p USING (doc_id)
 """
 
 _ORACLES["transcripts"] = SQL_PREFIX + """
@@ -4518,6 +4583,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "formants": q_formants,               # rows-only (sextic roots: no closed form)
     "emo_large": q_emo_large,             # rows-only (named preset bundle)
     "incremental_dedup": q_incremental_dedup,  # FULL oracle (replica-checked)
+    "span_dedup": q_span_dedup,           # FULL oracle (replica-checked)
 }
 
 

@@ -104,14 +104,14 @@ def run_scaling() -> dict:
     n_small = int(os.environ.get("SPARK_GRAFT_SCALE_SMALL", "4"))
     n_large = int(os.environ.get("SPARK_GRAFT_SCALE_LARGE", "16"))
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
-    # 864k convs (~52 M turns): after the round-4 cross-group batching the
+    # 1.2M convs (~72 M turns): after the round-4 cross-group batching the
     # kernel runs ~2.8x faster per row, which shrank the job's parallel
     # work W below the point where fixed per-job costs c stay amortized at
     # local[16] (Amdahl: efficiency = f(W/c), and W halved). Growing the
     # corpus restores W to (slightly above) the r1-r3 regime — the honest
     # response, since the rule's regime of interest is the 100 TB end,
     # not a shrinking constant-size toy.
-    n_convs = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "864000"))
+    n_convs = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "1200000"))
     corpus = "/dev/shm/opensmile_spark_bench_lld"
     lld_cols = ["char_len", "token_cnt", "punct_density", "ttr",
                 "reply_latency"]
