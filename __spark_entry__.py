@@ -1348,6 +1348,40 @@ def q_span_dedup(spark, sf_dir):
         F.round("dup_ratio", 6).alias("dup_ratio"), "clean_text")
 
 
+def q_charlm_ppl(spark, sf_dir):
+    """CCNet-style perplexity filter (Wenzek et al. LREC'20 recipe shape,
+    char-bigram model): fit additive-smoothed p(cur|prev) over the corpus
+    (one shuffle, model <= |charset|^2 rows), score per doc via the
+    broadcast-join plan. opensmile_spark/lm.py. Tail entry with a FULL
+    oracle — replica-checked (the driver window is at 50)."""
+    from opensmile_spark.lm import charlm_fit, charlm_perplexity
+
+    docs = _docs(spark, sf_dir)
+    model = charlm_fit(docs, alpha=0.1)
+    out = charlm_perplexity(docs, model, method="join")
+    return out.select(
+        "doc_id", F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round("ppl", 6).alias("ppl"))
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-k retrieval (Lucene idf variant) — the lexical
+    complement of the embedding ANN stack: postings shuffle once on term,
+    query terms broadcast, doc length denormalized into the postings so
+    search does zero corpus-side joins. opensmile_spark/lm.py. Tail
+    entry with a FULL oracle — replica-checked."""
+    from opensmile_spark.lm import bm25_index, bm25_search
+
+    docs = _docs(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [(0, "spark window join"), (1, "hash merge batch"),
+         (2, "customer query order")],
+        "query_id long, text string")
+    out = bm25_search(bm25_index(docs), queries, k=10)
+    return out.select("query_id", "doc_id", "score",
+                      F.col("rank").cast("int").alias("rank"))
+
+
 def q_datagen(spark, sf_dir):
     """Deterministic synthetic corpus (rows-only: xxhash64 has no DuckDB
     twin). Demonstrates the generator the bench uses."""
@@ -1441,6 +1475,78 @@ SELECT d.doc_id,
                  sp -> sp.s <= i - 1 AND i - 1 < sp.e)) = 0], ' '), '')
   END AS clean_text
 FROM toks d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+_ORACLES["charlm_ppl"] = r"""
+WITH t AS (
+  SELECT doc_id, lower(text) AS s FROM documents
+), pairs AS (
+  SELECT doc_id, substr(s, i, 2) AS bg
+  FROM t, UNNEST(generate_series(1, len(s) - 1)) AS u(i)
+  WHERE len(s) >= 2
+), bgc AS (
+  SELECT bg, count(*) AS c FROM pairs GROUP BY bg
+), pre AS (
+  SELECT substr(bg, 1, 1) AS p, sum(c) AS pc FROM bgc GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT substr(bg, 2, 1)) AS v FROM bgc
+), scored AS (
+  SELECT pa.doc_id,
+         log2((b.c + 0.1) / (pr.pc + 0.1 * v.v)) AS logp
+  FROM pairs pa
+  JOIN bgc b USING (bg)
+  JOIN pre pr ON substr(pa.bg, 1, 1) = pr.p
+  CROSS JOIN v
+), agg AS (
+  SELECT doc_id, count(*) AS n_bigrams, -avg(logp) AS nll
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_bigrams, 0) AS n_bigrams,
+       round(pow(2, a.nll), 6) AS ppl
+FROM t d LEFT JOIN agg a USING (doc_id)
+"""
+
+_ORACLES["bm25_topk"] = r"""
+WITH q(query_id, text) AS (
+  VALUES (CAST(0 AS BIGINT), 'spark window join'),
+         (CAST(1 AS BIGINT), 'hash merge batch'),
+         (CAST(2 AS BIGINT), 'customer query order')
+), toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks
+), post AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks, UNNEST(t) AS u(term) GROUP BY doc_id, term
+), stats AS (
+  SELECT term, count(*) AS df_t FROM post GROUP BY term
+), n AS (SELECT count(*) AS n FROM documents),
+ad AS (SELECT avg(dl) AS avgdl FROM dl),
+qt AS (
+  SELECT DISTINCT query_id, term
+  FROM q, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(term)
+), cand AS (
+  SELECT qt.query_id, p.doc_id,
+         ln(1 + (n.n - s.df_t + 0.5) / (s.df_t + 0.5))
+           * p.tf * 2.2
+           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / ad.avgdl)) AS sc
+  FROM qt
+  JOIN post p USING (term)
+  JOIN stats s USING (term)
+  JOIN dl d ON p.doc_id = d.doc_id
+  CROSS JOIN n CROSS JOIN ad
+), scored AS (
+  SELECT query_id, doc_id, round(sum(sc), 6) AS score
+  FROM cand GROUP BY query_id, doc_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
 """
 
 _ORACLES["transcripts"] = SQL_PREFIX + """
@@ -4584,6 +4690,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emo_large": q_emo_large,             # rows-only (named preset bundle)
     "incremental_dedup": q_incremental_dedup,  # FULL oracle (replica-checked)
     "span_dedup": q_span_dedup,           # FULL oracle (replica-checked)
+    "charlm_ppl": q_charlm_ppl,           # FULL oracle (replica-checked)
+    "bm25_topk": q_bm25_topk,             # FULL oracle (replica-checked)
 }
 
 
