@@ -1382,6 +1382,32 @@ def q_bm25_topk(spark, sf_dir):
                       F.col("rank").cast("int").alias("rank"))
 
 
+def q_line_dedup(spark, sf_dir):
+    """Line-level exact dedup (CCNet/RefinedWeb repeated-line filter —
+    the layer between doc-level and span-level dedup): lines found in
+    >= min_docs DISTINCT documents are corpus boilerplate and every
+    occurrence is cut. documents.text has no newlines, so the gate
+    synthesizes multi-line pages deterministically (shared menu header
+    keyed by doc_id % 7, shared copyright footer on even docs keyed by
+    doc_id % 3, the unique body between) and strips exactly those.
+    opensmile_spark/linededup.py — 3 linear shuffles, no pairwise work.
+    Tail entry with a FULL oracle — replica-checked by
+    tools/check_correctness.py (the driver window is at 50)."""
+    from opensmile_spark.linededup import line_dedup
+
+    pages = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("menu "), (F.col("doc_id") % 7).cast("string"),
+            F.lit("\n"), F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.concat(F.lit("\ncopyright "),
+                            (F.col("doc_id") % 3).cast("string")))
+            .otherwise(F.lit(""))).alias("text"))
+    return line_dedup(pages, min_docs=2).select(
+        "doc_id", "n_lines", "n_removed", "dup_ratio", "clean_text")
+
+
 def q_datagen(spark, sf_dir):
     """Deterministic synthetic corpus (rows-only: xxhash64 has no DuckDB
     twin). Demonstrates the generator the bench uses."""
@@ -1547,6 +1573,36 @@ qt AS (
 )
 SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 10
+"""
+
+_ORACLES["line_dedup"] = r"""
+WITH base AS (
+  SELECT doc_id,
+    'menu ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) || text ||
+    CASE WHEN doc_id % 2 = 0
+         THEN chr(10) || 'copyright ' || CAST(doc_id % 3 AS VARCHAR)
+         ELSE '' END AS text
+  FROM documents
+), split AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM base
+), lines AS (
+  SELECT doc_id, i - 1 AS pos, ls[i] AS line
+  FROM split, UNNEST(generate_series(1, len(ls))) AS u(i)
+), freq AS (
+  SELECT line, count(DISTINCT doc_id) AS n_docs
+  FROM lines WHERE len(trim(line)) >= 1 GROUP BY line
+), marked AS (
+  SELECT l.doc_id, l.pos, l.line,
+         coalesce(f.n_docs >= 2, FALSE) AS dup
+  FROM lines l LEFT JOIN freq f USING (line)
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CAST(dup AS INT)) AS BIGINT) AS n_removed,
+  round(sum(CAST(dup AS INT)) * 1.0 / count(*), 6) AS dup_ratio,
+  coalesce(string_agg(CASE WHEN NOT dup THEN line END, chr(10)
+                      ORDER BY pos), '') AS clean_text
+FROM marked GROUP BY doc_id
 """
 
 _ORACLES["transcripts"] = SQL_PREFIX + """
@@ -4692,6 +4748,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_dedup": q_span_dedup,           # FULL oracle (replica-checked)
     "charlm_ppl": q_charlm_ppl,           # FULL oracle (replica-checked)
     "bm25_topk": q_bm25_topk,             # FULL oracle (replica-checked)
+    "line_dedup": q_line_dedup,           # FULL oracle (replica-checked)
 }
 
 
