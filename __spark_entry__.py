@@ -1408,6 +1408,24 @@ def q_line_dedup(spark, sf_dir):
         "doc_id", "n_lines", "n_removed", "dup_ratio", "clean_text")
 
 
+def q_bpe_tokens(spark, sf_dir):
+    """Distributed BPE tokenizer trained on the corpus word histogram
+    (one shuffle + bounded top-K collect), then map-only subword
+    encoding with broadcast merge ranks (opensmile_spark/bpe.py).
+    Rows-only BY CONSTRUCTION: the iterative merge loop (Sennrich et
+    al. ACL'16) has no SQL twin — parity is pinned by tests/test_bpe.py
+    (explicit merge-order pins, roundtrip, prefix property,
+    repartition-invariant training)."""
+    from opensmile_spark.bpe import bpe_encode, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    model = bpe_train(docs, n_merges=100, min_count=2)
+    out = bpe_encode(docs, model)
+    return out.select(
+        "doc_id", "n_bpe_tokens",
+        F.array_join(F.slice("bpe_tokens", 1, 8), "|").alias("head_tokens"))
+
+
 def q_datagen(spark, sf_dir):
     """Deterministic synthetic corpus (rows-only: xxhash64 has no DuckDB
     twin). Demonstrates the generator the bench uses."""
@@ -4749,6 +4767,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "charlm_ppl": q_charlm_ppl,           # FULL oracle (replica-checked)
     "bm25_topk": q_bm25_topk,             # FULL oracle (replica-checked)
     "line_dedup": q_line_dedup,           # FULL oracle (replica-checked)
+    "bpe_tokens": q_bpe_tokens,           # rows-only (iterative merge loop)
 }
 
 

@@ -333,6 +333,53 @@ def cmd_semdedup(spark, args):
                       "kept": kept, "pruned": n - kept}))
 
 
+def cmd_bpe(spark, args):
+    from pyspark.sql import functions as F
+
+    from opensmile_spark.bpe import BPEModel, bpe_encode, bpe_train
+    from opensmile_spark.tables import read_table
+
+    docs = read_table(spark, args.input)
+    if args.model:
+        model = BPEModel.from_df(spark.read.parquet(args.model))
+    else:
+        model = bpe_train(docs, n_merges=args.n_merges, top_k=args.top_k,
+                          min_count=args.min_count, text_col=args.text_col,
+                          lowercase=args.lowercase)
+    if args.model_out:
+        model.to_df(spark).write.mode("overwrite").parquet(args.model_out)
+    stats = {"n_merges": len(model.merges)}
+    if args.output:
+        enc = bpe_encode(docs, model, text_col=args.text_col,
+                         lowercase=args.lowercase)
+        enc.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+        agg = out.agg(F.count(F.lit(1)).alias("rows"),
+                      F.sum("n_bpe_tokens").alias("tokens")).collect()[0]
+        stats.update(output=args.output, rows=agg["rows"],
+                     tokens=agg["tokens"])
+    print(json.dumps(stats))
+
+
+def cmd_linededup(spark, args):
+    from pyspark.sql import functions as F
+
+    from opensmile_spark.linededup import line_dedup
+    from opensmile_spark.tables import read_table
+
+    docs = read_table(spark, args.input)
+    out = line_dedup(docs, text_col=args.text_col, id_col=args.id_col,
+                     min_docs=args.min_docs, min_chars=args.min_chars,
+                     approx=args.approx)
+    out.write.mode("overwrite").parquet(args.output)
+    res = spark.read.parquet(args.output)
+    agg = res.agg(F.count(F.lit(1)).alias("docs"),
+                  F.sum("n_lines").alias("lines"),
+                  F.sum("n_removed").alias("removed")).collect()[0]
+    print(json.dumps({"output": args.output, "docs": agg["docs"],
+                      "lines": agg["lines"], "removed": agg["removed"]}))
+
+
 def cmd_datagen(spark, args):
     from opensmile_spark.datagen import generate_transcripts
 
@@ -486,6 +533,29 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--id-col", default="vec_id")
     sp.add_argument("--vec-col", default="embedding")
 
+    sp = sub.add_parser("bpe",
+                        help="train a BPE tokenizer and/or encode a corpus")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", help="encoded-corpus parquet (optional)")
+    sp.add_argument("--model", help="existing merges parquet to reuse")
+    sp.add_argument("--model-out", help="where to persist trained merges")
+    sp.add_argument("--n-merges", type=int, default=200)
+    sp.add_argument("--top-k", type=int, default=50_000)
+    sp.add_argument("--min-count", type=int, default=2)
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--lowercase", action="store_true")
+
+    sp = sub.add_parser("linededup",
+                        help="remove lines shared by >= min-docs documents")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--min-docs", type=int, default=2)
+    sp.add_argument("--min-chars", type=int, default=1)
+    sp.add_argument("--approx", action="store_true",
+                    help="HLL distinct-doc counts (one shuffle, ~±2%)")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--id-col", default="doc_id")
+
     sp = sub.add_parser("pack")
     sp.add_argument("--input", required=True)
     sp.add_argument("--output", required=True)
@@ -521,6 +591,8 @@ def main(argv=None):
      "resample": cmd_resample,
      "ingest": cmd_ingest,
      "semdedup": cmd_semdedup,
+     "bpe": cmd_bpe,
+     "linededup": cmd_linededup,
      "pack": cmd_pack}[args.cmd](spark, args)
 
 
