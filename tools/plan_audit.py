@@ -286,6 +286,32 @@ def main():
           f"(python nodes={n_py}; candidates via cell-key join, "
           f"score = m array lookups in codegen)")
 
+    # line_dedup (round 4): exactly the 3 designed linear shuffles
+    # (line-freq distinct-agg, join-back key, per-doc rebuild) — Spark's
+    # exact count_distinct rewrite may add one expand-side exchange, so
+    # assert <= 4 and, harder, NO Python and NO cartesian anywhere: the
+    # cut is a JVM filter/transform lambda over the collected line list.
+    from opensmile_spark.linededup import line_dedup
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    p = plan_str(line_dedup(docs))
+    check("line_dedup linear shuffles, zero Python",
+          n_op("Exchange", p) <= 4
+          and count(r"(?i)pythonudf|ArrowEval|BatchEval", p) == 0
+          and count(r"CartesianProduct", p) == 0,
+          f"(exchanges={n_op('Exchange', p)}; JVM lambda cut)")
+
+    # bpe_encode (round 4): map-only — the ONLY node beyond the scan is
+    # the single Arrow kernel; no exchange, no join, ranks broadcast.
+    from opensmile_spark.bpe import BPEModel, bpe_encode
+
+    p = plan_str(bpe_encode(docs, BPEModel(merges=[("a", "b")])))
+    check("bpe_encode map-only (one Arrow kernel, zero shuffle)",
+          n_op("Exchange", p) == 0 and count(r"\) \w*Join", p) == 0
+          and n_op("ArrowEvalPython", p) == 1,
+          f"(exchanges={n_op('Exchange', p)}, "
+          f"arrow={n_op('ArrowEvalPython', p)})")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
