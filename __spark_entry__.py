@@ -1426,6 +1426,33 @@ def q_bpe_tokens(spark, sf_dir):
         F.array_join(F.slice("bpe_tokens", 1, 8), "|").alias("head_tokens"))
 
 
+def q_pack_sequences(spark, sf_dir):
+    """pack_sequences — materialized packed-id training sequences (the
+    arrays pack_concat only plans): per-source concat of each doc's id
+    array cut every 64 ids, assembled with JVM slice/sort/flatten over
+    ONE extra (source, pack_id) shuffle (opensmile_spark/packing.py).
+    Ids here are word lengths (SQL-expressible) so the WHOLE chain —
+    cumsum spans, array slicing, pack assembly order, checksums — has a
+    DuckDB twin; the BPE-id variant is the same plan with
+    bpe_encode_ids upstream. Tail entry with a FULL oracle —
+    replica-checked by tools/check_correctness.py (driver window at
+    50)."""
+    from opensmile_spark.packing import pack_sequences
+
+    ids = F.transform(F.split(F.trim(F.col("text")), r"\s+"),
+                      lambda w: F.length(w).cast("int"))
+    df = _docs(spark, sf_dir).select("source", "doc_id", ids.alias("ids"))
+    out = pack_sequences(df, budget=64, ids_col="ids",
+                         group_cols=["source"])
+    return out.select(
+        "source", "pack_id", "n_docs", "n_ids",
+        F.aggregate("input_ids", F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("ids_sum"),
+        F.array_join(F.transform(F.slice("input_ids", 1, 16),
+                                 lambda x: x.cast("string")),
+                     ",").alias("head"))
+
+
 def q_datagen(spark, sf_dir):
     """Deterministic synthetic corpus (rows-only: xxhash64 has no DuckDB
     twin). Demonstrates the generator the bench uses."""
@@ -1621,6 +1648,45 @@ SELECT doc_id,
   coalesce(string_agg(CASE WHEN NOT dup THEN line END, chr(10)
                       ORDER BY pos), '') AS clean_text
 FROM marked GROUP BY doc_id
+"""
+
+_ORACLES["pack_sequences"] = r"""
+WITH ids AS (
+  SELECT source, doc_id,
+         list_transform(string_split_regex(trim(text), '\s+'),
+                        w -> CAST(len(w) AS INT)) AS ids
+  FROM documents
+), counted AS (
+  SELECT source, doc_id, ids, len(ids) AS n,
+         sum(len(ids)) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_end
+  FROM ids
+), spans AS (
+  SELECT *, cum_end - n AS cum_start,
+         CAST(floor((cum_end - n) / 64.0) AS BIGINT) AS first_p,
+         greatest(CAST(floor((cum_end - 1) / 64.0) AS BIGINT),
+                  CAST(floor((cum_end - n) / 64.0) AS BIGINT)) AS last_p
+  FROM counted
+), expl AS (
+  SELECT source, doc_id, ids, n, cum_start, p
+  FROM spans, UNNEST(generate_series(first_p, last_p)) AS u(p)
+), pieces AS (
+  SELECT source, p AS pack_id, doc_id,
+         greatest(0, cum_start - p * 64) AS pack_begin,
+         ids[CAST(greatest(0, p * 64 - cum_start) AS BIGINT) + 1 :
+             CAST(least(n, (p + 1) * 64 - cum_start) AS BIGINT)] AS piece
+  FROM expl
+), packs AS (
+  SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+         flatten(list(piece ORDER BY pack_begin, doc_id)) AS input_ids,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM pieces GROUP BY source, pack_id
+)
+SELECT source, pack_id, n_docs,
+       CAST(len(input_ids) AS BIGINT) AS n_ids,
+       CAST(coalesce(list_sum(input_ids), 0) AS BIGINT) AS ids_sum,
+       array_to_string(input_ids[1:16], ',') AS head
+FROM packs
 """
 
 _ORACLES["transcripts"] = SQL_PREFIX + """
@@ -4768,6 +4834,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,             # FULL oracle (replica-checked)
     "line_dedup": q_line_dedup,           # FULL oracle (replica-checked)
     "bpe_tokens": q_bpe_tokens,           # rows-only (iterative merge loop)
+    "pack_sequences": q_pack_sequences,   # FULL oracle (replica-checked)
 }
 
 

@@ -43,7 +43,8 @@ from pyspark.sql.types import ArrayType, StringType
 
 from .text import BPE_ISH_PATTERN
 
-__all__ = ["BPEModel", "word_histogram", "bpe_train", "bpe_encode"]
+__all__ = ["BPEModel", "UNK_ID", "word_histogram", "bpe_train",
+           "bpe_encode", "bpe_encode_ids"]
 
 
 def word_histogram(df: DataFrame, text_col: str = "text",
@@ -59,11 +60,19 @@ def word_histogram(df: DataFrame, text_col: str = "text",
             .groupBy("word").count())
 
 
+UNK_ID = 0
+
+
 @dataclass
 class BPEModel:
-    """Ordered merge list + derived rank table. `merges[i]` is the pair
-    merged at step i; earlier rank wins during encoding (standard BPE)."""
+    """Ordered merge list + training alphabet. `merges[i]` is the pair
+    merged at step i; earlier rank wins during encoding (standard BPE).
+    `alphabet` (sorted distinct characters of the training histogram)
+    anchors the integer vocabulary: id 0 is <unk>, ids 1..|alphabet|
+    are the base characters, merged symbols follow in creation order —
+    deterministic, so the same corpus always yields the same ids."""
     merges: list = field(default_factory=list)
+    alphabet: list = field(default_factory=list)
 
     @property
     def ranks(self) -> dict:
@@ -74,16 +83,39 @@ class BPEModel:
         are implicit: any single character is always a valid token)."""
         return [a + b for a, b in self.merges]
 
+    def token_ids(self) -> dict:
+        """token -> id. Unseen tokens map to UNK_ID (0) at encode time."""
+        ids = {c: i + 1 for i, c in enumerate(self.alphabet)}
+        base = len(self.alphabet) + 1
+        for j, (a, b) in enumerate(self.merges):
+            ids.setdefault(a + b, base + j)
+        return ids
+
+    @property
+    def vocab_size(self) -> int:
+        """ids are dense in [0, vocab_size): unk + alphabet + merges
+        (minus merges whose symbol collides with an earlier token)."""
+        return len(self.token_ids()) + 1
+
     def to_df(self, spark) -> DataFrame:
-        """Persistable (rank, left, right) table."""
-        rows = [(i, a, b) for i, (a, b) in enumerate(self.merges)]
+        """Persistable (kind, rank, left, right) table: kind='char' rows
+        hold the alphabet (token in `left`), kind='merge' rows the
+        ordered merges."""
+        rows = ([("char", i, c, None) for i, c in enumerate(self.alphabet)]
+                + [("merge", i, a, b)
+                   for i, (a, b) in enumerate(self.merges)])
         return spark.createDataFrame(
-            rows, "rank int, left string, right string")
+            rows, "kind string, rank int, left string, right string")
 
     @classmethod
     def from_df(cls, df: DataFrame) -> "BPEModel":
-        rows = sorted(df.collect(), key=lambda r: r["rank"])
-        return cls(merges=[(r["left"], r["right"]) for r in rows])
+        rows = df.collect()
+        chars = sorted((r for r in rows if r["kind"] == "char"),
+                       key=lambda r: r["rank"])
+        merges = sorted((r for r in rows if r["kind"] == "merge"),
+                        key=lambda r: r["rank"])
+        return cls(merges=[(r["left"], r["right"]) for r in merges],
+                   alphabet=[r["left"] for r in chars])
 
 
 def _train_on_hist(hist: list, n_merges: int, min_count: int) -> list:
@@ -138,7 +170,9 @@ def bpe_train(df: DataFrame, n_merges: int = 200, top_k: int = 50_000,
                  .limit(top_k)
                  .collect())
     hist = [(r["word"], r["count"]) for r in hist_rows]
-    return BPEModel(merges=_train_on_hist(hist, n_merges, min_count))
+    alphabet = sorted({c for w, _ in hist for c in w})
+    return BPEModel(merges=_train_on_hist(hist, n_merges, min_count),
+                    alphabet=alphabet)
 
 
 def _encode_word(word: str, ranks: dict) -> list:
@@ -189,6 +223,54 @@ def bpe_encode(df: DataFrame, model: BPEModel, text_col: str = "text",
                     toks = _encode_word(w, ranks)
                     memo[w] = toks
                 out.extend(toks)
+            return out
+
+        return pd.Series([enc(t) for t in texts])
+
+    out = df.withColumn(out_col, encode(F.col(text_col)))
+    return out.withColumn(f"n_{out_col}", F.size(out_col).cast("long"))
+
+
+def bpe_encode_ids(df: DataFrame, model: BPEModel,
+                   text_col: str = "text",
+                   out_col: str = "bpe_token_ids",
+                   pattern: str = BPE_ISH_PATTERN,
+                   lowercase: bool = False) -> DataFrame:
+    """Append `out_col` (array<int> token ids under `model.token_ids()`;
+    unseen tokens -> UNK_ID) and `n_{out_col}` (long). Same map-only
+    broadcast-kernel shape as `bpe_encode`; feed the result straight to
+    packing.pack_sequences for budget-exact training sequences."""
+    import re
+
+    from pyspark.sql.types import IntegerType
+
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((model.merges, model.alphabet))
+    rx = re.compile(pattern)
+    do_lower = lowercase
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(texts):
+        import pandas as pd
+
+        merges, alphabet = bc.value
+        m = BPEModel(merges=merges, alphabet=alphabet)
+        ranks, ids = m.ranks, m.token_ids()
+        memo: dict = {}
+
+        def enc(text):
+            if text is None:
+                return []
+            if do_lower:
+                text = text.lower()
+            out = []
+            for w in rx.findall(text):
+                t = memo.get(w)
+                if t is None:
+                    t = [ids.get(s, UNK_ID)
+                         for s in _encode_word(w, ranks)]
+                    memo[w] = t
+                out.extend(t)
             return out
 
         return pd.Series([enc(t) for t in texts])

@@ -17,6 +17,11 @@ concatenation of a document set and the "frame" is a context window.
                          doc-local token offsets). One window cumsum per
                          group — group by a shard key at scale so no
                          single global ordering is materialized
+  pack_sequences         materialize the packs pack_concat only plans:
+                         slice + assemble token-id arrays into exactly
+                         `budget`-sized sequences (JVM array exprs; the
+                         assembly groupBy reuses the cumsum window's
+                         group-key exchange — one shuffle total)
   pack_greedy            first-fit no-split packing: walk docs in order,
                          open a new pack when the budget would overflow.
                          Sequential per group (applyInPandas); groups are
@@ -96,7 +101,8 @@ def chunk_documents(df: DataFrame, max_tokens: int = 128,
 def pack_concat(df: DataFrame, budget: int,
                 token_col: str = "n_tokens_ws",
                 id_col: str = "doc_id",
-                group_cols: Sequence[str] = ()) -> DataFrame:
+                group_cols: Sequence[str] = (),
+                carry_cols: Sequence[str] = ()) -> DataFrame:
     """Concat-then-split sequence packing: documents are concatenated in
     (`group_cols`, `id_col`) order and cut every `budget` tokens. A doc
     spanning a cut appears once per pack it touches, with the half-open
@@ -110,6 +116,10 @@ def pack_concat(df: DataFrame, budget: int,
     a serial bottleneck at scale; production groups by a shard key
     (`deterministic_shuffle`) so each shard packs independently and in
     parallel, which is also what keeps pack ids stable under reruns.
+
+    `carry_cols` are passed through unchanged to every emitted span row
+    (e.g. a token-id array for `pack_sequences` to slice) — kept out of
+    the window/agg math so they ride the same exchange for free.
     """
     from pyspark.sql import Window
 
@@ -133,13 +143,14 @@ def pack_concat(df: DataFrame, budget: int,
     pack = F.explode(F.sequence(F.col("__first"), F.col("__last"))) \
             .alias("pack_id")
     exploded = spans.select(
-        *group_cols, id_col, tok.alias("doc_tokens"), "__cum_start", pack)
+        *group_cols, id_col, *carry_cols,
+        tok.alias("doc_tokens"), "__cum_start", pack)
     lo = F.greatest(F.lit(0), F.col("pack_id") * budget
                     - F.col("__cum_start"))
     hi = F.least(F.col("doc_tokens"), (F.col("pack_id") + 1) * budget
                  - F.col("__cum_start"))
     return exploded.select(
-        *group_cols, id_col, "doc_tokens",
+        *group_cols, id_col, *carry_cols, "doc_tokens",
         F.col("pack_id").cast("long").alias("pack_id"),
         lo.cast("long").alias("tok_begin"),
         hi.cast("long").alias("tok_end"),
@@ -149,6 +160,59 @@ def pack_concat(df: DataFrame, budget: int,
                    - F.col("pack_id") * budget).cast("long")
          .alias("pack_begin"),
     )
+
+
+def pack_sequences(df: DataFrame, budget: int,
+                   ids_col: str = "bpe_token_ids",
+                   id_col: str = "doc_id",
+                   group_cols: Sequence[str] = (),
+                   pad_id: int | None = None) -> DataFrame:
+    """Assemble the actual packed training sequences: concat the
+    `ids_col` arrays of each group's documents in `id_col` order and cut
+    every `budget` ids — the materialized counterpart of `pack_concat`'s
+    manifest (which it reuses for the span math, carrying the id arrays
+    through the same exchange).
+
+    Returns one row per (group, pack_id):
+      input_ids  array<int> of exactly `budget` ids (the final pack of a
+                 group may be shorter; `pad_id` right-pads it to budget)
+      n_docs     documents contributing to the pack
+      n_ids      ids before padding
+
+    Shape: with non-empty `group_cols` the whole chain is ONE exchange —
+    the (group, pack_id) assembly groupBy is satisfied by the cumsum
+    window's hash partitioning on the group key, so each token id
+    crosses the wire exactly once (plan-audited). Slicing and assembly
+    are JVM array expressions (slice / sort_array / flatten), zero
+    Python. Same scale contract as pack_concat: group by a shard key so
+    packing parallelizes and pack ids are rerun-stable.
+    """
+    counted = df.withColumn("__n_ids", F.size(ids_col).cast("long"))
+    man = pack_concat(counted, budget, "__n_ids", id_col, group_cols,
+                      carry_cols=(ids_col,))
+    piece = F.slice(
+        F.col(ids_col), (F.col("tok_begin") + 1).cast("int"),
+        (F.col("tok_end") - F.col("tok_begin")).cast("int"))
+    assembled = (
+        man.select(*group_cols, "pack_id", "pack_begin",
+                   F.col(id_col).alias("__doc"), piece.alias("__piece"))
+        .groupBy(*group_cols, "pack_id")
+        .agg(
+            F.flatten(F.transform(
+                F.sort_array(F.collect_list(
+                    F.struct("pack_begin", "__doc", "__piece"))),
+                lambda s: s["__piece"])).alias("input_ids"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .withColumn("n_ids", F.size("input_ids").cast("long")))
+    if pad_id is not None:
+        pad = F.array_repeat(
+            F.lit(pad_id).cast("int"),
+            (F.lit(budget) - F.col("n_ids")).cast("int"))
+        assembled = assembled.withColumn(
+            "input_ids", F.concat("input_ids", pad))
+    return assembled.select(*group_cols, "pack_id", "input_ids",
+                            "n_docs", "n_ids")
 
 
 def pack_greedy(df: DataFrame, budget: int,

@@ -312,6 +312,25 @@ def main():
           f"(exchanges={n_op('Exchange', p)}, "
           f"arrow={n_op('ArrowEvalPython', p)})")
 
+    # pack_sequences (round 4): cumsum window exchange + ONE
+    # (group, pack) assembly shuffle that carries each token id exactly
+    # once; slicing/sorting/flattening are JVM array exprs — no Python,
+    # no join.
+    from opensmile_spark.packing import pack_sequences
+
+    ids_df = docs.select(
+        "source", "doc_id",
+        F.transform(F.split(F.trim(F.col("text")), r"\s+"),
+                    lambda w: F.length(w).cast("int")).alias("ids"))
+    p = plan_str(pack_sequences(ids_df, budget=64, ids_col="ids",
+                                group_cols=["source"]))
+    check("pack_sequences two exchanges, zero Python, no join",
+          n_op("Exchange", p) <= 2
+          and count(r"(?i)pythonudf|ArrowEval|BatchEval", p) == 0
+          and count(r"\) \w*Join", p) == 0,
+          f"(exchanges={n_op('Exchange', p)}; window cumsum + pack "
+          f"assembly)")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
