@@ -136,3 +136,30 @@ def test_dedup_stream_drops_duplicates(spark, tmp_path):
     got = spark.sql("SELECT * FROM dedup_out").toPandas()
     assert len(got) == 10
     assert sorted(got.text.unique()) == sorted(f"text {i}" for i in range(10))
+
+
+def test_streaming_bpe_encode(spark, tmp_path):
+    """bpe_encode_ids is a stateless map (broadcast ranks, Arrow kernel,
+    zero shuffle) so it composes with Structured Streaming unchanged:
+    ids on the stream == ids on the batch, micro-batching invariant."""
+    from opensmile_spark.bpe import bpe_encode_ids, bpe_train
+    from opensmile_spark.streaming import run_stream_to_memory
+
+    batch = spark.createDataFrame(
+        [(i, "the cat sat on mat %d" % (i % 3)) for i in range(12)],
+        "doc_id long, text string")
+    model = bpe_train(batch, n_merges=25, min_count=1)
+
+    src = str(tmp_path / "bpe_src")
+    batch.repartition(3).write.parquet(src)
+    stream = spark.readStream.schema(batch.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    run_stream_to_memory(
+        bpe_encode_ids(stream, model).select("doc_id", "bpe_token_ids"),
+        "bpe_stream_out")
+    got = {r["doc_id"]: list(r["bpe_token_ids"])
+           for r in spark.sql("select * from bpe_stream_out").collect()}
+    want = {r["doc_id"]: list(r["bpe_token_ids"])
+            for r in bpe_encode_ids(batch, model)
+            .select("doc_id", "bpe_token_ids").collect()}
+    assert got == want
