@@ -138,6 +138,35 @@ def main():
     tot = chunks.groupBy("doc_id").agg(F.max("chunk_idx").alias("mx"))
     check("9 chunking covers survivors", tot.count() == len(a))
 
+    # 10. boilerplate cut -> BPE tokenize -> packed id sequences: the id
+    # stream must be preserved exactly through packing, every non-tail
+    # pack budget-exact, and nothing about the chain partition-dependent.
+    from opensmile_spark.bpe import bpe_encode_ids, bpe_train
+    from opensmile_spark.linededup import line_dedup
+    from opensmile_spark.packing import pack_sequences
+
+    pages = docs.select(
+        "doc_id", "source",
+        F.concat(F.lit("BOILER\n"), F.col("text")).alias("text"))
+    cleaned = line_dedup(pages).select(
+        "doc_id", F.col("clean_text").alias("text")) \
+        .join(docs.select("doc_id", "source"), "doc_id")
+    model = bpe_train(cleaned, n_merges=60)
+    enc = bpe_encode_ids(cleaned, model)
+    packs = pack_sequences(enc, budget=256, group_cols=["source"])
+    stream = [i for r in packs.orderBy("source", "pack_id").collect()
+              for i in r["input_ids"]]
+    want = [i for r in enc.orderBy("source", "doc_id")
+            .select("source", "bpe_token_ids").collect()
+            for i in r["bpe_token_ids"]]
+    boiler_cut = cleaned.filter(
+        F.col("text").startswith("BOILER")).count() == 0
+    non_tail_exact = packs.filter(
+        (F.col("n_ids") != 256)).groupBy("source").count() \
+        .filter(F.col("count") > 1).count() == 0
+    check("10 tokenize->pack stream exact",
+          boiler_cut and stream == want and non_tail_exact)
+
     spark.stop()
     print("VERIFY " + ("PASS" if ok else "FAIL"))
     return 0 if ok else 1
