@@ -596,10 +596,14 @@ def q_embedding_near_dups_lsh(spark, sf_dir):
 
 
 def q_cosine_topk(spark, sf_dir):
-    """Bank of the two EXACT kNN paths (round-4 join): `cosine_topk`
-    (broadcast small-query contract, 5 queries x k=10) and `knn_join`
-    (block nested-loop bulk join, the WHOLE corpus as the query set x
-    k=3) — both hash-checked against the same all-pairs window oracle."""
+    """Bank of the EXACT retrieval paths (round-4 join, round-4b adds
+    lexical): `cosine_topk` (broadcast small-query contract, 5 queries x
+    k=10), `knn_join` (block nested-loop bulk join, the WHOLE corpus as
+    the query set x k=3) — both hash-checked against the same all-pairs
+    window oracle — and `bm25_topk` (Okapi BM25 lexical top-10, postings
+    index + broadcast query terms) as a third `path`, so all three
+    retrieval disciplines land in one driver-window gate."""
+    from opensmile_spark.lm import bm25_index, bm25_search
     from opensmile_spark.similarity import cosine_topk, knn_join
 
     emb = _emb(spark, sf_dir)
@@ -607,12 +611,21 @@ def q_cosine_topk(spark, sf_dir):
     small = (cosine_topk(emb, queries, k=10)
              .select(F.lit("broadcast").alias("path"),
                      "query_id", "item_id", "rank",
-                     F.round("cosine", 5).alias("cosine")))
+                     F.round("cosine", 5).alias("score")))
     bulk = (knn_join(emb, emb, k=3, query_blocks=4)
             .select(F.lit("bulk").alias("path"),
                     "query_id", "item_id", "rank",
-                    F.round("cosine", 5).alias("cosine")))
-    return small.unionByName(bulk)
+                    F.round("cosine", 5).alias("score")))
+    bm_queries = spark.createDataFrame(
+        [(0, "spark window join"), (1, "hash merge batch"),
+         (2, "customer query order")],
+        "query_id long, text string")
+    bm = (bm25_search(bm25_index(_docs(spark, sf_dir)), bm_queries, k=10)
+          .select(F.lit("bm25").alias("path"),
+                  "query_id", F.col("doc_id").alias("item_id"),
+                  F.col("rank").cast("int").alias("rank"),
+                  F.col("score")))
+    return small.unionByName(bulk).unionByName(bm)
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -1312,8 +1325,8 @@ def q_incremental_dedup(spark, sf_dir):
     overlaps (doc_id % 20 == 19 -> previous doc's text = within-batch
     dup; doc_id % 6 == 0 -> text of doc_id-10 = seen-in-history). Exact
     path, md5_64 portable fingerprints; the bloom prefilter is pinned
-    equal to this path by tests/test_incremental.py. Tail entry with a
-    FULL oracle — replica-checked by tools/check_correctness.py."""
+    equal to this path by tests/test_incremental.py. In-window driver
+    gate with a FULL oracle (round-4b re-pack)."""
     from opensmile_spark.incremental import (build_fingerprint_store,
                                              incremental_dedup)
 
@@ -1338,8 +1351,8 @@ def q_span_dedup(spark, sf_dir):
     k-gram windows all repeat corpus-wide is found, merged to maximal
     ranges, and cut from the text. opensmile_spark/spandedup.py — 3
     linear shuffles (gram-count, hit join, per-doc merge), no pairs.
-    Tail entry with a FULL oracle — replica-checked by
-    tools/check_correctness.py (the driver window is at 50)."""
+    Driver-checked inside the window as part of the text_metrics bank
+    (round-4b re-pack)."""
     from opensmile_spark.spandedup import span_dedup
 
     out = span_dedup(_docs(spark, sf_dir), k=4, min_count=2)
@@ -1352,8 +1365,8 @@ def q_charlm_ppl(spark, sf_dir):
     """CCNet-style perplexity filter (Wenzek et al. LREC'20 recipe shape,
     char-bigram model): fit additive-smoothed p(cur|prev) over the corpus
     (one shuffle, model <= |charset|^2 rows), score per doc via the
-    broadcast-join plan. opensmile_spark/lm.py. Tail entry with a FULL
-    oracle — replica-checked (the driver window is at 50)."""
+    broadcast-join plan. opensmile_spark/lm.py. Driver-checked inside
+    the window as part of the text_metrics bank (round-4b re-pack)."""
     from opensmile_spark.lm import charlm_fit, charlm_perplexity
 
     docs = _docs(spark, sf_dir)
@@ -1368,8 +1381,9 @@ def q_bm25_topk(spark, sf_dir):
     """Okapi BM25 top-k retrieval (Lucene idf variant) — the lexical
     complement of the embedding ANN stack: postings shuffle once on term,
     query terms broadcast, doc length denormalized into the postings so
-    search does zero corpus-side joins. opensmile_spark/lm.py. Tail
-    entry with a FULL oracle — replica-checked."""
+    search does zero corpus-side joins. opensmile_spark/lm.py.
+    Driver-checked inside the window as the bm25 path of the cosine_topk
+    retrieval bank (round-4b re-pack)."""
     from opensmile_spark.lm import bm25_index, bm25_search
 
     docs = _docs(spark, sf_dir)
@@ -1391,8 +1405,8 @@ def q_line_dedup(spark, sf_dir):
     keyed by doc_id % 7, shared copyright footer on even docs keyed by
     doc_id % 3, the unique body between) and strips exactly those.
     opensmile_spark/linededup.py — 3 linear shuffles, no pairwise work.
-    Tail entry with a FULL oracle — replica-checked by
-    tools/check_correctness.py (the driver window is at 50)."""
+    Driver-checked inside the window as part of the text_metrics bank
+    (round-4b re-pack)."""
     from opensmile_spark.linededup import line_dedup
 
     pages = _docs(spark, sf_dir).select(
@@ -1434,9 +1448,8 @@ def q_pack_sequences(spark, sf_dir):
     Ids here are word lengths (SQL-expressible) so the WHOLE chain —
     cumsum spans, array slicing, pack assembly order, checksums — has a
     DuckDB twin; the BPE-id variant is the same plan with
-    bpe_encode_ids upstream. Tail entry with a FULL oracle —
-    replica-checked by tools/check_correctness.py (driver window at
-    50)."""
+    bpe_encode_ids upstream. In-window driver gate with a FULL oracle
+    (round-4b re-pack)."""
     from opensmile_spark.packing import pack_sequences
 
     ids = F.transform(F.split(F.trim(F.col("text")), r"\s+"),
@@ -3771,11 +3784,11 @@ ranked AS (
   FROM scored
 )
 SELECT 'broadcast' AS path, query_id, item_id,
-       CAST(rank AS INTEGER) AS rank, ROUND(cosine, 5) AS cosine
+       CAST(rank AS INTEGER) AS rank, ROUND(cosine, 5) AS score
 FROM ranked WHERE query_id < 5 AND rank <= 10
 UNION ALL
 SELECT 'bulk' AS path, query_id, item_id,
-       CAST(rank AS INTEGER) AS rank, ROUND(cosine, 5) AS cosine
+       CAST(rank AS INTEGER) AS rank, ROUND(cosine, 5) AS score
 FROM ranked WHERE rank <= 3
 """
 
@@ -4352,13 +4365,16 @@ def q_presets_core(spark, sf_dir):
 def q_spectral_bank(spark, sf_dir):
     """The full cSpectral/cPlp/cHarmonics/cSpecScale surface over the
     per-doc token spectrum (constituents: `token_spectrum`,
-    `spectral_moments`, `plp_aud`, `harmonics`, `spec_scale`)."""
+    `spectral_moments`, `plp_aud`, `harmonics`, `spec_scale`, plus the
+    round-4b fold-in of `vector_ops_ext` — cVectorOperation frequency
+    conversions and array reduces, the other doc_id-grain vector gate)."""
     return _merge(("doc_id",),
                   q_token_spectrum(spark, sf_dir),
                   q_spectral_moments(spark, sf_dir),
                   q_plp_aud(spark, sf_dir),
                   q_harmonics(spark, sf_dir),
-                  q_spec_scale(spark, sf_dir))
+                  q_spec_scale(spark, sf_dir),
+                  q_vector_ops_ext(spark, sf_dir))
 
 
 def q_pack_bank(spark, sf_dir):
@@ -4471,7 +4487,12 @@ def q_streaming_expanding(spark, sf_dir):
 def q_docfeat_bank(spark, sf_dir):
     """Per-doc text analysis + dedup signatures + C4 structural quality
     signals in one doc_id-grain bank (constituents: `text_metrics`,
-    `doc_signatures`, plus the round-3b `c4_signals` columns)."""
+    `doc_signatures`, the round-3b `c4_signals` columns, and — round-4b,
+    so the driver hash-checks them inside the 50-entry window — the
+    char-bigram perplexity filter `charlm_ppl`, the ExactSubstr
+    span-dedup gate `span_dedup` (cols prefixed span_) and the
+    repeated-line boilerplate filter `line_dedup` (cols prefixed
+    line_/page_))."""
     from opensmile_spark.text import c4_signals, char_entropy
 
     c4 = c4_signals(_docs(spark, sf_dir)).select(
@@ -4482,11 +4503,20 @@ def q_docfeat_bank(spark, sf_dir):
     )
     ent = char_entropy(_docs(spark, sf_dir)).select(
         "doc_id", F.round("char_entropy", 6).alias("char_entropy"))
+    span = (q_span_dedup(spark, sf_dir)
+            .withColumnRenamed("dup_ratio", "span_dup_ratio")
+            .withColumnRenamed("clean_text", "span_clean_text"))
+    line = (q_line_dedup(spark, sf_dir)
+            .withColumnRenamed("n_lines", "page_n_lines")
+            .withColumnRenamed("dup_ratio", "line_dup_ratio")
+            .withColumnRenamed("clean_text", "line_clean_text"))
     return _merge(("doc_id",),
                   q_text_metrics(spark, sf_dir),
                   q_doc_signatures(spark, sf_dir),
                   c4, ent,
-                  q_redact(spark, sf_dir))
+                  q_redact(spark, sf_dir),
+                  q_charlm_ppl(spark, sf_dir),
+                  span, line)
 
 
 def q_streaming_sessions(spark, sf_dir):
@@ -4578,7 +4608,8 @@ _ORACLES["egemaps_core"] = _join_sql(
 _ORACLES["token_spectrum"] = _join_sql(
     ("doc_id",), _ORACLES["token_spectrum"],
     _ORACLES.pop("spectral_moments"), _ORACLES.pop("plp_aud"),
-    _ORACLES.pop("harmonics"), _ORACLES.pop("spec_scale"))
+    _ORACLES.pop("harmonics"), _ORACLES.pop("spec_scale"),
+    _ORACLES.pop("vector_ops_ext"))
 _ORACLES["text_metrics"] = _join_sql(
     ("doc_id",), _ORACLES["text_metrics"], _ORACLES.pop("doc_signatures"),
     r"""
@@ -4604,7 +4635,14 @@ WITH c AS (
 SELECT doc_id,
   round(-sum((n / tot) * log2(n / tot)), 6) AS char_entropy
 FROM f JOIN tot USING (doc_id) GROUP BY doc_id
-""", _ORACLES.pop("redact"))
+""", _ORACLES.pop("redact"),
+    _ORACLES.pop("charlm_ppl"),
+    "SELECT doc_id, n_tokens, n_dup_spans, dup_tokens, "
+    "dup_ratio AS span_dup_ratio, clean_text AS span_clean_text "
+    "FROM (" + _ORACLES.pop("span_dedup") + ") sp",
+    "SELECT doc_id, n_lines AS page_n_lines, n_removed, "
+    "dup_ratio AS line_dup_ratio, clean_text AS line_clean_text "
+    "FROM (" + _ORACLES.pop("line_dedup") + ") ln")
 
 _ORACLES["lpc_modulation"] = _join_sql(
     ("conv_id", "n_turns"), _ORACLES["lpc_modulation"],
@@ -4614,6 +4652,11 @@ _ORACLES["frame_vector"] = _join_sql(
     _KEYS_CT, _ORACLES["frame_vector"],
     "SELECT conv_id, pos AS turn_idx, value FROM ("
     + _ORACLES.pop("overlap_add") + ") oa")
+
+_ORACLES["cosine_topk"] = (
+    _ORACLES["cosine_topk"]
+    + "\nUNION ALL\nSELECT 'bm25' AS path, query_id, doc_id AS item_id, "
+    + "rank, score FROM (" + _ORACLES.pop("bm25_topk") + ") bm")
 
 _ORACLES["pack_bank"] = _join_sql(
     ("source", "doc_id"), _ORACLES.pop("pack_concat"),
@@ -4787,7 +4830,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "valbased_selector": q_valbased_selector,
     "data_selector": q_data_selector,
     "vector_ops": q_vector_ops_bank,
-    "vector_ops_ext": q_vector_ops_ext,
+    # (vector_ops_ext folded into the token_spectrum bank — round-4b)
     # skew handling
     "salted_stats": q_salted_stats,
     "salted_sma_equivalence": q_salted_sma_equivalence,
@@ -4798,12 +4841,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sources / sinks
     "io_roundtrip": q_io_roundtrip,
     # text analysis / dedup / similarity
-    "text_metrics": q_docfeat_bank,
+    "text_metrics": q_docfeat_bank,   # + charlm_ppl/span_dedup/line_dedup
     "exact_dedup": q_exact_dedup,
+    "incremental_dedup": q_incremental_dedup,  # cross-snapshot (FULL oracle)
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_near_dups": q_simhash_near_dups,
     "embedding_near_dups": q_embedding_near_dups,
-    "embedding_near_dups_lsh": q_embedding_near_dups_lsh,  # rows-only (ANN)
     "dedup_components": q_dedup_components,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_pairs": q_winnow_pairs,
@@ -4816,25 +4859,25 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sequence assembly (training-data last mile)
     "chunk_documents": q_chunk_documents,
     "pack_bank": q_pack_bank,
+    "pack_sequences": q_pack_sequences,   # materialized packed ids (oracle)
     "shuffle_shards": q_shuffle_shards,
     # the composed end-to-end corpus build (one oracle-checked gate)
     "corpus_pipeline": q_corpus_pipeline,
     # ---- position 51+: rows-only BY CONSTRUCTION (outside driver window) --
+    # After the round-4b re-pack, EVERY oracle-checked gate sits inside the
+    # 50-entry driver window; this tail is exclusively gates whose driver
+    # check is rows-only because no SQL twin can exist (approximate ANN
+    # recall, xxhash64, sextic roots, preset supersets, iterative BPE).
     "egemaps_bundle": q_egemaps_bundle,   # rows-only (named preset)
     "ann_lsh_topk": q_ann_lsh_topk,       # rows-only (approximate ANN)
     "ann_ivf_topk": q_ann_ivf_topk,       # rows-only (approximate ANN)
     "ann_pq_topk": q_ann_pq_topk,         # rows-only (approximate ANN)
     "ann_ivfpq_topk": q_ann_ivfpq_topk,   # rows-only (approximate ANN)
+    "embedding_near_dups_lsh": q_embedding_near_dups_lsh,  # rows-only (ANN)
     "datagen": q_datagen,                 # rows-only (xxhash64 has no twin)
     "formants": q_formants,               # rows-only (sextic roots: no closed form)
     "emo_large": q_emo_large,             # rows-only (named preset bundle)
-    "incremental_dedup": q_incremental_dedup,  # FULL oracle (replica-checked)
-    "span_dedup": q_span_dedup,           # FULL oracle (replica-checked)
-    "charlm_ppl": q_charlm_ppl,           # FULL oracle (replica-checked)
-    "bm25_topk": q_bm25_topk,             # FULL oracle (replica-checked)
-    "line_dedup": q_line_dedup,           # FULL oracle (replica-checked)
     "bpe_tokens": q_bpe_tokens,           # rows-only (iterative merge loop)
-    "pack_sequences": q_pack_sequences,   # FULL oracle (replica-checked)
 }
 
 
