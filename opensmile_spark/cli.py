@@ -418,6 +418,31 @@ def cmd_resample(spark, args):
                       "policy": args.policy}))
 
 
+def cmd_smileconf(spark, args):
+    """Run a reference openSMILE .conf on a transcripts/LLD parquet table
+    (the SMILExtract -C migration path). Prints the mapping report so the
+    user sees which components carried over, which were passthrough, and
+    which options were out of mapping scope."""
+    from opensmile_spark.lld import compute_lld
+    from opensmile_spark.smileconf import conf_to_config, load_conf
+    from opensmile_spark.tables import read_table
+
+    cm = dict(kv.split("=", 1) for kv in (args.cm or []))
+    parse = load_conf(args.conf, cm=cm)
+    df = read_table(spark, args.input)
+    if args.lld:
+        df = compute_lld(df)
+    cfg = conf_to_config(parse, args.value_cols,
+                         group_cols=tuple(args.group_cols))
+    from opensmile_spark.config import run_config
+
+    out = run_config(df, cfg)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"output": args.output,
+                      "n_stages": len(cfg["stages"]),
+                      "report": cfg["report"]}))
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="opensmile_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -585,6 +610,26 @@ def build_parser() -> argparse.ArgumentParser:
                     help="chunk mode: tokens shared between chunks")
     sp.add_argument("--group-cols", default="source")
     sp.add_argument("--text-col", default="text")
+
+    sp = sub.add_parser("smileconf",
+                        help="run a reference openSMILE .conf file "
+                             "(SMILExtract -C migration path)")
+    sp.add_argument("--conf", required=True,
+                    help="path to the openSMILE .conf / .conf.inc file")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--value-cols", default="char_len",
+                    type=lambda s: s.split(","),
+                    help="columns seeding levels produced by unmapped "
+                         "components (the LLD chain analogue)")
+    sp.add_argument("--group-cols", default="conv_id",
+                    type=lambda s: s.split(","))
+    sp.add_argument("--lld", action="store_true",
+                    help="compute the transcript LLD bank before the conf "
+                         "stages (input is a raw transcripts table)")
+    sp.add_argument("--cm", action="append", default=[],
+                    help="command-line substitution for \\cm[name] refs, "
+                         "as name=value (repeatable)")
     return p
 
 
@@ -611,7 +656,8 @@ def main(argv=None):
      "semdedup": cmd_semdedup,
      "bpe": cmd_bpe,
      "linededup": cmd_linededup,
-     "pack": cmd_pack}[args.cmd](spark, args)
+     "pack": cmd_pack,
+     "smileconf": cmd_smileconf}[args.cmd](spark, args)
 
 
 if __name__ == "__main__":

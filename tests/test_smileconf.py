@@ -1,0 +1,296 @@
+"""openSMILE .conf compatibility layer: parser, dataflow ordering,
+component mapping, end-to-end equivalence, and real-reference-file parse."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from opensmile_spark.smileconf import (conf_to_config, load_conf,
+                                       parse_conf_text, run_smile_conf,
+                                       toposort_sections)
+
+@pytest.fixture(scope="module")
+def lld_small(spark):
+    rows = []
+    rng = np.random.RandomState(7)
+    for c in range(3):
+        for i in range(12):
+            rows.append((f"c{c}", i,
+                         float(rng.randint(1, 200))))
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, char_len double")
+
+
+BASIC = """
+;;;;;;; comment ;;;;;;;
+// another comment
+# and another
+
+[componentInstances:cComponentManager]
+instance[dataMemory].type=cDataMemory
+instance[smo].type=cContourSmoother
+printLevelStats = 0
+
+[smo:cContourSmoother]
+reader.dmLevel = lld
+writer.dmLevel = lld_smo
+smaWin = 3
+
+[func:cFunctionals]
+reader.dmLevel = lld_smo
+writer.dmLevel = func
+functionalsEnabled = Moments ; Percentiles
+Moments.doRatioLimit = 0
+Percentiles.percentile[0] = 0.20
+Percentiles.percentile[1] = 0.50
+Percentiles.percentile[2] = 0.80
+Percentiles.pctlrange[0] = 0-2
+Percentiles.interp = 1
+"""
+
+
+def test_parse_sections_instances_arrays():
+    p = parse_conf_text(BASIC)
+    assert p.instances == {"dataMemory": "cDataMemory",
+                           "smo": "cContourSmoother"}
+    names = [(s.name, s.ctype) for s in p.sections]
+    assert names == [("smo", "cContourSmoother"), ("func", "cFunctionals")]
+    f = p.section("func")
+    assert f.get("functionalsEnabled") == "Moments ; Percentiles"
+    assert f.get("Percentiles.percentile") == [0.20, 0.50, 0.80]
+    assert f.get("Percentiles.pctlrange") == ["0-2"]
+    assert f.get("Percentiles.interp") == 1
+    assert p.unresolved == []
+
+
+def test_section_order_follows_dmlevel_wiring_not_file_order():
+    out_of_order = """
+[func:cFunctionals]
+reader.dmLevel = b
+writer.dmLevel = c
+functionalsEnabled = Means
+
+[de:cDeltaRegression]
+reader.dmLevel = a
+writer.dmLevel = b
+deltawin = 2
+
+[smo:cContourSmoother]
+reader.dmLevel = raw
+writer.dmLevel = a
+smaWin = 5
+"""
+    p = parse_conf_text(out_of_order)
+    ordered = [s.name for s in toposort_sections(p)]
+    assert ordered == ["smo", "de", "func"]
+
+
+def test_cm_substitution_value_default_unresolved():
+    text = r"""
+[smo:cContourSmoother]
+reader.dmLevel = lld
+writer.dmLevel = s
+smaWin = \cm[win(W){5}:smoothing window]
+nameAppend = \cm[app{sma}:name append]
+noZeroSma = \cm[nzs:no default or value]
+"""
+    # provided value wins
+    p = parse_conf_text(text, cm={"win": 7})
+    assert p.section("smo").get("smaWin") == 7
+    # default fallback
+    assert p.section("smo").get("nameAppend") == "sma"
+    # unresolved: line skipped + recorded
+    assert p.section("smo").get("noZeroSma") is None
+    assert any("nzs" in u for u in p.unresolved)
+    # short-option name also matches
+    p2 = parse_conf_text(text, cm={"W": 9})
+    assert p2.section("smo").get("smaWin") == 9
+
+
+def test_includes_resolve_relative_to_including_file(tmp_path):
+    sub = tmp_path / "shared"
+    sub.mkdir()
+    (sub / "smo.inc").write_text(
+        "[smo:cContourSmoother]\nreader.dmLevel=lld\n"
+        "writer.dmLevel=s\nsmaWin=3\n")
+    (sub / "chain.inc").write_text(
+        "\\{smo.inc}\n[de:cDeltaRegression]\nreader.dmLevel=s\n"
+        "writer.dmLevel=d\ndeltawin=4\n")
+    main = tmp_path / "main.conf"
+    main.write_text(
+        "[componentInstances:cComponentManager]\n"
+        "instance[smo].type=cContourSmoother\n"
+        "\\{shared/chain.inc}\n"
+        "[func:cFunctionals]\nreader.dmLevel=d\nwriter.dmLevel=f\n"
+        "functionalsEnabled=Means\n")
+    p = load_conf(str(main))
+    assert [s.name for s in p.sections] == ["smo", "de", "func"]
+    assert p.section("de").get("deltawin") == 4
+    assert p.unresolved == []
+
+
+def test_missing_include_is_reported_not_fatal(tmp_path):
+    main = tmp_path / "main.conf"
+    main.write_text("\\{nope/gone.inc}\n[f:cFunctionals]\n"
+                    "reader.dmLevel=x\nwriter.dmLevel=y\n"
+                    "functionalsEnabled=Means\n")
+    p = load_conf(str(main))
+    assert [s.name for s in p.sections] == ["f"]
+    assert any("gone.inc" in u for u in p.unresolved)
+
+
+def test_conf_to_config_threads_column_names():
+    p = parse_conf_text(BASIC)
+    cfg = conf_to_config(p, ["char_len"], group_cols=("conv_id",))
+    stages = cfg["stages"]
+    assert stages[0] == {"type": "sma", "cols": ["char_len"], "win": 3,
+                         "no_zero_sma": False}
+    assert stages[1]["type"] == "functionals"
+    assert stages[1]["value_cols"] == ["char_len_sma3"]
+    assert stages[1]["families"] == ["moments", "percentiles"]
+    o = stages[1]["options"]
+    assert o["percentiles"]["percentiles"] == (0.20, 0.50, 0.80)
+    assert o["percentiles"]["pctlranges"] == ((0, 2),)
+    assert o["percentiles"]["interp"] is True
+    assert o["moments"]["doRatioLimit"] is False
+    assert any("smo:cContourSmoother" in m for m in cfg["report"]["mapped"])
+
+
+def test_unknown_component_is_passthrough_and_io_is_classified():
+    text = """
+[wave:cWaveSource]
+writer.dmLevel = wave
+
+[weird:cSomeUnknownThing]
+reader.dmLevel = wave
+writer.dmLevel = x
+
+[sink:cCsvSink]
+reader.dmLevel = x
+"""
+    cfg = conf_to_config(parse_conf_text(text), ["v"])
+    assert cfg["stages"] == []
+    assert "weird:cSomeUnknownThing" in cfg["report"]["passthrough"]
+    assert "wave:cWaveSource" in cfg["report"]["io"]
+    assert "sink:cCsvSink" in cfg["report"]["io"]
+
+
+def test_end_to_end_matches_directly_composed_pipeline(spark, lld_small):
+    """A conf-driven run must equal the hand-composed sma -> delta ->
+    functionals pipeline bit-for-bit."""
+    from opensmile_spark.functionals import functionals_kernel
+    from opensmile_spark.operators import delta_regression, sma
+
+    conf = """
+[smo:cContourSmoother]
+reader.dmLevel = lld
+writer.dmLevel = s
+smaWin = 3
+
+[de:cDeltaRegression]
+reader.dmLevel = s
+writer.dmLevel = d
+deltawin = 2
+
+[func:cFunctionals]
+reader.dmLevel = d
+writer.dmLevel = f
+functionalsEnabled = Moments ; Percentiles
+Percentiles.percentile[0] = 0.10
+Percentiles.percentile[1] = 0.90
+Percentiles.pctlrange[0] = 0-1
+Percentiles.interp = 1
+"""
+    got, report = run_smile_conf(lld_small, conf, ["char_len"],
+                                 group_cols=("conv_id",), is_text=True)
+    want_lld = sma(lld_small, ["char_len"], 3)
+    want_lld = delta_regression(want_lld, ["char_len_sma3"], 2)
+    want = functionals_kernel(
+        want_lld, ["char_len_sma3_de"], ("conv_id",),
+        families=["moments", "percentiles"],
+        options={"percentiles": {"percentiles": (0.10, 0.90),
+                                 "pctlranges": ((0, 1),),
+                                 "interp": True}})
+    g = {r["conv_id"]: r for r in got.collect()}
+    w = {r["conv_id"]: r for r in want.collect()}
+    assert set(g) == set(w) and len(g) > 0
+    for cid in g:
+        for c in want.columns:
+            gv, wv = g[cid][c], w[cid][c]
+            if isinstance(wv, float):
+                assert gv == pytest.approx(wv, rel=1e-12), (cid, c)
+            else:
+                assert gv == wv, (cid, c)
+    assert len(report["mapped"]) == 3
+
+
+REF_FUNC = ("/root/reference/config/gemaps/v01b/"
+            "GeMAPSv01b_core.func.conf.inc")
+
+
+@pytest.mark.skipif(not os.path.isfile(REF_FUNC),
+                    reason="reference config not present")
+def test_parses_real_reference_gemaps_functionals():
+    """The ACTUAL GeMAPS functional config from the reference tree parses,
+    and the extracted families/percentiles match what the file declares."""
+    with open(REF_FUNC) as f:
+        text = f.read()
+    p = parse_conf_text(text)
+    funcs = p.by_type("cFunctionals")
+    assert len(funcs) >= 5
+    f0 = p.section("gemapsv01b_functionalsF0")
+    assert f0 is not None
+    fams = [x.strip() for x in f0.get("functionalsEnabled").split(";")]
+    assert fams == ["Moments", "Percentiles", "Peaks2"]
+    assert f0.get("Percentiles.percentile") == [0.20, 0.50, 0.80]
+    assert f0.get("Percentiles.pctlrange") == ["0-2"]
+    assert f0.get("Percentiles.interp") == 1
+    # \cm[...] references without defaults are reported, not fatal
+    assert all(isinstance(u, str) for u in p.unresolved)
+    # and the mapping produces runnable functional stages
+    cfg = conf_to_config(p, ["char_len"])
+    fstages = [s for s in cfg["stages"] if s["type"] == "functionals"]
+    assert len(fstages) >= 5
+    assert any("peaks2" in s["families"] for s in fstages)
+    assert any(s.get("options", {}).get("percentiles", {})
+               .get("percentiles") == (0.20, 0.50, 0.80) for s in fstages)
+
+
+@pytest.mark.skipif(not os.path.isfile(REF_FUNC),
+                    reason="reference config not present")
+def test_real_gemaps_smoother_sections_map_to_sma():
+    lldinc = ("/root/reference/config/gemaps/v01b/"
+              "GeMAPSv01b_core.lld.conf.inc")
+    if not os.path.isfile(lldinc):
+        pytest.skip("lld inc not present")
+    with open(lldinc) as f:
+        p = parse_conf_text(f.read())
+    smoothers = p.by_type("cContourSmoother")
+    assert smoothers, "GeMAPS lld chain declares contour smoothers"
+    assert all(int(s.get("smaWin", 3)) >= 1 for s in smoothers)
+
+
+def test_cli_smileconf_inprocess(spark, lld_small, tmp_path):
+    """The smileconf subcommand: conf file in, feature parquet + mapping
+    report out."""
+    import json
+
+    from opensmile_spark.cli import main
+
+    conf = tmp_path / "mini.conf"
+    conf.write_text(
+        "[smo:cContourSmoother]\n"
+        "reader.dmLevel=lld\nwriter.dmLevel=s\nsmaWin=3\n\n"
+        "[func:cFunctionals]\n"
+        "reader.dmLevel=s\nwriter.dmLevel=f\n"
+        "functionalsEnabled = Means\n")
+    inp = str(tmp_path / "lld.parquet")
+    outp = str(tmp_path / "feats.parquet")
+    lld_small.write.parquet(inp)
+    main(["smileconf", "--conf", str(conf), "--input", inp,
+          "--output", outp, "--value-cols", "char_len"])
+    got = spark.read.parquet(outp)
+    assert got.count() == 3  # one row per conv
+    assert "char_len_sma3_amean" in got.columns
