@@ -103,7 +103,7 @@ def run_scaling() -> dict:
 
     n_small = int(os.environ.get("SPARK_GRAFT_SCALE_SMALL", "4"))
     n_large = int(os.environ.get("SPARK_GRAFT_SCALE_LARGE", "16"))
-    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "4"))
     # 1.2M convs (~72 M turns): after the round-4 cross-group batching the
     # kernel runs ~2.8x faster per row, which shrank the job's parallel
     # work W below the point where fixed per-job costs c stay amortized at
@@ -112,6 +112,7 @@ def run_scaling() -> dict:
     # response, since the rule's regime of interest is the 100 TB end,
     # not a shrinking constant-size toy.
     n_convs = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "1200000"))
+    cal_before = _host_cal()
     corpus = "/dev/shm/opensmile_spark_bench_lld"
     lld_cols = ["char_len", "token_cnt", "punct_density", "ttr",
                 "reply_latency"]
@@ -173,6 +174,13 @@ def run_scaling() -> dict:
     small = min(times[n_small])
     large = min(times[n_large])
     speedup = small / large
+    # per-rep paired ratios: each (small, large) pair ran back-to-back, so
+    # a shared-host disturbance hits both sides of ONE pair rather than
+    # silently deflating only one level's min. Recorded alongside the
+    # min-of-N headline to make host-noise rounds diagnosable from the
+    # artifact (a clean engine shows at least one clean pair).
+    pair_eff = [round((a / b) / (n_large / n_small), 3)
+                for a, b in zip(times[n_small], times[n_large])]
     out = {
         "n_small": n_small,
         "n_large": n_large,
@@ -184,9 +192,28 @@ def run_scaling() -> dict:
         "rows_per_sec_large": round(scale_rows / large, 1),
         "speedup": round(speedup, 3),
         "efficiency": round(speedup / (n_large / n_small), 3),
+        "efficiency_per_pair": pair_eff,
+        "host_cal_sec": [cal_before, _host_cal()],
     }
     shutil.rmtree(corpus, ignore_errors=True)
     return out
+
+
+def _host_cal() -> float:
+    """Fixed single-thread numpy workload (~1 s on a healthy core): a
+    host-health yardstick stored with every scaling record. On a shared
+    box the effective core count swings with neighbours; when a round's
+    efficiency dips, comparing host_cal_sec across rounds separates
+    'engine regressed' from 'host was degraded during the window'."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    a = rng.rand(1000, 1000)
+    t0 = time.time()
+    for _ in range(3):
+        a = a @ a
+        a /= np.abs(a).max() + 1.0
+    return round(time.time() - t0, 3)
 
 
 def main():
