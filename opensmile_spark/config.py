@@ -105,7 +105,13 @@ def run_config(df: DataFrame, config: dict) -> DataFrame:
 
             out = resample(out, s.pop("period_seconds"), **s)
         elif kind == "select":
-            out = out.select(*s["cols"])
+            # backtick-quote names: functional columns contain dots
+            # (percentile20.0), which bare strings would parse as struct
+            # field access
+            from pyspark.sql import functions as F
+
+            out = out.select(*[F.col(f"`{c}`") if isinstance(c, str) else c
+                               for c in s["cols"]])
         elif kind == "filter":
             out = out.filter(s["condition"])
         # ---- training-data corpus stages (documents-shaped frames) ----

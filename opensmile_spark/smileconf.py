@@ -378,20 +378,82 @@ def _functionals_stage(sec: ConfSection, cols: list[str],
         if fam_key in fams and sec.get(conf_key) is not None:
             options.setdefault(fam_key, {})["doRatioLimit"] = bool(
                 int(sec.get(conf_key)))
-    # per-output enable flags (Moments.variance=0 ...) select a SUBSET of a
-    # family's outputs; the kernel emits the full family — record them so
-    # the user knows extra columns appear rather than columns going missing
-    flags = [k for k in sec.options
-             if "." in k and k.split(".", 1)[0].lower() in _FAMILY_MAP
-             and k not in ("Percentiles.percentile", "Percentiles.pctlrange")
-             and sec.options[k] in (0, 1)]
-    if flags:
-        report.setdefault("output_flags", {})[sec.name] = sorted(flags)
     stage = {"type": "functionals", "value_cols": list(cols),
              "families": fams, "group_cols": list(group_cols)}
     if options:
         stage["options"] = options
-    return stage
+    keep = _output_selection(sec, fams, options, report)
+    if keep is not None:
+        sel = (list(group_cols) + ["n_turns"]
+               + [f"{c}_{o}" for c in cols for o in keep])
+        return stage, {"type": "select", "cols": sel}
+    return stage, None
+
+
+# kernel/semantic options that look like 0/1 flags but do not enable an
+# output column
+_NON_OUTPUT_FLAGS = {
+    "doRatioLimit", "interp", "XisRel", "useOldBuggyChX", "norm",
+    "oldBuggyQerr", "enabled", "masterTimeNorm", "segmentationAlgorithm",
+}
+
+
+def _output_selection(sec, fams, options, report):
+    """The reference enables each functional OUTPUT with a per-name flag
+    (`Moments.variance = 0`, `Peaks2.meanRisingSlope = 1`, …;
+    functionals.cpp registers one config bool per output). The kernel
+    emits a family's full output set, so conf parity = a post-select of
+    the enabled columns. Flag names match kernel output names near-1:1;
+    plural/derived flags (`quartiles`, `iqr`) match by singular prefix,
+    longest-flag-wins so `stddevNorm` beats `stddev` for the stddevNorm
+    column. Outputs no flag governs stay included (the component-default
+    rule); enabled flags naming outputs this engine does not produce are
+    reported under `unavailable_outputs`. Returns the kept output-name
+    list, or None when the section declares no output flags."""
+    import numpy as np
+
+    from opensmile_spark.functionals.kernels import compute_all
+
+    flags: dict = {}
+    for k, v in sec.options.items():
+        if "." not in k or not isinstance(v, int) or v not in (0, 1, 2):
+            continue
+        famraw, flag = k.split(".", 1)
+        fam = _FAMILY_MAP.get(famraw.lower())
+        if fam is None or fam not in fams or flag in _NON_OUTPUT_FLAGS:
+            continue
+        flags.setdefault(fam, {})[flag] = v
+    if not any(flags.values()):
+        return None
+    keep, unavailable = [], []
+    for fam in fams:
+        outs = list(compute_all(np.arange(1.0, 9.0), [fam], options).keys())
+        fflags = flags.get(fam)
+        if not fflags:
+            keep.extend(outs)
+            continue
+        matched = set()
+        for o in outs:
+            ol = o.lower()
+            best = None
+            for f in fflags:
+                fl = f.lower()
+                ft = fl[:-1] if fl.endswith("s") else fl
+                if ol == fl or ol.startswith(ft):
+                    if best is None or len(f) > len(best):
+                        best = f
+            if best is None:
+                keep.append(o)
+            else:
+                matched.add(best)
+                if fflags[best]:
+                    keep.append(o)
+        unavailable.extend(f"{fam}.{f}" for f, v in fflags.items()
+                           if f not in matched and v)
+    if unavailable:
+        report.setdefault("unavailable_outputs", {})[sec.name] = sorted(
+            unavailable)
+    return keep
 
 
 def conf_to_config(parse: ConfParse, value_cols: list[str],
@@ -509,9 +571,14 @@ def conf_to_config(parse: ConfParse, value_cols: list[str],
         if t == "cFunctionals":
             st = _functionals_stage(sec, cur, group_cols, report)
             if st is not None:
-                stages.append(st)
+                stage, select = st
+                stages.append(stage)
+                if select is not None:
+                    stages.append(select)
                 report["mapped"].append(
-                    f"{sec.name}:{t} -> functionals({','.join(st['families'])})")
+                    f"{sec.name}:{t} -> functionals("
+                    f"{','.join(stage['families'])})"
+                    + (" + output-flag select" if select else ""))
             set_out(sec, cur)
             continue
         # anything else: passthrough with its level wiring intact

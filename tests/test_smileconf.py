@@ -294,3 +294,96 @@ def test_cli_smileconf_inprocess(spark, lld_small, tmp_path):
     got = spark.read.parquet(outp)
     assert got.count() == 3  # one row per conv
     assert "char_len_sma3_amean" in got.columns
+
+
+def test_output_flags_select_enabled_subset(spark, lld_small):
+    """Per-output enable flags (the reference's functionals.cpp config
+    bools) post-select exactly the enabled columns; plural flags match by
+    prefix (quartiles -> quartile1..3) and longest-flag-wins keeps
+    stddev / stddevNorm independent."""
+    conf = """
+[func:cFunctionals]
+reader.dmLevel = lld
+writer.dmLevel = f
+functionalsEnabled = Moments ; Percentiles
+Moments.variance = 0
+Moments.stddev = 0
+Moments.stddevNorm = 2
+Moments.skewness = 0
+Moments.kurtosis = 0
+Moments.amean = 1
+Percentiles.quartiles = 0
+Percentiles.iqr = 0
+Percentiles.percentile[0] = 0.20
+Percentiles.percentile[1] = 0.80
+Percentiles.pctlrange[0] = 0-1
+Percentiles.interp = 1
+"""
+    got, report = run_smile_conf(lld_small, conf, ["char_len"],
+                                 group_cols=("conv_id",), is_text=True)
+    cols = set(got.columns)
+    # enabled + default-kept (no flag governs coeffOfVariation)
+    assert {"conv_id", "n_turns", "char_len_amean", "char_len_stddevNorm",
+            "char_len_coeffOfVariation", "char_len_percentile20.0",
+            "char_len_percentile80.0", "char_len_pctlrange0-1"} <= cols
+    # disabled
+    assert not {"char_len_variance", "char_len_stddev", "char_len_skewness",
+                "char_len_kurtosis", "char_len_quartile1",
+                "char_len_iqr1-2"} & cols
+    assert got.count() == 3
+    # values still equal the full-kernel computation
+    from opensmile_spark.functionals import functionals_kernel
+    want = functionals_kernel(
+        lld_small, ["char_len"], ("conv_id",),
+        families=["moments", "percentiles"],
+        options={"percentiles": {"percentiles": (0.20, 0.80),
+                                 "pctlranges": ((0, 1),), "interp": True}})
+    w = {r["conv_id"]: r for r in want.collect()}
+    for r in got.collect():
+        assert r["char_len_amean"] == pytest.approx(
+            w[r["conv_id"]]["char_len_amean"], rel=1e-12)
+
+
+def test_output_flags_unavailable_reported():
+    conf = """
+[func:cFunctionals]
+reader.dmLevel = lld
+writer.dmLevel = f
+functionalsEnabled = Peaks2
+Peaks2.meanPeakDistDelta = 1
+Peaks2.numPeaks = 1
+"""
+    cfg = conf_to_config(parse_conf_text(conf), ["x"])
+    sel = [s for s in cfg["stages"] if s["type"] == "select"][0]
+    assert "x_numPeaks" in sel["cols"]
+    # meanPeakDistDelta is an openSMILE output this engine does not emit
+    assert cfg["report"]["unavailable_outputs"]["func"] == [
+        "peaks2.meanPeakDistDelta"]
+
+
+@pytest.mark.skipif(not os.path.isfile(REF_FUNC),
+                    reason="reference config not present")
+def test_real_gemaps_output_flags_compile():
+    """The real GeMAPS F0 functionals section compiles to a select stage
+    that keeps its three percentiles + range and drops the disabled
+    moments outputs."""
+    with open(REF_FUNC) as f:
+        p = parse_conf_text(f.read())
+    cfg = conf_to_config(p, ["f0"])
+    # find the select stage following the functionalsF0 stage
+    stages = cfg["stages"]
+    idx = [i for i, s in enumerate(stages)
+           if s["type"] == "functionals"
+           and s.get("options", {}).get("percentiles", {})
+           .get("percentiles") == (0.20, 0.50, 0.80)]
+    assert idx, "functionalsF0-shaped stage present"
+    sel = stages[idx[0] + 1]
+    assert sel["type"] == "select"
+    # the value col threads through the real chain's smoother naming
+    # (f0 -> f0_sma3nz via the upstream cContourSmoother section)
+    base = stages[idx[0]]["value_cols"][0]
+    assert f"{base}_percentile20.0" in sel["cols"]
+    assert f"{base}_pctlrange0-2" in sel["cols"]
+    assert f"{base}_amean" in sel["cols"]          # Moments.amean = 1
+    assert f"{base}_variance" not in sel["cols"]   # Moments.variance = 0
+    assert f"{base}_quartile1" not in sel["cols"]  # Percentiles.quartiles = 0
