@@ -22,7 +22,8 @@ the wiring/fusion the component manager did by hand.
     }
     out = run_config(spark_df, config)
 
-Stage types: lld, sma, delta, preemphasis, sessionize, mvn, mvn_transform
+Stage types: lld, sma, delta, preemphasis, vector_op, sessionize, mvn,
+mvn_transform
 (needs cfg["stats"] DataFrame — the frozen pre-trained stats path),
 fullinput_mean, valbased_selector, data_selector, viterbi, functionals,
 functionals_sql, backfill (needs cfg["anchors"] DataFrame), resample
@@ -87,6 +88,10 @@ def run_config(df: DataFrame, config: dict) -> DataFrame:
             out = valbased_selector(out, s.pop("gate_col"), **s)
         elif kind == "data_selector":
             out = data_selector(out, **s)
+        elif kind == "vector_op":
+            from opensmile_spark.operators import vector_op
+
+            out = vector_op(out, s.pop("col"), s.pop("op"), **s)
         elif kind == "viterbi":
             out = viterbi_smooth_df(out, s.pop("col"), **s)
         elif kind == "functionals":

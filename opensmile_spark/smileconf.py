@@ -513,6 +513,18 @@ def conf_to_config(parse: ConfParse, value_cols: list[str],
             report["mapped"].append(f"{sec.name}:{t} -> delta(win={win})")
             set_out(sec, [f"{c}_de" for c in cur])
             continue
+        if t == "cVectorOperation":
+            op = str(sec.get("operation", "mul"))
+            scalar = float(sec.get("param1", 1.0))
+            new_cols = []
+            for c in cur:
+                stages.append({"type": "vector_op", "col": c, "op": op,
+                               "scalar": scalar})
+                new_cols.append(f"{c}_{op}")
+            report["mapped"].append(
+                f"{sec.name}:{t} -> vector_op({op}, param1={scalar})")
+            set_out(sec, new_cols)
+            continue
         if t == "cVectorPreemphasis":
             k = float(sec.get("k", 0.97))
             stages.append({"type": "preemphasis", "cols": cur, "k": k})

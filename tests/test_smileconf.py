@@ -387,3 +387,41 @@ def test_real_gemaps_output_flags_compile():
     assert f"{base}_amean" in sel["cols"]          # Moments.amean = 1
     assert f"{base}_variance" not in sel["cols"]   # Moments.variance = 0
     assert f"{base}_quartile1" not in sel["cols"]  # Percentiles.quartiles = 0
+
+
+def test_vector_operation_maps_and_threads(spark, lld_small):
+    """cVectorOperation (the reference's scalar-math component, e.g. the
+    GeMAPS logF0 / audspecSum stages) maps to a vector_op stage whose
+    output name threads into downstream consumers."""
+    conf = """
+[logv:cVectorOperation]
+reader.dmLevel = lld
+writer.dmLevel = logged
+operation = log
+
+[smo:cContourSmoother]
+reader.dmLevel = logged
+writer.dmLevel = s
+smaWin = 3
+
+[func:cFunctionals]
+reader.dmLevel = s
+writer.dmLevel = f
+functionalsEnabled = Means
+"""
+    got, report = run_smile_conf(lld_small, conf, ["char_len"],
+                                 group_cols=("conv_id",), is_text=True)
+    assert "char_len_log_sma3_amean" in got.columns
+    assert got.count() == 3
+    from opensmile_spark.functionals import functionals_kernel
+    from opensmile_spark.operators import sma, vector_op
+
+    want = functionals_kernel(
+        sma(vector_op(lld_small, "char_len", "log"),
+            ["char_len_log"], 3),
+        ["char_len_log_sma3"], ("conv_id",), families=["means"])
+    w = {r["conv_id"]: r["char_len_log_sma3_amean"] for r in want.collect()}
+    for r in got.collect():
+        assert r["char_len_log_sma3_amean"] == pytest.approx(
+            w[r["conv_id"]], rel=1e-12)
+    assert any("vector_op(log" in m for m in report["mapped"])
