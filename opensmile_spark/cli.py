@@ -419,21 +419,47 @@ def cmd_resample(spark, args):
 
 
 def cmd_smileconf(spark, args):
-    """Run a reference openSMILE .conf on a transcripts/LLD parquet table
-    (the SMILExtract -C migration path). Prints the mapping report so the
-    user sees which components carried over, which were passthrough, and
-    which options were out of mapping scope."""
+    """Run a reference openSMILE .conf on a transcripts/LLD table (the
+    SMILExtract -C migration path). Prints the mapping report so the user
+    sees which components carried over, which were passthrough, and which
+    options were out of mapping scope. --dry-run compiles and prints the
+    stage plan + report without reading input or running anything. A
+    .csv/.arff input is read through the engine's cCsvSource/cArffSource
+    analogue, honoring the conf's own source section options (delimChar,
+    header) when one is declared."""
     from opensmile_spark.lld import compute_lld
     from opensmile_spark.smileconf import conf_to_config, load_conf
-    from opensmile_spark.tables import read_table
 
     cm = dict(kv.split("=", 1) for kv in (args.cm or []))
     parse = load_conf(args.conf, cm=cm)
-    df = read_table(spark, args.input)
-    if args.lld:
-        df = compute_lld(df)
     cfg = conf_to_config(parse, args.value_cols,
                          group_cols=tuple(args.group_cols))
+    if args.dry_run:
+        print(json.dumps({"stages": cfg["stages"],
+                          "report": cfg["report"]}, default=str))
+        return
+    if not args.input or not args.output:
+        raise SystemExit("smileconf: --input and --output are required "
+                         "unless --dry-run is set")
+    if args.input.endswith(".csv"):
+        from opensmile_spark.io import csv_source
+
+        src = next(iter(parse.by_type("cCsvSource")), None)
+        delim = str(src.get("delimChar", ",")) if src else ","
+        header = ({"0": "no", "1": "yes"}.get(str(src.get("header")),
+                                              "auto") if src else "auto")
+        df = csv_source(spark, args.input, delimiter=delim, header=header,
+                        infer_schema=True)
+    elif args.input.endswith(".arff"):
+        from opensmile_spark.io import arff_source
+
+        df = arff_source(spark, args.input)
+    else:
+        from opensmile_spark.tables import read_table
+
+        df = read_table(spark, args.input)
+    if args.lld:
+        df = compute_lld(df)
     from opensmile_spark.config import run_config
 
     out = run_config(df, cfg)
@@ -616,8 +642,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "(SMILExtract -C migration path)")
     sp.add_argument("--conf", required=True,
                     help="path to the openSMILE .conf / .conf.inc file")
-    sp.add_argument("--input", required=True)
-    sp.add_argument("--output", required=True)
+    sp.add_argument("--input", default="",
+                    help="parquet table / .csv / .arff (csv+arff honor "
+                         "the conf's own source section options)")
+    sp.add_argument("--output", default="")
+    sp.add_argument("--dry-run", action="store_true",
+                    help="compile and print the stage plan + migration "
+                         "report; read nothing, run nothing")
     sp.add_argument("--value-cols", default="char_len",
                     type=lambda s: s.split(","),
                     help="columns seeding levels produced by unmapped "

@@ -28,6 +28,7 @@ def csv_source(
     start: int | None = None,
     end: int | None = None,
     schema=None,
+    infer_schema: bool | None = None,
 ) -> DataFrame:
     """CSV scan with the reference's option set. start/end are 0-based line
     ranges (csvSource.cpp:47-48); they imply a file order, so they are
@@ -35,9 +36,13 @@ def csv_source(
     pushdown at the reader level, like the reference."""
     reader = spark.read.option("sep", delimiter)
     if header == "auto":
-        reader = reader.option("header", True).option("inferSchema", schema is None)
+        reader = reader.option("header", True).option(
+            "inferSchema", schema is None if infer_schema is None
+            else infer_schema)
     else:
         reader = reader.option("header", header in ("yes", "true", True))
+        if infer_schema:
+            reader = reader.option("inferSchema", True)
     if schema is not None:
         reader = reader.schema(schema)
     df = reader.csv(path)

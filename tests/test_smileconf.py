@@ -425,3 +425,46 @@ functionalsEnabled = Means
         assert r["char_len_log_sma3_amean"] == pytest.approx(
             w[r["conv_id"]], rel=1e-12)
     assert any("vector_op(log" in m for m in report["mapped"])
+
+
+def test_cli_smileconf_dry_run_and_csv(spark, lld_small, tmp_path, capsys):
+    """--dry-run prints the compiled plan without touching input;
+    a .csv input is read through the cCsvSource analogue honoring the
+    conf's declared delimiter/header options."""
+    import json
+
+    from opensmile_spark.cli import main
+
+    conf = tmp_path / "csv.conf"
+    conf.write_text(
+        "[src:cCsvSource]\nwriter.dmLevel=lld\ndelimChar=;\nheader=1\n\n"
+        "[smo:cContourSmoother]\n"
+        "reader.dmLevel=lld\nwriter.dmLevel=s\nsmaWin=3\n\n"
+        "[func:cFunctionals]\n"
+        "reader.dmLevel=s\nwriter.dmLevel=f\nfunctionalsEnabled = Means\n")
+    main(["smileconf", "--conf", str(conf), "--dry-run"])
+    plan = json.loads(capsys.readouterr().out)
+    assert [s["type"] for s in plan["stages"]] == ["sma", "functionals"]
+    assert "src:cCsvSource" in plan["report"]["io"]
+
+    # ';'-delimited csv with header, per the conf's source section
+    csv = tmp_path / "in.csv"
+    rows = lld_small.orderBy("conv_id", "turn_idx").collect()
+    csv.write_text("conv_id;turn_idx;char_len\n" + "\n".join(
+        f"{r['conv_id']};{r['turn_idx']};{r['char_len']}" for r in rows))
+    outp = str(tmp_path / "out.parquet")
+    main(["smileconf", "--conf", str(conf), "--input", str(csv),
+          "--output", outp, "--value-cols", "char_len"])
+    got = spark.read.parquet(outp)
+    assert got.count() == 3
+    assert "char_len_sma3_amean" in got.columns
+
+
+def test_cli_smileconf_requires_io_unless_dry_run(tmp_path):
+    from opensmile_spark.cli import main
+
+    conf = tmp_path / "x.conf"
+    conf.write_text("[f:cFunctionals]\nreader.dmLevel=a\n"
+                    "writer.dmLevel=b\nfunctionalsEnabled=Means\n")
+    with pytest.raises(SystemExit):
+        main(["smileconf", "--conf", str(conf)])
