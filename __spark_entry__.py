@@ -4516,7 +4516,28 @@ def q_docfeat_bank(spark, sf_dir):
                   c4, ent,
                   q_redact(spark, sf_dir),
                   q_charlm_ppl(spark, sf_dir),
-                  span, line)
+                  span, line,
+                  q_nb_quality(spark, sf_dir))
+
+
+def q_nb_quality(spark, sf_dir):
+    """Seed-based multinomial NB quality classifier
+    (opensmile_spark/classify.py — the fastText/DCLM-style quality-filter
+    analogue): deterministic seed labels (doc_id % 5 != 0 plays the
+    curated class), one-shuffle per-token log-odds fit, broadcast-join
+    scoring with the constant out-of-vocab backoff + class prior. Joined
+    into the text_metrics bank so the whole fit->score chain is
+    driver-hash-checked against a DuckDB CTE twin."""
+    from opensmile_spark.classify import nb_fit, nb_score
+
+    docs = _docs(spark, sf_dir)
+    labeled = docs.withColumn(
+        "label", (F.col("doc_id") % 5 != 0).cast("int"))
+    w, params = nb_fit(labeled, alpha=1.0)
+    out = nb_score(docs, w, params)
+    return out.select(
+        "doc_id", "n_tokens_nb", "n_seen_nb",
+        F.round("nb_score", 6).alias("nb_score"), "nb_score_pred")
 
 
 def q_streaming_sessions(spark, sf_dir):
@@ -4642,7 +4663,53 @@ FROM f JOIN tot USING (doc_id) GROUP BY doc_id
     "FROM (" + _ORACLES.pop("span_dedup") + ") sp",
     "SELECT doc_id, n_lines AS page_n_lines, n_removed, "
     "dup_ratio AS line_dup_ratio, clean_text AS line_clean_text "
-    "FROM (" + _ORACLES.pop("line_dedup") + ") ln")
+    "FROM (" + _ORACLES.pop("line_dedup") + ") ln", r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+         AS token
+  FROM documents
+), lab AS (
+  SELECT doc_id, CAST(doc_id % 5 <> 0 AS INT) AS y FROM documents
+), tl AS (
+  SELECT t.doc_id, t.token, l.y FROM toks t JOIN lab l USING (doc_id)
+), counts AS (
+  SELECT token, CAST(SUM(y) AS DOUBLE) AS c1,
+         CAST(COUNT(*) - SUM(y) AS DOUBLE) AS c0
+  FROM tl GROUP BY token
+), tot AS (
+  SELECT SUM(c1) AS t1, SUM(c0) AS t0, CAST(COUNT(*) AS DOUBLE) AS v
+  FROM counts
+), w AS (
+  SELECT token,
+         ln((c1 + 1.0) / (t1 + v)) - ln((c0 + 1.0) / (t0 + v)) AS log_odds
+  FROM counts CROSS JOIN tot
+), consts AS (
+  SELECT ln((t0 + v) / (t1 + v)) AS w_unseen FROM tot
+), pri AS (
+  SELECT ln(CAST(SUM(y) AS DOUBLE) / (COUNT(*) - SUM(y))) AS prior
+  FROM lab
+), sc AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens_nb,
+         CAST(COUNT(w.log_odds) AS BIGINT) AS n_seen_nb,
+         COALESCE(SUM(w.log_odds), 0.0) AS seen_sum
+  FROM toks t LEFT JOIN w USING (token) GROUP BY t.doc_id
+), scored AS (
+  SELECT d.doc_id,
+         COALESCE(sc.n_tokens_nb, 0) AS n_tokens_nb,
+         COALESCE(sc.n_seen_nb, 0) AS n_seen_nb,
+         COALESCE(sc.seen_sum, 0.0)
+           + (COALESCE(sc.n_tokens_nb, 0) - COALESCE(sc.n_seen_nb, 0))
+             * consts.w_unseen
+           + pri.prior AS raw
+  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+  CROSS JOIN consts CROSS JOIN pri
+)
+SELECT doc_id, n_tokens_nb, n_seen_nb,
+       ROUND(raw, 6) AS nb_score,
+       CAST(raw > 0 AS INT) AS nb_score_pred
+FROM scored
+""")
 
 _ORACLES["lpc_modulation"] = _join_sql(
     ("conv_id", "n_turns"), _ORACLES["lpc_modulation"],

@@ -34,7 +34,9 @@ Training-data corpus stages (documents-shaped frames): token_count,
 quality_score, c4_signals, redact, hash_sample, stratified_sample,
 dedup_exact, semdedup (keep-filter join on the decision table),
 incremental_dedup (needs cfg["store"] DataFrame),
-decontaminate (needs cfg["benchmark"] DataFrame), shuffle,
+decontaminate (needs cfg["benchmark"] DataFrame), nb_quality
+(seed-based NB quality classifier; fits on cfg["seed_docs"] or the
+current frame's label column, joins score columns back), shuffle,
 pack (mode=concat|greedy), chunk, line_dedup (repeated-line
 boilerplate cut), bpe_encode (trains in-stage or loads cfg["model"]
 parquet; ids=True emits integer ids), pack_sequences (packed id
@@ -172,6 +174,17 @@ def run_config(df: DataFrame, config: dict) -> DataFrame:
             from opensmile_spark.packing import chunk_documents
 
             out = chunk_documents(out, **s)
+        elif kind == "nb_quality":
+            from opensmile_spark.classify import nb_fit, nb_score
+
+            label_col = s.pop("label_col", "label")
+            seed = s.pop("seed_docs", None)
+            w, params = nb_fit(seed if seed is not None else out,
+                               label_col=label_col,
+                               alpha=s.pop("alpha", 1.0),
+                               max_vocab=s.pop("max_vocab", None))
+            scored = nb_score(out, w, params, **s)
+            out = out.join(scored, s.get("id_col", "doc_id"))
         elif kind == "line_dedup":
             from opensmile_spark.linededup import line_dedup
 
