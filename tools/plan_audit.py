@@ -331,6 +331,20 @@ def main():
           f"(exchanges={n_op('Exchange', p)}; window cumsum + pack "
           f"assembly)")
 
+    # nb_score (round 4b): broadcast model join, zero Python — the corpus
+    # explodes once and re-groups on doc_id; the model never shuffles.
+    from opensmile_spark.classify import nb_fit, nb_score
+
+    labeled = docs.withColumn("label", (F.col("doc_id") % 5 != 0).cast("int"))
+    w, params = nb_fit(labeled)
+    p = plan_str(nb_score(docs, w, params))
+    check("nb_score broadcast model join, zero Python",
+          n_op("BroadcastHashJoin", p) >= 1
+          and count(r"(?i)pythonudf|ArrowEval|BatchEval", p) == 0
+          and count(r"SortMergeJoin|ShuffledHashJoin|CartesianProduct",
+                    p) == 0,
+          f"(broadcast joins={n_op('BroadcastHashJoin', p)})")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
