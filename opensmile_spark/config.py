@@ -90,6 +90,16 @@ def run_config(df: DataFrame, config: dict) -> DataFrame:
             out = valbased_selector(out, s.pop("gate_col"), **s)
         elif kind == "data_selector":
             out = data_selector(out, **s)
+        elif kind == "tumbling_bucket":
+            from pyspark.sql import functions as F
+
+            from opensmile_spark.util import epoch_seconds
+
+            sec_len = float(s.pop("seconds"))
+            ts_col = s.pop("ts_col", "ts")
+            out = out.withColumn(
+                s.pop("out_col", "win_start"),
+                F.floor(epoch_seconds(F.col(ts_col)) / sec_len) * sec_len)
         elif kind == "vector_op":
             from opensmile_spark.operators import vector_op
 

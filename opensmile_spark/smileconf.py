@@ -350,7 +350,11 @@ def _pctl_options(sec: ConfSection) -> dict:
 
 
 def _functionals_stage(sec: ConfSection, cols: list[str],
-                       group_cols, report: dict) -> dict | None:
+                       group_cols, report: dict) -> list | None:
+    """Compile one cFunctionals section to a stage list: an optional
+    tumbling-bucket stage (frameMode=fixed with frameStep == frameSize —
+    winToVecProcessor's fixed framing over event time), the functionals
+    stage itself, and an optional output-flag select."""
     enabled = sec.get("functionalsEnabled", "")
     fams, unknown = [], []
     for name in str(enabled).split(";"):
@@ -378,16 +382,34 @@ def _functionals_stage(sec: ConfSection, cols: list[str],
         if fam_key in fams and sec.get(conf_key) is not None:
             options.setdefault(fam_key, {})["doRatioLimit"] = bool(
                 int(sec.get(conf_key)))
+    stages = []
+    gcols = list(group_cols)
+    mode = str(sec.get("frameMode", "full"))
+    size = float(sec.get("frameSize", 0) or 0)
+    step = float(sec.get("frameStep", 0) or 0)
+    if mode == "fixed" and size > 0:
+        if step and step != size:
+            report.setdefault("unmapped_options", {}).setdefault(
+                sec.name, []).append(
+                f"frameMode=fixed with frameStep {step} != frameSize "
+                f"{size} (overlapping functional windows) — ran as "
+                f"tumbling {size}s")
+        stages.append({"type": "tumbling_bucket", "seconds": size})
+        gcols = gcols + ["win_start"]
+    elif mode not in ("full", "fixed"):
+        report.setdefault("unmapped_options", {}).setdefault(
+            sec.name, []).append(f"frameMode={mode} — ran as full")
     stage = {"type": "functionals", "value_cols": list(cols),
-             "families": fams, "group_cols": list(group_cols)}
+             "families": fams, "group_cols": gcols}
     if options:
         stage["options"] = options
+    stages.append(stage)
     keep = _output_selection(sec, fams, options, report)
     if keep is not None:
-        sel = (list(group_cols) + ["n_turns"]
+        sel = (gcols + ["n_turns"]
                + [f"{c}_{o}" for c in cols for o in keep])
-        return stage, {"type": "select", "cols": sel}
-    return stage, None
+        stages.append({"type": "select", "cols": sel})
+    return stages
 
 
 # kernel/semantic options that look like 0/1 flags but do not enable an
@@ -583,14 +605,13 @@ def conf_to_config(parse: ConfParse, value_cols: list[str],
         if t == "cFunctionals":
             st = _functionals_stage(sec, cur, group_cols, report)
             if st is not None:
-                stage, select = st
-                stages.append(stage)
-                if select is not None:
-                    stages.append(select)
+                stages.extend(st)
+                fstage = next(s for s in st if s["type"] == "functionals")
+                extras = [s["type"] for s in st if s is not fstage]
                 report["mapped"].append(
                     f"{sec.name}:{t} -> functionals("
-                    f"{','.join(stage['families'])})"
-                    + (" + output-flag select" if select else ""))
+                    f"{','.join(fstage['families'])})"
+                    + (f" + {'/'.join(extras)}" if extras else ""))
             set_out(sec, cur)
             continue
         # anything else: passthrough with its level wiring intact

@@ -468,3 +468,68 @@ def test_cli_smileconf_requires_io_unless_dry_run(tmp_path):
                     "writer.dmLevel=b\nfunctionalsEnabled=Means\n")
     with pytest.raises(SystemExit):
         main(["smileconf", "--conf", str(conf)])
+
+
+def test_framemode_fixed_tumbling_functionals(spark):
+    """cFunctionals with frameMode=fixed / frameStep == frameSize maps to
+    tumbling event-time buckets (winToVecProcessor fixed framing): one
+    functional vector per (conv, day) instead of per conv."""
+    rows = []
+    for c in range(2):
+        for i in range(8):
+            rows.append((f"c{c}", i, float(10 + 7 * i + c),
+                         1_704_067_200.0 + i * 21600.0))  # 4 turns/day
+    df = (spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, char_len double, epoch double")
+        .withColumn("ts", F.timestamp_seconds("epoch")).drop("epoch"))
+    conf = """
+[func:cFunctionals]
+reader.dmLevel = lld
+writer.dmLevel = f
+frameMode = fixed
+frameSize = 86400
+frameStep = 86400
+functionalsEnabled = Means
+"""
+    got, report = run_smile_conf(df, conf, ["char_len"],
+                                 group_cols=("conv_id",), is_text=True)
+    assert got.count() == 4  # 2 convs x 2 day buckets
+    assert "win_start" in got.columns
+    from opensmile_spark.functionals import functionals_kernel
+    from opensmile_spark.util import epoch_seconds
+
+    bucketed = df.withColumn(
+        "win_start", F.floor(epoch_seconds(F.col("ts")) / 86400.0) * 86400.0)
+    want = functionals_kernel(bucketed, ["char_len"],
+                              ("conv_id", "win_start"), families=["means"])
+    w = {(r["conv_id"], r["win_start"]): r["char_len_amean"]
+         for r in want.collect()}
+    for r in got.collect():
+        assert r["char_len_amean"] == pytest.approx(
+            w[(r["conv_id"], r["win_start"])], rel=1e-12)
+    assert any("tumbling_bucket" in m for m in report["mapped"])
+
+
+def test_framemode_overlap_and_unknown_reported():
+    conf = """
+[a:cFunctionals]
+reader.dmLevel = x
+writer.dmLevel = y
+frameMode = fixed
+frameSize = 60
+frameStep = 10
+functionalsEnabled = Means
+
+[b:cFunctionals]
+reader.dmLevel = y
+writer.dmLevel = z
+frameMode = var
+functionalsEnabled = Means
+"""
+    cfg = conf_to_config(parse_conf_text(conf), ["v"])
+    um = cfg["report"]["unmapped_options"]
+    assert any("frameStep" in x for x in um["a"])
+    assert any("frameMode=var" in x for x in um["b"])
+    # the overlap case still runs (as tumbling), the var case as full
+    kinds = [s["type"] for s in cfg["stages"]]
+    assert kinds == ["tumbling_bucket", "functionals", "functionals"]
