@@ -418,6 +418,33 @@ def cmd_resample(spark, args):
                       "policy": args.policy}))
 
 
+_DF_STAGE_KEYS = ("anchors", "benchmark", "seed_docs", "store", "stats")
+
+
+def cmd_runconfig(spark, args):
+    """Run a NATIVE declarative config (JSON stage list — the engine's own
+    SMILEapi analogue) from a file. Stage options that name other tables
+    (anchors / benchmark / seed_docs / store / stats) may be path strings;
+    they are resolved through read_table before the run."""
+    from opensmile_spark.config import run_config
+    from opensmile_spark.lld import compute_lld
+    from opensmile_spark.tables import read_table
+
+    with open(args.config) as f:
+        cfg = json.load(f)
+    for stage in cfg.get("stages", []):
+        for k in _DF_STAGE_KEYS:
+            if isinstance(stage.get(k), str):
+                stage[k] = read_table(spark, stage[k])
+    df = read_table(spark, args.input)
+    if args.lld:
+        df = compute_lld(df)
+    out = run_config(df, cfg)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"output": args.output,
+                      "n_stages": len(cfg.get("stages", []))}))
+
+
 def cmd_smileconf(spark, args):
     """Run a reference openSMILE .conf on a transcripts/LLD table (the
     SMILExtract -C migration path). Prints the mapping report so the user
@@ -637,6 +664,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--group-cols", default="source")
     sp.add_argument("--text-col", default="text")
 
+    sp = sub.add_parser("runconfig",
+                        help="run a native declarative JSON config "
+                             "(stage list) on a table")
+    sp.add_argument("--config", required=True,
+                    help="JSON file: {\"stages\": [{\"type\": ...}, ...]}")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--lld", action="store_true",
+                    help="compute the transcript LLD bank first")
+
     sp = sub.add_parser("smileconf",
                         help="run a reference openSMILE .conf file "
                              "(SMILExtract -C migration path)")
@@ -688,6 +725,7 @@ def main(argv=None):
      "bpe": cmd_bpe,
      "linededup": cmd_linededup,
      "pack": cmd_pack,
+     "runconfig": cmd_runconfig,
      "smileconf": cmd_smileconf}[args.cmd](spark, args)
 
 

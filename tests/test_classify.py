@@ -101,3 +101,31 @@ def test_config_stage_nb_quality(spark, seed):
     assert got[0]["nb_score_pred"] == 1
     assert got[1]["nb_score_pred"] == 0
     assert "text" in out.columns  # original frame columns survive
+
+
+def test_cli_runconfig_with_seed_path(spark, seed, tmp_path):
+    """runconfig: native JSON stage list from a file, with a stage's
+    DataFrame-valued option (seed_docs) resolved from a parquet path."""
+    import json as _json
+
+    from opensmile_spark.cli import main
+
+    seed_path = str(tmp_path / "seed.parquet")
+    seed.write.parquet(seed_path)
+    docs = spark.createDataFrame(
+        [(0, "wiki prose article text"), (1, "casino spam pills click")],
+        "doc_id long, text string")
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(_json.dumps({"stages": [
+        {"type": "token_count"},
+        {"type": "nb_quality", "seed_docs": seed_path},
+    ]}))
+    outp = str(tmp_path / "out.parquet")
+    main(["runconfig", "--config", str(cfg), "--input", inp,
+          "--output", outp])
+    got = {r["doc_id"]: r for r in spark.read.parquet(outp).collect()}
+    assert got[0]["nb_score_pred"] == 1
+    assert got[1]["nb_score_pred"] == 0
+    assert got[0]["n_tokens_ws"] == 4
