@@ -461,6 +461,9 @@ def cmd_smileconf(spark, args):
     parse = load_conf(args.conf, cm=cm)
     cfg = conf_to_config(parse, args.value_cols,
                          group_cols=tuple(args.group_cols))
+    if args.emit_config:
+        with open(args.emit_config, "w") as f:
+            json.dump({"stages": cfg["stages"]}, f, indent=1, default=str)
     if args.dry_run:
         print(json.dumps({"stages": cfg["stages"],
                           "report": cfg["report"]}, default=str))
@@ -686,6 +689,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--dry-run", action="store_true",
                     help="compile and print the stage plan + migration "
                          "report; read nothing, run nothing")
+    sp.add_argument("--emit-config", default="",
+                    help="also write the compiled stage list as a native "
+                         "JSON config (consumable by `runconfig`) — the "
+                         "one-time conf -> native conversion path")
     sp.add_argument("--value-cols", default="char_len",
                     type=lambda s: s.split(","),
                     help="columns seeding levels produced by unmapped "

@@ -533,3 +533,49 @@ functionalsEnabled = Means
     # the overlap case still runs (as tumbling), the var case as full
     kinds = [s["type"] for s in cfg["stages"]]
     assert kinds == ["tumbling_bucket", "functionals", "functionals"]
+
+
+def test_emit_config_roundtrips_through_runconfig(spark, lld_small,
+                                                  tmp_path, capsys):
+    """--emit-config writes the compiled native JSON config; running it
+    via `runconfig` reproduces the conf-driven output exactly (the
+    one-time conf -> native conversion path)."""
+    import json
+
+    from opensmile_spark.cli import main
+
+    conf = tmp_path / "mini.conf"
+    conf.write_text(
+        "[smo:cContourSmoother]\n"
+        "reader.dmLevel=lld\nwriter.dmLevel=s\nsmaWin=3\n\n"
+        "[func:cFunctionals]\n"
+        "reader.dmLevel=s\nwriter.dmLevel=f\n"
+        "functionalsEnabled = Moments ; Percentiles\n"
+        "Moments.amean = 1\nMoments.variance = 0\n"
+        "Percentiles.quartiles = 1\nPercentiles.iqr = 0\n"
+        "Percentiles.percentile[0] = 0.5\n"
+        "Percentiles.pctlrange[0] = 0-0\n")
+    native = str(tmp_path / "native.json")
+    main(["smileconf", "--conf", str(conf), "--dry-run",
+          "--emit-config", native, "--value-cols", "char_len"])
+    capsys.readouterr()
+    inp = str(tmp_path / "lld.parquet")
+    out1 = str(tmp_path / "o1.parquet")
+    out2 = str(tmp_path / "o2.parquet")
+    lld_small.write.parquet(inp)
+    main(["smileconf", "--conf", str(conf), "--input", inp,
+          "--output", out1, "--value-cols", "char_len"])
+    main(["runconfig", "--config", native, "--input", inp,
+          "--output", out2])
+    a = spark.read.parquet(out1)
+    b = spark.read.parquet(out2)
+    assert sorted(a.columns) == sorted(b.columns)
+    ra = {r["conv_id"]: r for r in a.collect()}
+    rb = {r["conv_id"]: r for r in b.collect()}
+    assert set(ra) == set(rb)
+    for cid in ra:
+        for c in a.columns:
+            assert ra[cid][c] == rb[cid][c], (cid, c)
+    plan = json.load(open(native))
+    assert [s["type"] for s in plan["stages"]] == [
+        "sma", "functionals", "select"]
