@@ -168,3 +168,51 @@ def test_expanding_chan_stats_match_pergroup(vals, offset):
             atol = 256 * np.finfo(float).eps * scale * spread \
                 if k.endswith("errQ") else 1e-8 * scale
             assert np.isclose(got, v, rtol=rtol, atol=atol), (h, k, got, v)
+
+
+# ---- smileconf parser totality + roundtrip ---------------------------------
+
+_ident = st.from_regex(r"[A-Za-z][A-Za-z0-9_]{0,15}", fullmatch=True)
+_value = st.one_of(
+    st.integers(min_value=-10**6, max_value=10**6).map(str),
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+              allow_infinity=False).map(lambda f: repr(round(f, 6))),
+    st.from_regex(r"[A-Za-z0-9_ ;./-]{0,30}", fullmatch=True),
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=400))
+def test_smileconf_parser_total_on_arbitrary_text(s):
+    """parse_conf_text must never raise — malformed input lands in
+    `unresolved`, never in an exception (the migration tool gets handed
+    arbitrary user files)."""
+    from opensmile_spark.smileconf import parse_conf_text
+
+    p = parse_conf_text(s)
+    assert isinstance(p.sections, list)
+    assert all(isinstance(u, str) for u in p.unresolved)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(_ident, _ident, _value),
+                min_size=1, max_size=12))
+def test_smileconf_option_roundtrip(kvs):
+    """Any generated [section:cType] body of key=value lines parses back
+    to exactly those options (with numeric coercion)."""
+    from opensmile_spark.smileconf import _coerce, parse_conf_text
+
+    # unique keys per section; one section per (name-ish) tuple list
+    lines = ["[s:cType]"]
+    seen = set()
+    expected = {}
+    for k, _sub, v in kvs:
+        if k in seen or v.strip() != v or not v:
+            continue
+        seen.add(k)
+        lines.append(f"{k} = {v}")
+        expected[k] = _coerce(v)
+    p = parse_conf_text("\n".join(lines))
+    sec = p.section("s")
+    assert sec is not None and sec.ctype == "cType"
+    assert sec.options == expected
