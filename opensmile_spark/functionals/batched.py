@@ -24,6 +24,7 @@ import numpy as np
 BATCHED_FAMILIES = {
     "means", "moments", "extremes", "percentiles", "regression", "crossings",
     "times", "samples", "dct", "onset", "segments", "peaks2",
+    "lpc", "acf", "amdf", "modulation", "peaks",
 }
 
 # per-family options the batched path implements with kernel-equal results;
@@ -53,6 +54,16 @@ BATCHED_SUPPORTED_OPTIONS = {
     # (_peaks2_batched) implements the full automaton, not a reduction
     "peaks2": {"timeNorm", "T", "relThresh", "dynRelThresh",
                "absThreshIn", "doRatioLimit"},
+    # legacy peaks batches under every option too (_peaks_batched is the
+    # full automaton on the detection lattice)
+    "peaks": {"timeNorm", "T"},
+    # masked-lag-sum autocorrelation + group-vectorized Levinson
+    "lpc": {"order", "timeNorm", "T"},
+    "acf": {"max_lag", "normalize", "timeNorm", "T"},
+    "amdf": {"max_lag", "timeNorm", "T"},
+    # one (n_groups, fft_win) gather + batched rfft
+    "modulation": {"fft_win", "n_bins", "min_freq", "max_freq",
+                   "timeNorm", "T"},
 }
 
 _BIG = np.iinfo(np.int64).max
@@ -60,6 +71,28 @@ _BIG = np.iinfo(np.int64).max
 
 def _seg_sum(v, starts):
     return np.add.reduceat(v, starts)
+
+
+def _lag_sum(x, starts, pos_in, size_rep, k, kind="prod"):
+    """Per-group lagged reduction without cross-group or tail leakage:
+    sum over group-local i in [0, N-k) of x[i]*x[i+k] (kind="prod") or
+    |x[i] - x[i+k]| (kind="absdiff") — the autocorrelation / AMDF segment
+    sum shared by the lpc/acf/amdf batched families. Elementwise lag
+    product over the concatenated array, the k trailing slots of every
+    group zeroed (they would pair with the NEXT group's head), one
+    reduceat. Groups with N <= k contribute an empty term set -> 0.0,
+    matching the kernels' `if k < N else 0.0` guard."""
+    n = x.size
+    y = np.zeros(n)
+    if k == 0:
+        y = x * x if kind == "prod" else y
+    elif k < n:
+        if kind == "prod":
+            y[: n - k] = x[: n - k] * x[k:]
+        else:
+            y[: n - k] = np.abs(x[: n - k] - x[k:])
+    valid = pos_in < size_rep - k
+    return np.add.reduceat(np.where(valid, y, 0.0), starts)
 
 
 EXPANDING_FAMILIES = {"means", "extremes", "moments", "percentiles",
@@ -957,6 +990,163 @@ def _peaks2_batched(x, starts, ends, gmin, gmax, gmean, opts):
     }
 
 
+def _peaks_batched(x, starts, ends, gmin, gmax, gmean, opts):
+    """Cross-group vectorized f_peaks (functionals.cpp legacy peak picker,
+    kernels.py:1468) — lane-parallel transcription of the single-pass
+    hysteresis automaton. Unlike peaks2 (whose loop visits only extrema),
+    the reference loop visits EVERY element i in [2, N) because the close
+    condition `cur < lastMax - 0.09*rng or i == N-1` is re-checked per
+    element. The state, however, only CHANGES at strict-local-extremum
+    detections (element q = i-1 with x[q-1] < x[q] > x[q+1] or the mirror),
+    so the loop is re-expressed on the detection lattice: step j handles
+    detection j of every group at once (branch updates + the same-index
+    close check), then the run of plain elements before detection j+1 is
+    folded into one precomputed per-run minimum — a run fires the close
+    check iff `min(run) < lastMax - 0.09*rng` (the per-element check fires
+    at the first crossing; peakflag then drops to 0 and cannot re-arm
+    inside a run, so at most one emission per run and its position is
+    never used). Per-group operation order is IDENTICAL to kernels.f_peaks;
+    equality pinned by tests/test_batched_kernels.py."""
+    n_groups = starts.size
+    sizes = ends - starts
+    Nf = sizes.astype(np.float64)
+    timeNorm = opts.get("timeNorm", "frames")
+    T = opts.get("T", 1.0)
+    rng_ = gmax - gmin
+
+    n_el = x.size
+    rep_starts = np.repeat(starts, sizes)
+    iig = np.arange(n_el, dtype=np.int64) - rep_starts
+    size_rep = np.repeat(sizes, sizes)
+    grp_rep = np.repeat(np.arange(n_groups, dtype=np.int64), sizes)
+    xm1 = np.empty_like(x)
+    xp1 = np.empty_like(x)
+    xm1[1:] = x[:-1]
+    xm1[0] = np.inf
+    xp1[:-1] = x[1:]
+    xp1[-1] = np.inf
+    # detection at loop index i=q+1 needs i in [2, N): q in [1, N-2]
+    okq = (iig >= 1) & (iig <= size_rep - 2)
+    is_max_el = okq & (xm1 < x) & (x > xp1)
+    is_min_el = okq & (xm1 > x) & (x < xp1)
+    ev_el = is_max_el | is_min_el
+    e_idx = np.flatnonzero(ev_el)
+    e_grp = grp_rep[e_idx]
+    Mg = np.bincount(e_grp, minlength=n_groups)
+    M_max = int(Mg.max()) if e_idx.size else 0
+    Wl = max(M_max, 1)
+    # (W, n_groups) lattice — step j reads contiguous rows (see peaks2)
+    Ecur = np.zeros((Wl, n_groups))              # cur = x[q+1] at the event
+    Et = np.zeros((Wl, n_groups), dtype=bool)    # detection is a local max
+    Ei = np.zeros((Wl, n_groups))                # loop index i = q+1 (local)
+    Va = np.zeros((Wl, n_groups), dtype=bool)
+    Rmin = np.full((Wl, n_groups), np.inf)       # min over run AFTER event j
+    Rlast = np.zeros((Wl, n_groups), dtype=bool)  # run contains i == N-1
+    if e_idx.size:
+        first = np.concatenate(([0], np.cumsum(Mg)[:-1]))
+        jr = np.arange(e_idx.size) - first[e_grp]
+        Ecur[jr, e_grp] = x[e_idx + 1]           # q <= N-2 -> q+1 in-group
+        Et[jr, e_grp] = is_max_el[e_idx]
+        Ei[jr, e_grp] = (iig[e_idx] + 1).astype(np.float64)
+        Va[jr, e_grp] = True
+        # runs: element at loop index i belongs to the run after its
+        # group's latest event with q+1 <= i; event positions themselves
+        # are handled in the lattice step
+        ev_pos = np.zeros(n_el, dtype=bool)
+        ev_pos[e_idx + 1] = True
+        cum_ev = np.cumsum(ev_pos)
+        base = cum_ev[starts] - ev_pos[starts]   # q >= 1 -> no event at s
+        j_rep = cum_ev - np.repeat(base, sizes)  # events at local pos <= i
+        run_m = ~ev_pos & (j_rep >= 1)
+        idx_m = np.flatnonzero(run_m)
+        if idx_m.size:
+            key = grp_rep[idx_m] * np.int64(Wl) + (j_rep[idx_m] - 1)
+            seg = np.ones(idx_m.size, dtype=bool)
+            seg[1:] = key[1:] != key[:-1]
+            seg_starts = np.flatnonzero(seg)
+            mins = np.minimum.reduceat(x[idx_m], seg_starts)
+            Rmin[(j_rep[idx_m[seg_starts]] - 1),
+                 grp_rep[idx_m[seg_starts]]] = mins
+        # the final run (after the group's LAST event) reaches i = N-1 iff
+        # the last event sits before it; the forced `i == N-1` close then
+        # fires inside that run
+        gl = np.flatnonzero(Mg > 0)
+        lp = Ei[Mg[gl] - 1, gl]                  # last event's local i
+        Rlast[Mg[gl] - 1, gl] = lp < (sizes[gl] - 1)
+
+    lastMin = np.zeros(n_groups)
+    lastMax = np.zeros(n_groups)
+    curmaxPos = np.zeros(n_groups)
+    lastmaxPos = np.full(n_groups, -1.0)
+    peakflag = np.zeros(n_groups, dtype=bool)
+    nPeaks = np.zeros(n_groups)
+    peakMeanSum = np.zeros(n_groups)
+    nd = np.zeros(n_groups, dtype=np.int64)      # emitted distance count
+    Dist = np.zeros((Wl + 1, n_groups))
+    thr_hi = 0.11 * rng_
+    thr_lo = 0.09 * rng_
+
+    def emit(m):
+        rows = np.flatnonzero(m)
+        if rows.size == 0:
+            return
+        nPeaks[rows] += 1.0
+        peakMeanSum[rows] += lastMax[rows]
+        r2 = rows[lastmaxPos[rows] >= 0.0]
+        Dist[nd[r2], r2] = curmaxPos[r2] - lastmaxPos[r2]
+        nd[r2] += 1
+        lastmaxPos[rows] = curmaxPos[rows]
+        peakflag[rows] = False
+
+    for j in range(M_max):
+        act = Va[j]
+        cur = Ecur[j]
+        ismx = act & Et[j]
+        ismn = act & ~Et[j]
+        # local max branch (kernels.py:1485-1492): lastMax takes CUR (the
+        # element after the extremum — reference quirk), the >0.11*rng
+        # check can re-arm and re-point curmaxPos even when already set
+        nf = ismx & ~peakflag
+        up = ismx & peakflag & (cur > lastMax)
+        lastMax = np.where(nf | up, cur, lastMax)
+        curmaxPos = np.where(up, Ei[j], curmaxPos)
+        trig = ismx & (lastMax - lastMin > thr_hi)
+        peakflag = peakflag | trig
+        curmaxPos = np.where(trig, Ei[j], curmaxPos)
+        # local min branch
+        lastMin = np.where(ismn, cur, lastMin)
+        # close check at the event's own loop index
+        emit(act & peakflag
+             & ((cur < lastMax - thr_lo) | (Ei[j] == Nf - 1.0)))
+        # close check folded over the run before the next event (peakflag
+        # just cleared by the event-index close cannot re-fire here)
+        emit(act & peakflag & ((Rmin[j] < lastMax - thr_lo) | Rlast[j]))
+
+    nPeakDist = nd.astype(np.float64)
+    has_d = nd > 0
+    safe_d = np.where(has_d, nPeakDist, 1.0)
+    peakDist = np.where(has_d, Dist.sum(axis=0) / safe_d, Nf + 1.0)
+    live = np.arange(Wl + 1)[:, None] < nd[None, :]
+    dev2 = np.where(live, (Dist - peakDist[None, :]) ** 2, 0.0)
+    stddev = np.where(has_d, np.sqrt(dev2.sum(axis=0) / safe_d), 0.0)
+    if timeNorm == "second":
+        peakDist = peakDist * T
+        stddev = stddev * T
+    elif timeNorm == "segment":
+        peakDist = peakDist / Nf
+        stddev = stddev / Nf
+    has_p = nPeaks > 0
+    peakMean = np.where(has_p, peakMeanSum / np.where(has_p, nPeaks, 1.0),
+                        0.0)
+    return {
+        "numPeaks": nPeaks,
+        "meanPeakDist": peakDist,
+        "peakMean": peakMean,
+        "peakMeanMeanDist": peakMean - gmean,
+        "peakDistStddev": stddev,
+    }
+
+
 def compute_batched(x: np.ndarray, starts: np.ndarray, ends: np.ndarray,
                     families, options=None) -> dict[str, np.ndarray]:
     """x: concatenated values; [starts[i], ends[i]) are group slices that
@@ -1419,10 +1609,108 @@ def compute_batched(x: np.ndarray, starts: np.ndarray, ends: np.ndarray,
             basis = np.cos(np.pi * k / N_rep * (ii + 0.5))
             out[f"dct{k}"] = factor * _seg_sum(x * basis, starts)
 
-    if "peaks2" in families:
-        p2 = _peaks2_batched(x, starts, ends, gmin, gmax, mean,
-                             options.get("peaks2", {}))
-        for k, v in p2.items():
+    if "lpc" in families or "acf" in families or "amdf" in families:
+        size_rep_f = np.repeat(N, (ends - starts))
+
+    if "lpc" in families:
+        # f_lpc (functionalLpc.cpp:20-22, kernels.py:1574): autocorrelation
+        # via masked lag sums, then Levinson-Durbin vectorized ACROSS
+        # groups — the recursion's per-group scalar op order is unchanged
+        # (loops run over the lag index, numpy over the group axis)
+        order = options.get("lpc", {}).get("order", 4)
+        Ni = ends - starts
+        r = np.stack([_lag_sum(x, starts, ii, size_rep_f, k)
+                      for k in range(order + 1)], axis=1)
+        zero = r[:, 0] == 0.0
+        p = np.minimum(order, np.maximum(Ni - 1, 1))
+        a = np.zeros((n_groups, order + 1))
+        e = r[:, 0].copy()
+        for i in range(1, order + 1):
+            active = i <= p
+            acc = r[:, i].copy()
+            for j in range(1, i):
+                acc = acc - a[:, j] * r[:, i - j]
+            k_i = np.where(active & (e != 0.0),
+                           acc / np.where(e != 0.0, e, 1.0), 0.0)
+            a_new = a.copy()
+            a_new[:, i] = k_i
+            for j in range(1, i):
+                a_new[:, j] = a[:, j] - k_i * a[:, i - j]
+            a = np.where(active[:, None], a_new, a)
+            e = np.where(active, e * (1.0 - k_i * k_i), e)
+        out["lpgain"] = np.where(zero, 0.0, e)
+        for k in range(order):
+            out[f"lpc{k}"] = np.where(zero | (k + 1 > p), 0.0, a[:, k + 1])
+
+    if "acf" in families:
+        aopts = options.get("acf", {})
+        max_lag = aopts.get("max_lag", 4)
+        do_norm = aopts.get("normalize", True)
+        r0 = _lag_sum(x, starts, ii, size_rep_f, 0)
+        safe_r0 = np.where(r0 != 0.0, r0, 1.0)
+        for k in range(max_lag + 1):
+            rk = r0 if k == 0 else _lag_sum(x, starts, ii, size_rep_f, k)
+            if do_norm:
+                out[f"acf{k}"] = np.where(r0 != 0.0, rk / safe_r0, 0.0)
+            else:
+                out[f"acf{k}"] = rk
+
+    if "amdf" in families:
+        # f_amdf (amdf.cpp:134-151 method=LIMIT): mean |x[i]-x[i+j]| over
+        # the N-j valid pairs; lag >= N -> 0
+        max_lag = options.get("amdf", {}).get("max_lag", 4)
+        out["amdf0"] = np.zeros(n_groups)
+        Ni = ends - starts
+        for j in range(1, max_lag + 1):
+            s = _lag_sum(x, starts, ii, size_rep_f, j, kind="absdiff")
+            ok = j < Ni
+            out[f"amdf{j}"] = np.where(ok, s / np.where(ok, Ni - j, 1), 0.0)
+
+    if "modulation" in families:
+        # f_modulation (kernels.py:1716): per-group head gather into one
+        # (n_groups, fft_win) matrix — truncate-or-zero-pad + hann + one
+        # batched rfft; the fixed freq grid makes each modSpec bin a fixed
+        # 2-point linear blend of magnitude columns
+        mo = options.get("modulation", {})
+        fft_win = mo.get("fft_win", 64)
+        n_bins = mo.get("n_bins", 6)
+        min_freq = mo.get("min_freq", 0.01)
+        max_freq = mo.get("max_freq", 0.4)
+        T_m = mo.get("T", 1.0)
+        Ni = ends - starts
+        col = np.arange(fft_win)
+        gidx = np.minimum(starts[:, None] + col[None, :], x.size - 1)
+        validm = col[None, :] < Ni[:, None]
+        xc = np.where(validm, x[gidx] - mean[:, None], 0.0)
+        win = 0.5 - 0.5 * np.cos(2 * np.pi * col / fft_win)
+        mag = np.abs(np.fft.rfft(xc * win, axis=1)) / fft_win
+        freqs = np.fft.rfftfreq(fft_win, d=T_m)
+        centers = np.linspace(min_freq, max_freq, n_bins)
+        for i, f in enumerate(centers):
+            jhi = int(np.searchsorted(freqs, f))
+            if jhi <= 0:
+                out[f"modSpec{i}"] = mag[:, 0]
+            elif jhi >= freqs.size:
+                out[f"modSpec{i}"] = mag[:, -1]
+            else:
+                slope = ((mag[:, jhi] - mag[:, jhi - 1])
+                         / (freqs[jhi] - freqs[jhi - 1]))
+                out[f"modSpec{i}"] = (slope * (f - freqs[jhi - 1])
+                                      + mag[:, jhi - 1])
+
+    # peaks and peaks2 output names collide BY DESIGN (the reference
+    # distinguishes instances by component name); compute_all resolves the
+    # collision first-REQUESTED-wins, so write them in request order here
+    for fam in families:
+        if fam == "peaks2":
+            vals = _peaks2_batched(x, starts, ends, gmin, gmax, mean,
+                                   options.get("peaks2", {}))
+        elif fam == "peaks":
+            vals = _peaks_batched(x, starts, ends, gmin, gmax, mean,
+                                  options.get("peaks", {}))
+        else:
+            continue
+        for k, v in vals.items():
             if k not in out:        # first-writer-wins like compute_all
                 out[k] = v
 

@@ -392,3 +392,110 @@ def test_segments_onset_automaton_reduction(seed):
             assert np.isclose(got, v, rtol=1e-12, atol=1e-12), (
                 f"group {gi} (n={e - s}) {k}: batched={got} pergroup={v} "
                 f"series={x[s:e].tolist()}")
+
+
+@pytest.mark.parametrize("kind", ["walk", "plateau", "const", "zeros",
+                                  "tiny", "spiky"])
+def test_lag_and_spectral_families_match_kernels(kind):
+    """Round-4d batched families (lpc/acf/amdf via masked lag sums,
+    modulation via one batched rfft) against the per-group kernels, over
+    shape-adversarial inputs: plateaus (ties), constants (rng=0, r0!=0),
+    all-zeros (r0==0 early-exit), 1-4 element groups (N <= order / N <=
+    lag), and heavy-tailed spikes."""
+    rng = np.random.RandomState(hash(kind) % 2**31)
+    fams = ["lpc", "acf", "amdf", "modulation"]
+    xs, sizes = [], []
+    for _ in range(50):
+        n = rng.randint(1, 5) if kind == "tiny" else rng.randint(1, 120)
+        v = rng.randn(n)
+        if kind == "walk":
+            v = np.cumsum(v)
+        elif kind == "plateau":
+            v = np.round(v * 2) / 2.0
+        elif kind == "const":
+            v = np.full(n, float(rng.randint(-2, 3)))
+        elif kind == "zeros":
+            v = np.zeros(n)
+        elif kind == "spiky":
+            v[rng.rand(n) < 0.3] *= 50
+        xs.append(v)
+        sizes.append(n)
+    x = np.concatenate(xs)
+    ends = np.cumsum(sizes).astype(np.int64)
+    starts = ends - np.array(sizes, dtype=np.int64)
+    bat = compute_batched(x, starts, ends, fams, {})
+    for gi, (s, e) in enumerate(zip(starts, ends)):
+        want = compute_all(x[s:e], fams, {})
+        for k, v in want.items():
+            got = float(bat[k][gi])
+            assert np.isclose(got, v, rtol=1e-9, atol=1e-12), (
+                f"group {gi} (n={e - s}) kind={kind} {k}: "
+                f"batched={got} pergroup={v}")
+
+
+@pytest.mark.parametrize("fams,opts", [
+    (["lpc"], {"lpc": {"order": 8}}),
+    (["lpc"], {"lpc": {"order": 1}}),
+    (["acf"], {"acf": {"max_lag": 7, "normalize": False}}),
+    (["amdf"], {"amdf": {"max_lag": 9}}),
+    (["modulation"], {"modulation": {"fft_win": 32, "n_bins": 4,
+                                     "min_freq": 0.0, "max_freq": 0.5}}),
+    (["peaks"], {"peaks": {"timeNorm": "second", "T": 0.01}}),
+    (["peaks"], {"peaks": {"timeNorm": "segment"}}),
+    # the peaks/peaks2 name collision must resolve first-REQUESTED-wins
+    (["peaks", "peaks2"], {}),
+    (["peaks2", "peaks"], {}),
+])
+def test_lag_families_options_and_peaks_collision(fams, opts):
+    rng = np.random.RandomState(17)
+    for trial in range(4):
+        sizes = rng.randint(1, 150, size=25)
+        xs = [np.cumsum(rng.randn(n)) if trial % 2 == 0
+              else np.round(rng.randn(n), 1) for n in sizes]
+        x = np.concatenate(xs)
+        ends = np.cumsum(sizes).astype(np.int64)
+        starts = ends - sizes.astype(np.int64)
+        bat = compute_batched(x, starts, ends, fams, opts)
+        for gi, (s, e) in enumerate(zip(starts, ends)):
+            want = compute_all(x[s:e], fams, opts)
+            for k, v in want.items():
+                got = float(bat[k][gi])
+                assert np.isclose(got, v, rtol=1e-9, atol=1e-12), (
+                    f"group {gi} (n={e - s}) fams={fams} {k}: "
+                    f"batched={got} pergroup={v}")
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 6, 7])
+def test_peaks_legacy_automaton_lattice(seed):
+    """Adversarial pin for the legacy f_peaks lattice transcription: series
+    engineered so close events fire INSIDE inter-detection runs (slow
+    descents through the 0.09*rng hysteresis), at detection indices, and
+    via the forced i == N-1 close; plateaus suppress detections while the
+    per-element close check keeps running."""
+    rng = np.random.RandomState(seed)
+    xs, sizes = [], []
+    for _ in range(80):
+        n = rng.randint(1, 60)
+        style = rng.randint(4)
+        if style == 0:        # triangle waves: many arm/close cycles
+            v = np.abs(((np.arange(n) * rng.uniform(0.2, 2.0)) % 7) - 3.5)
+        elif style == 1:      # slow descent after one sharp peak
+            v = np.concatenate([np.linspace(0, 10, max(n // 4, 1)),
+                                np.linspace(10, 0, n)])[:n]
+        elif style == 2:      # plateau-heavy quantized walk
+            v = np.round(np.cumsum(rng.randn(n)))
+        else:                 # noise
+            v = rng.randn(n) * rng.uniform(0.1, 5.0)
+        xs.append(v.astype(np.float64))
+        sizes.append(n)
+    x = np.concatenate(xs)
+    ends = np.cumsum(sizes).astype(np.int64)
+    starts = ends - np.array(sizes, dtype=np.int64)
+    bat = compute_batched(x, starts, ends, ["peaks"], {})
+    for gi, (s, e) in enumerate(zip(starts, ends)):
+        want = compute_all(x[s:e], ["peaks"], {})
+        for k, v in want.items():
+            got = float(bat[k][gi])
+            assert np.isclose(got, v, rtol=1e-12, atol=1e-12), (
+                f"group {gi} (n={e - s}) {k}: batched={got} pergroup={v} "
+                f"series={x[s:e].tolist()}")
