@@ -68,6 +68,10 @@ class ConfParse:
     sections: list = field(default_factory=list)      # [ConfSection] in file order
     instances: dict = field(default_factory=dict)     # name -> cType
     unresolved: list = field(default_factory=list)    # human-readable notes
+    cm_reg: dict = field(default_factory=dict)        # \cm option registry:
+    # the FIRST \cm[name{default}:desc] occurrence registers the default,
+    # later bare \cm[name] references reuse it (commandlineParser behavior
+    # relied on by e.g. eGeMAPS referencing GeMAPS-registered options)
 
     def by_type(self, ctype: str) -> list:
         return [s for s in self.sections if s.ctype == ctype]
@@ -90,19 +94,30 @@ def _strip_comment(line: str) -> str:
     return t
 
 
-def _sub_cm(text: str, cm: dict, unresolved: list) -> str | None:
-    """Replace every \\cm[...] occurrence; None = line must be skipped."""
+def _sub_cm(text: str, cm: dict, unresolved: list,
+            reg: dict | None = None) -> str | None:
+    """Replace every \\cm[...] occurrence; None = line must be skipped.
+    `reg` is the first-occurrence default registry: \\cm[name{default}:d]
+    registers, a later bare \\cm[name] resolves from it."""
     out, ok = [], True
 
     def repl(m):
         nonlocal ok
         name, short, default = m.group(1), m.group(2), m.group(3)
+        if default is not None and reg is not None:
+            reg.setdefault(name, default)
+            if short:
+                reg.setdefault(short, default)
         if cm and name in cm:
             return str(cm[name])
         if cm and short and short in cm:
             return str(cm[short])
         if default is not None:
             return default
+        if reg is not None and name in reg:
+            return reg[name]
+        if reg is not None and short and short in reg:
+            return reg[short]
         ok = False
         unresolved.append(f"\\cm[{name}] has no value and no default")
         return ""
@@ -134,28 +149,34 @@ def _set_option(opts: dict, key: str, value: str):
         opts[key] = _coerce(value)
 
 
-def parse_conf_text(text: str, cm: dict | None = None,
-                    include_resolver=None, _parse: ConfParse | None = None,
-                    _depth: int = 0) -> ConfParse:
-    """Parse openSMILE conf text. `include_resolver(path) -> text | None`
-    supplies \\{...} include bodies (None = record unresolved and skip)."""
-    p = _parse if _parse is not None else ConfParse()
-    if _depth > 16:
+def _conf_lines(text: str, cm: dict, include_resolver, p: ConfParse,
+                depth: int = 0):
+    """Yield cleaned logical lines with \\{...} includes SPLICED IN PLACE —
+    the reference's textual-include semantics (configManager.cpp): an
+    included file's options continue whatever section was open at the
+    include point (the shared FrameModeFunctionals / BufferMode .inc
+    pattern relies on this)."""
+    if depth > 16:
         p.unresolved.append("include depth > 16 (cycle?)")
-        return p
-    cur: ConfSection | None = None
-
+        return
+    in_block = False                # /* */ c-style block comments
     for raw in text.splitlines():
+        t = raw.strip()
+        if t.startswith("/*"):      # configManager.cpp:1987-1995: the
+            in_block = True         # opener line and everything up to a
+        if in_block:                # line starting or ending with */ is
+            if t.startswith("*/") or t.endswith("*/"):
+                in_block = False    # (closer line itself also skipped)
+            continue
         line = _strip_comment(raw)
         if not line:
             continue
-        line2 = _sub_cm(line, cm or {}, p.unresolved)
+        line2 = _sub_cm(line, cm, p.unresolved, p.cm_reg)
         if line2 is None:
             continue
         line = line2.strip()
         if not line:
             continue
-
         inc = _INCLUDE_RE.match(line)
         if inc:
             path = inc.group(1).strip()
@@ -163,10 +184,23 @@ def parse_conf_text(text: str, cm: dict | None = None,
             if body is None:
                 p.unresolved.append(f"include not resolved: {path}")
             else:
-                parse_conf_text(body, cm, include_resolver, p, _depth + 1)
-            cur = None  # a fresh file ends any open section
+                yield from _conf_lines(body, cm, include_resolver, p,
+                                       depth + 1)
             continue
+        yield line
 
+
+def parse_conf_text(text: str, cm: dict | None = None,
+                    include_resolver=None, _parse: ConfParse | None = None,
+                    _depth: int = 0) -> ConfParse:
+    """Parse openSMILE conf text. `include_resolver(path) -> text | None`
+    supplies \\{...} include bodies (None = record unresolved and skip).
+    Includes are textual splices: the open section continues across the
+    include boundary, exactly as in the reference."""
+    p = _parse if _parse is not None else ConfParse()
+    cur: ConfSection | None = None
+
+    for line in _conf_lines(text, cm or {}, include_resolver, p, _depth):
         sec = _SECTION_RE.match(line)
         if sec:
             name, ctype = sec.group(1), sec.group(2)
@@ -211,7 +245,8 @@ def load_conf(path: str, cm: dict | None = None) -> ConfParse:
             # by re-entering parse with a resolver rooted at its dir —
             # done by returning a sentinel-free pre-resolved text: we
             # splice nested includes here recursively.
-            return _preresolve(body, os.path.dirname(full), notes)
+            return _preresolve(body, os.path.dirname(full), notes, cm,
+                               reg=p.cm_reg)
         return resolve
 
     notes: list[str] = []
@@ -224,21 +259,33 @@ def load_conf(path: str, cm: dict | None = None) -> ConfParse:
     return p
 
 
-def _preresolve(text: str, base_dir: str, notes: list, depth: int = 0) -> str:
-    """Inline nested \\{...} includes textually, relative to base_dir."""
+def _preresolve(text: str, base_dir: str, notes: list,
+                cm: dict | None = None, depth: int = 0,
+                reg: dict | None = None) -> str:
+    """Inline nested \\{...} includes textually, relative to base_dir.
+    Include paths carrying \\cm[opt{default}] substitutions (the
+    arff_targets / FrameModeFunctionals pattern) are substituted HERE so
+    they resolve relative to the including file, not the top-level conf."""
     if depth > 16:
         notes.append("include depth > 16 (cycle?)")
         return text
     out = []
     for raw in text.splitlines():
-        m = _INCLUDE_RE.match(raw.strip())
-        if m and "\\cm[" not in raw:
+        stripped = raw.strip()
+        cand = stripped
+        if stripped.startswith("\\{") and "\\cm[" in stripped:
+            sub = _sub_cm(stripped, cm or {}, notes, reg)
+            if sub is None:
+                continue        # \cm with no value/default: noted, skipped
+            cand = sub.strip()
+        m = _INCLUDE_RE.match(cand)
+        if m:
             full = os.path.normpath(os.path.join(base_dir, m.group(1).strip()))
             if os.path.isfile(full):
                 with open(full) as f:
                     body = f.read()
                 out.append(_preresolve(body, os.path.dirname(full),
-                                       notes, depth + 1))
+                                       notes, cm, depth + 1, reg))
                 continue
             notes.append(f"include not found: {m.group(1).strip()}")
             continue

@@ -579,3 +579,92 @@ def test_emit_config_roundtrips_through_runconfig(spark, lld_small,
     plan = json.load(open(native))
     assert [s["type"] for s in plan["stages"]] == [
         "sma", "functionals", "select"]
+
+
+def test_include_continues_open_section(tmp_path):
+    """Textual-include semantics (configManager.cpp): an included file's
+    bare options continue the section open at the include point — the
+    shared FrameModeFunctionals.conf.inc pattern."""
+    from opensmile_spark.smileconf import load_conf
+    inc = tmp_path / "framemode.inc"
+    inc.write_text("frameMode = full\nExtremes.max = 1\n")
+    conf = tmp_path / "main.conf"
+    conf.write_text(
+        "[f1:cFunctionals]\n"
+        "reader.dmLevel = lld\nwriter.dmLevel = func\n"
+        "\\{framemode.inc}\n"
+        "functionalsEnabled = Extremes\n")
+    p = load_conf(str(conf))
+    s = p.section("f1")
+    assert s is not None
+    assert s.options.get("frameMode") == "full"
+    assert s.options.get("Extremes.max") == 1
+    # the option AFTER the include also lands in the same section
+    assert s.options.get("functionalsEnabled") == "Extremes"
+    assert not [u for u in p.unresolved if "outside any section" in u]
+
+
+def test_cm_registry_first_occurrence_default(tmp_path):
+    """\\cm[name{default}:d] registers; a later bare \\cm[name] reuses the
+    registered default (eGeMAPS referencing GeMAPS-registered options) —
+    including include-path \\cm refs resolved relative to the declaring
+    file."""
+    from opensmile_spark.smileconf import load_conf
+    shared = tmp_path / "shared"
+    shared.mkdir()
+    (shared / "mode.inc").write_text("smaWin = 5\n")
+    (tmp_path / "first.inc").write_text(
+        "[s1:cContourSmoother]\nreader.dmLevel = a\nwriter.dmLevel = b\n"
+        "\\{\\cm[modeConf{shared/mode.inc}:mode include]}\n")
+    (tmp_path / "second.inc").write_text(
+        "[s2:cContourSmoother]\nreader.dmLevel = b\nwriter.dmLevel = c\n"
+        "\\{\\cm[modeConf]}\n")
+    conf = tmp_path / "main.conf"
+    conf.write_text("\\{first.inc}\n\\{second.inc}\n")
+    p = load_conf(str(conf))
+    assert p.section("s1").options.get("smaWin") == 5
+    assert p.section("s2").options.get("smaWin") == 5
+    assert not [u for u in p.unresolved if "no value" in u]
+    # explicit -cm value still beats the registered default
+    (shared / "mode2.inc").write_text("smaWin = 9\n")
+    p2 = load_conf(str(conf), cm={"modeConf": "shared/mode2.inc"})
+    assert p2.section("s2").options.get("smaWin") == 9
+
+
+def test_block_comments_stripped(tmp_path):
+    from opensmile_spark.smileconf import parse_conf_text
+    p = parse_conf_text(
+        "/*\n"
+        "this whole block is a comment [fake:cSection]\n"
+        "*/\n"
+        "[real:cEnergy]\nreader.dmLevel = x\nwriter.dmLevel = y\n"
+        "/* inline-opened\n   still comment */\n"
+        "rms = 1\n")
+    assert p.section("real") is not None
+    assert p.section("real").options.get("rms") == 1
+    assert p.section("fake") is None
+    assert not [u for u in p.unresolved if "unparsed" in u]
+
+
+@pytest.mark.parametrize("conf", [
+    "/root/reference/config/is09-13/IS09_emotion.conf",
+    "/root/reference/config/is09-13/IS13_ComParE.conf",
+    "/root/reference/config/egemaps/v01b/eGeMAPSv01b.conf",
+    "/root/reference/config/gemaps/v01b/GeMAPSv01b.conf",
+    "/root/reference/config/emobase/emobase.conf",
+    "/root/reference/config/compare16/ComParE_2016.conf",
+])
+def test_flagship_reference_confs_fully_resolve(conf):
+    """Every flagship SMILExtract config parses with ZERO unresolved notes
+    and compiles to a non-trivial stage plan (functionals + enable-flag
+    select stages present)."""
+    import os
+    if not os.path.isfile(conf):
+        pytest.skip("reference config not present")
+    from opensmile_spark.smileconf import conf_to_config, load_conf
+    p = load_conf(conf)
+    assert p.unresolved == [], p.unresolved[:10]
+    cfg = conf_to_config(p, ["char_len"])
+    kinds = [s["type"] for s in cfg["stages"]]
+    assert "functionals" in kinds
+    assert len(cfg["report"]["mapped"]) >= 4
