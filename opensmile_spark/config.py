@@ -59,11 +59,63 @@ def run_config(df: DataFrame, config: dict) -> DataFrame:
     )
     from opensmile_spark.operators.viterbi import viterbi_smooth_df
 
+    # DAG routing (smileconf-compiled configs): a stage may carry
+    # "_reads": [level, ...] and "_writes": [level, ...] — named
+    # intermediates mirroring the reference's dataMemory levels. A level
+    # never written resolves to the INPUT frame (the audio-source chain the
+    # compile maps onto the caller's columns). Stages without _reads chain
+    # from the previous stage's output, so plain JSON configs are
+    # unaffected. Multi-read stages column-concat their sources, which for
+    # distinct frames is a key join (cVectorConcat of functional levels).
+    env: dict[str, DataFrame] = {}
+    aliases: dict = config.get("aliases") or {}
+
+    def _resolve(lv, _seen=()):
+        """Look a level up in env, reaching through passthrough aliases;
+        None = never written -> caller falls back to the input frame."""
+        if lv in env:
+            return env[lv]
+        for src in aliases.get(lv, []):
+            if src not in _seen:
+                d = _resolve(src, _seen + (lv,))
+                if d is not None:
+                    return d
+        return None
+
+    def _merge_frames(frames):
+        res = frames[0]
+        for d in frames[1:]:
+            keys = [k for k in ("conv_id", "session_id", "turn_idx")
+                    if k in res.columns and k in d.columns]
+            if not keys:
+                raise ValueError("config concat: frames share no key "
+                                 "columns (conv_id/session_id/turn_idx)")
+            dup = [c for c in d.columns
+                   if c in res.columns and c not in keys]
+            # full outer: a source can be legitimately EMPTY (e.g. the
+            # unvoiced branch when the voicing gate never fires on this
+            # data) — the reference emits empty fields there, we emit nulls
+            res = res.join(d.drop(*dup) if dup else d, on=keys, how="full")
+        return res
+
     out = df
     for stage in config["stages"]:
         s = dict(stage)
         kind = s.pop("type")
-        if kind == "lld":
+        reads = s.pop("_reads", None)
+        writes = s.pop("_writes", None)
+        if reads:
+            srcs: list[DataFrame] = []
+            for lv in reads:
+                d = _resolve(lv)
+                if d is None:
+                    d = df
+                if all(d is not x for x in srcs):
+                    srcs.append(d)
+            out = srcs[0] if len(srcs) == 1 else _merge_frames(srcs)
+        if kind == "concat":
+            pass            # out is already the merged read set
+        elif kind == "lld":
             out = compute_lld(out, **s)
         elif kind == "sma":
             out = sma(out, s.pop("cols"), s.pop("win", 3), **s)
@@ -105,6 +157,9 @@ def run_config(df: DataFrame, config: dict) -> DataFrame:
 
             out = vector_op(out, s.pop("col"), s.pop("op"), **s)
         elif kind == "viterbi":
+            # carry everything: compiled configs use viterbi mid-pipeline
+            # and later stages (resample, sessionize) still need ts etc.
+            s.setdefault("carry_cols", "all")
             out = viterbi_smooth_df(out, s.pop("col"), **s)
         elif kind == "functionals":
             out = functionals_kernel(
@@ -118,9 +173,20 @@ def run_config(df: DataFrame, config: dict) -> DataFrame:
             out = backfill_functionals(
                 out, s.pop("anchors"), s.pop("value_cols"), **s)
         elif kind == "resample":
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+
             from opensmile_spark.operators import resample
 
+            by = s.get("by", "conv_id")
             out = resample(out, s.pop("period_seconds"), **s)
+            # the grid is a fresh uniform series: re-derive the order
+            # column so downstream window stages (sma/delta/functionals)
+            # keep working; the window reuses the resample's partitioning
+            if "turn_idx" not in out.columns and "ts" in out.columns:
+                w = Window.partitionBy(by).orderBy("ts")
+                out = out.withColumn(
+                    "turn_idx", (F.row_number().over(w) - 1).cast("int"))
         elif kind == "select":
             # backtick-quote names: functional columns contain dots
             # (percentile20.0), which bare strings would parse as struct
@@ -243,4 +309,7 @@ def run_config(df: DataFrame, config: dict) -> DataFrame:
             out = corpus_pipeline(out, s.pop("benchmark"), **s)
         else:
             raise ValueError(f"unknown stage type: {kind!r}")
+        if writes:
+            for lv in writes:
+                env[lv] = out
     return out

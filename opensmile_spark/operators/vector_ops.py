@@ -42,6 +42,15 @@ def vector_op(df: DataFrame, col: str, op: str, scalar: float = 1.0,
         "fconv_bark": F.lit(13.0) * F.atan(F.lit(0.00076) * x)
         + F.lit(3.5) * F.atan(F.pow(x / 7500.0, 2)),
         "fconv_oct": F.when(x > 0, F.log2(x / 27.5)).otherwise(F.lit(0.0)),
+        # single-output reduces (vectorOperation.cpp:130-140) applied to a
+        # SCALAR column — the 1-element-vector degenerate forms (smileconf
+        # compiles per-column stages, so the frame "vector" has one
+        # element here): sum = x, ssm = x^2, ll1 = mean = x, ll2 = |x|.
+        # Multi-column reduces live in vector_reduce (array columns).
+        "sum": x,
+        "ssm": x * x,
+        "ll1": x,
+        "ll2": F.abs(x),
     }
     return df.withColumn(out_col or f"{col}_{op}", ops[op])
 

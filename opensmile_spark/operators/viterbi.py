@@ -29,9 +29,18 @@ def viterbi_smooth_df(
     partition_cols=("conv_id",),
     order_col: str = "turn_idx",
     suffix: str = "_vit",
+    carry_cols=None,
 ) -> DataFrame:
+    """carry_cols: extra columns threaded through the kernel unchanged
+    ("all" = every other column) — mid-pipeline callers (the smileconf
+    config runner) need ts and friends to survive for later stages."""
     group_cols = list(partition_cols)
     in_cols = group_cols + [order_col, col]
+    if carry_cols == "all":
+        carry = [c for c in df.columns if c not in in_cols]
+    else:
+        carry = [c for c in (carry_cols or []) if c not in in_cols]
+    in_cols = in_cols + carry
     schema_parts = [
         f"`{c}` {df.schema[c].dataType.simpleString()}" for c in in_cols
     ]

@@ -526,7 +526,8 @@ def _output_selection(sec, fams, options, report):
 
 
 def conf_to_config(parse: ConfParse, value_cols: list[str],
-                   group_cols=("conv_id",)) -> dict:
+                   group_cols=("conv_id",),
+                   event_resample_period: float = 86400.0) -> dict:
     """Compile a parsed conf into a `run_config` stage list + report.
 
     `value_cols` seeds the dataflow: levels produced by unmapped
@@ -548,9 +549,31 @@ def conf_to_config(parse: ConfParse, value_cols: list[str],
                     cols.append(c)
         return cols or list(value_cols)
 
+    n_mark = [0]
+    aliases: dict[str, list[str]] = {}
+
     def set_out(sec: ConfSection, cols: list[str]):
         for lv in _levels(sec, "writer.dmLevel"):
             level_cols[lv] = list(cols)
+        # stamp DAG routing onto the stages this section just emitted: the
+        # first reads the section's reader levels, the last writes its
+        # writer levels (run_config resolves unwritten levels to the input
+        # frame — the audio-source chain the compile maps onto the
+        # caller's columns). A section that emitted NO stage (io,
+        # passthrough, identity) instead ALIASES its writer levels to its
+        # reader levels so downstream reads reach through it.
+        new = stages[n_mark[0]:]
+        readers = _levels(sec, "reader.dmLevel")
+        writers = _levels(sec, "writer.dmLevel")
+        if new:
+            if readers:
+                new[0].setdefault("_reads", readers)
+            if writers:
+                new[-1].setdefault("_writes", writers)
+        elif readers:
+            for lv in writers:
+                aliases.setdefault(lv, readers)
+        n_mark[0] = len(stages)
 
     for sec in toposort_sections(parse):
         cur = cols_for(sec)
@@ -560,7 +583,10 @@ def conf_to_config(parse: ConfParse, value_cols: list[str],
             set_out(sec, cur)
             continue
         if t == "cVectorConcat":
-            # concat of levels == union of their columns (already threaded)
+            # concat of levels == column union; distinct source frames are
+            # key-joined by run_config (functional-level concat), identical
+            # ones collapse to a passthrough
+            stages.append({"type": "concat"})
             report["mapped"].append(f"{sec.name}:{t} (column union)")
             set_out(sec, cur)
             continue
@@ -615,9 +641,25 @@ def conf_to_config(parse: ConfParse, value_cols: list[str],
             names = ([s for s in sel if s] if isinstance(sel, list)
                      else [x.strip() for x in str(sel).split(";") if x.strip()]
                      if sel else cur)
-            stages.append({"type": "data_selector", "names": names})
-            report["mapped"].append(f"{sec.name}:{t} -> data_selector")
-            set_out(sec, names)
+            # the conf names fields of the REFERENCE's level (audio LLD
+            # names); only the ones that exist in this column world can be
+            # selected — the rest are reported unavailable, and an empty
+            # intersection compiles to an identity passthrough so the
+            # pipeline SHAPE survives on the threaded columns
+            avail = [n for n in names if n in cur]
+            missing = [n for n in names if n not in cur]
+            if missing:
+                report.setdefault("unavailable_selects", {})[sec.name] = (
+                    sorted(missing))
+            if avail:
+                stages.append({"type": "data_selector", "names": avail})
+                report["mapped"].append(f"{sec.name}:{t} -> data_selector")
+                set_out(sec, avail)
+            else:
+                report["mapped"].append(
+                    f"{sec.name}:{t} -> identity (no selected field exists "
+                    "in this column world)")
+                set_out(sec, cur)
             continue
         if t == "cValbasedSelector":
             thr = float(sec.get("threshold", 0.0))
@@ -636,6 +678,13 @@ def conf_to_config(parse: ConfParse, value_cols: list[str],
             rate = sec.get("targetRate") or sec.get("targetFs")
             period = (1.0 / float(rate)) if rate else float(
                 sec.get("periodSeconds", 1.0))
+            if period < 1.0:
+                # audio sample rates are meaningless on event-time data;
+                # map sub-second grids to the caller's event grid
+                report.setdefault("notes", []).append(
+                    f"{sec.name}: audio-rate resample period {period:.3g}s "
+                    f"mapped to event-time grid {event_resample_period}s")
+                period = event_resample_period
             stages.append({"type": "resample", "period_seconds": period,
                            "value_cols": cur})
             report["mapped"].append(
@@ -659,13 +708,36 @@ def conf_to_config(parse: ConfParse, value_cols: list[str],
                     f"{sec.name}:{t} -> functionals("
                     f"{','.join(fstage['families'])})"
                     + (f" + {'/'.join(extras)}" if extras else ""))
-            set_out(sec, cur)
+                # the bank's written level carries the FUNCTIONAL column
+                # names, not the input contour names — func-of-func chains
+                # (the reference's Leq pattern: functionals -> dBp) read
+                # these downstream
+                sel = next((x for x in reversed(st)
+                            if x["type"] == "select"), None)
+                if sel is not None:
+                    out_names = [c for c in sel["cols"]
+                                 if c not in group_cols and c != "n_turns"]
+                else:
+                    import numpy as np
+
+                    from opensmile_spark.functionals.kernels import (
+                        compute_all,
+                    )
+                    probe = compute_all(np.arange(1.0, 9.0),
+                                        fstage["families"],
+                                        fstage.get("options"))
+                    out_names = [f"{c}_{k}"
+                                 for c in fstage["value_cols"]
+                                 for k in probe]
+                set_out(sec, out_names)
+            else:
+                set_out(sec, cur)
             continue
         # anything else: passthrough with its level wiring intact
         report["passthrough"].append(f"{sec.name}:{t}")
         set_out(sec, cur)
 
-    return {"stages": stages, "report": report}
+    return {"stages": stages, "aliases": aliases, "report": report}
 
 
 def run_smile_conf(df, conf: str, value_cols: list[str],

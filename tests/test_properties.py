@@ -164,6 +164,14 @@ def test_expanding_chan_stats_match_pergroup(vals, offset):
                     continue
                 amp = sabs / max(s, 1e-300)
                 rtol = max(rtol, 64 * np.finfo(float).eps * amp)
+            if k in ("skewness", "kurtosis"):
+                # sd-normalized central moments: when the spread sits at
+                # float-cancellation scale relative to the offset (e.g.
+                # [o, o, o, o+2e-16]), m3/(N*sd^3) is pure ulp noise and
+                # ANY summation order yields a different number
+                sd = float(np.std(x[:h]))
+                if sd < 1e-6 * scale:
+                    continue
             got = float(ex[k][gi])
             atol = 256 * np.finfo(float).eps * scale * spread \
                 if k.endswith("errQ") else 1e-8 * scale

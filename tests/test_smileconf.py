@@ -145,8 +145,11 @@ def test_conf_to_config_threads_column_names():
     p = parse_conf_text(BASIC)
     cfg = conf_to_config(p, ["char_len"], group_cols=("conv_id",))
     stages = cfg["stages"]
-    assert stages[0] == {"type": "sma", "cols": ["char_len"], "win": 3,
-                         "no_zero_sma": False}
+    s0 = {k: v for k, v in stages[0].items() if not k.startswith("_")}
+    assert s0 == {"type": "sma", "cols": ["char_len"], "win": 3,
+                  "no_zero_sma": False}
+    # DAG routing metadata mirrors the conf's level wiring
+    assert stages[0]["_reads"] and stages[0]["_writes"]
     assert stages[1]["type"] == "functionals"
     assert stages[1]["value_cols"] == ["char_len_sma3"]
     assert stages[1]["families"] == ["moments", "percentiles"]
@@ -668,3 +671,34 @@ def test_flagship_reference_confs_fully_resolve(conf):
     kinds = [s["type"] for s in cfg["stages"]]
     assert "functionals" in kinds
     assert len(cfg["report"]["mapped"]) >= 4
+
+
+@pytest.mark.parametrize("conf,min_cols", [
+    ("/root/reference/config/egemaps/v01b/eGeMAPSv01b.conf", 30),
+    ("/root/reference/config/is09-13/IS13_ComParE.conf", 200),
+])
+def test_flagship_confs_execute_end_to_end(spark, conf, min_cols):
+    """The compiled flagship configs don't just parse — they RUN: viterbi
+    (column carry), valbased gates (including the legitimately-empty
+    unvoiced branch), resample (audio-rate period mapped to the event
+    grid + re-derived order column), multi-bank functionals via DAG level
+    routing, and the funcconcat full-outer key join, ending in one
+    feature row per conversation."""
+    import os
+    if not os.path.isfile(conf):
+        pytest.skip("reference config not present")
+    from opensmile_spark.config import run_config
+    from opensmile_spark.lld import compute_lld
+    from opensmile_spark.smileconf import conf_to_config, load_conf
+    from opensmile_spark.transcripts import transcripts_from_events
+
+    t = compute_lld(transcripts_from_events(spark, "/root/testdata/sf0.001"))
+    cfg = conf_to_config(load_conf(conf), ["char_len"])
+    out = run_config(t, cfg)
+    rows = out.collect()
+    n_convs = t.select("conv_id").distinct().count()
+    assert len(rows) == n_convs
+    assert len(out.columns) >= min_cols
+    # the last functional column is populated for every conversation
+    last = out.columns[-1]
+    assert all(r[last] is not None for r in rows)
