@@ -463,7 +463,9 @@ def cmd_smileconf(spark, args):
                          group_cols=tuple(args.group_cols))
     if args.emit_config:
         with open(args.emit_config, "w") as f:
-            json.dump({"stages": cfg["stages"]}, f, indent=1, default=str)
+            json.dump({"stages": cfg["stages"],
+                       "aliases": cfg.get("aliases", {})},
+                      f, indent=1, default=str)
     if args.dry_run:
         print(json.dumps({"stages": cfg["stages"],
                           "report": cfg["report"]}, default=str))

@@ -382,6 +382,10 @@ def _pctl_options(sec: ConfSection) -> dict:
     pcts = sec.get("Percentiles.percentile")
     if isinstance(pcts, list):
         opts["percentiles"] = tuple(float(x) for x in pcts if x is not None)
+        # the conf declares its own percentile list: the kernel's default
+        # pctlranges=((0,2),) indexes the DEFAULT 3-percentile list and
+        # must not survive (emo_large declares 2 percentiles, no ranges)
+        opts["pctlranges"] = ()
     ranges = sec.get("Percentiles.pctlrange")
     if isinstance(ranges, list):
         pairs = []

@@ -702,3 +702,26 @@ def test_flagship_confs_execute_end_to_end(spark, conf, min_cols):
     # the last functional column is populated for every conversation
     last = out.columns[-1]
     assert all(r[last] is not None for r in rows)
+
+
+def test_entire_reference_config_tree_compiles():
+    """EVERY .conf in the reference tree parses and compiles without
+    raising; all but the caller-parameterized include fragments
+    (arff_targets*) resolve with zero notes."""
+    import glob
+    import os
+    confs = sorted(glob.glob("/root/reference/config/**/*.conf",
+                             recursive=True))
+    if not confs:
+        pytest.skip("reference config tree not present")
+    from opensmile_spark.smileconf import conf_to_config, load_conf
+    clean = 0
+    for c in confs:
+        p = load_conf(c)            # must not raise
+        conf_to_config(p, ["char_len"])   # must not raise
+        if not p.unresolved:
+            clean += 1
+        else:
+            assert "arff_targets" in os.path.basename(c), (
+                c, p.unresolved[:5])
+    assert clean >= 60, clean
