@@ -137,8 +137,16 @@ def run_scaling() -> dict:
     s.stop()
 
     times: dict[int, list[float]] = {n_small: [], n_large: []}
-    for _ in range(reps):
-        for n in (n_small, n_large):
+    cal_series: list[float] = []
+    for rep in range(reps):
+        # alternate which level runs first: under monotonic host drift a
+        # fixed (small, large) order biases EVERY pair ratio the same way;
+        # alternation makes consecutive pairs bracket the truth, and the
+        # second-best-pair estimator below then picks a conservative one
+        cal_series.append(_host_cal())
+        order = ((n_small, n_large) if rep % 2 == 0
+                 else (n_large, n_small))
+        for n in order:
             s = _spark(n)
             s.conf.set(
                 "spark.sql.adaptive.coalescePartitions.enabled", "false")
@@ -205,6 +213,7 @@ def run_scaling() -> dict:
         "efficiency_method": ("min-of-N ratio" if eff == minratio
                               else "second-best back-to-back pair"),
         "host_cal_sec": [cal_before, _host_cal()],
+        "host_cal_series": [round(c, 3) for c in cal_series],
     }
     shutil.rmtree(corpus, ignore_errors=True)
     return out
