@@ -24,7 +24,7 @@ import numpy as np
 BATCHED_FAMILIES = {
     "means", "moments", "extremes", "percentiles", "regression", "crossings",
     "times", "samples", "dct", "onset", "segments", "peaks2",
-    "lpc", "acf", "amdf", "modulation", "peaks",
+    "lpc", "acf", "amdf", "modulation", "peaks", "lsp", "formants",
 }
 
 # per-family options the batched path implements with kernel-equal results;
@@ -64,6 +64,10 @@ BATCHED_SUPPORTED_OPTIONS = {
     # one (n_groups, fft_win) gather + batched rfft
     "modulation": {"fft_win", "n_bins", "min_freq", "max_freq",
                    "timeNorm", "T"},
+    # stacked companion-matrix eigvals (leading coefficient is always 1,
+    # so np.roots' trim path never fires and results match per group)
+    "lsp": {"order", "timeNorm", "T"},
+    "formants": {"order", "n_formants", "timeNorm", "T"},
 }
 
 _BIG = np.iinfo(np.int64).max
@@ -93,6 +97,49 @@ def _lag_sum(x, starts, pos_in, size_rep, k, kind="prod"):
             y[: n - k] = np.abs(x[: n - k] - x[k:])
     valid = pos_in < size_rep - k
     return np.add.reduceat(np.where(valid, y, 0.0), starts)
+
+
+def _levinson_batched(x, starts, ends, pos_in, size_rep, order):
+    """Levinson-Durbin over every group at once: returns (a, e, zero, p)
+    where a is the (n_groups, order+1) coefficient matrix, e the final
+    prediction error, zero the r0==0 early-exit mask, and p the per-group
+    effective order min(order, max(N-1, 1)). Per-group scalar op order is
+    identical to kernels.f_lpc (loops run over the lag index)."""
+    n_groups = starts.size
+    Ni = ends - starts
+    r = np.stack([_lag_sum(x, starts, pos_in, size_rep, k)
+                  for k in range(order + 1)], axis=1)
+    zero = r[:, 0] == 0.0
+    p = np.minimum(order, np.maximum(Ni - 1, 1))
+    a = np.zeros((n_groups, order + 1))
+    e = r[:, 0].copy()
+    for i in range(1, order + 1):
+        active = i <= p
+        acc = r[:, i].copy()
+        for j in range(1, i):
+            acc = acc - a[:, j] * r[:, i - j]
+        k_i = np.where(active & (e != 0.0),
+                       acc / np.where(e != 0.0, e, 1.0), 0.0)
+        a_new = a.copy()
+        a_new[:, i] = k_i
+        for j in range(1, i):
+            a_new[:, j] = a[:, j] - k_i * a[:, i - j]
+        a = np.where(active[:, None], a_new, a)
+        e = np.where(active, e * (1.0 - k_i * k_i), e)
+    return a, e, zero, p
+
+
+def _lpc_poly_batched(x, starts, ends, pos_in, size_rep, order):
+    """A(z) = 1 - sum lpc_k z^-(k+1) as an (n_groups, order+1) matrix,
+    built from the SAME clamped lpc outputs the kernels expose (zero mask,
+    effective-order cutoff) — the polynomial f_lsp/f_formants factor."""
+    a, _e, zero, p = _levinson_batched(x, starts, ends, pos_in,
+                                       size_rep, order)
+    av = np.zeros((starts.size, order + 1))
+    av[:, 0] = 1.0
+    for k in range(order):
+        av[:, k + 1] = -np.where(zero | (k + 1 > p), 0.0, a[:, k + 1])
+    return av
 
 
 EXPANDING_FAMILIES = {"means", "extremes", "moments", "percentiles",
@@ -1609,7 +1656,7 @@ def compute_batched(x: np.ndarray, starts: np.ndarray, ends: np.ndarray,
             basis = np.cos(np.pi * k / N_rep * (ii + 0.5))
             out[f"dct{k}"] = factor * _seg_sum(x * basis, starts)
 
-    if "lpc" in families or "acf" in families or "amdf" in families:
+    if {"lpc", "acf", "amdf", "lsp", "formants"} & set(families):
         size_rep_f = np.repeat(N, (ends - starts))
 
     if "lpc" in families:
@@ -1618,29 +1665,73 @@ def compute_batched(x: np.ndarray, starts: np.ndarray, ends: np.ndarray,
         # groups — the recursion's per-group scalar op order is unchanged
         # (loops run over the lag index, numpy over the group axis)
         order = options.get("lpc", {}).get("order", 4)
-        Ni = ends - starts
-        r = np.stack([_lag_sum(x, starts, ii, size_rep_f, k)
-                      for k in range(order + 1)], axis=1)
-        zero = r[:, 0] == 0.0
-        p = np.minimum(order, np.maximum(Ni - 1, 1))
-        a = np.zeros((n_groups, order + 1))
-        e = r[:, 0].copy()
-        for i in range(1, order + 1):
-            active = i <= p
-            acc = r[:, i].copy()
-            for j in range(1, i):
-                acc = acc - a[:, j] * r[:, i - j]
-            k_i = np.where(active & (e != 0.0),
-                           acc / np.where(e != 0.0, e, 1.0), 0.0)
-            a_new = a.copy()
-            a_new[:, i] = k_i
-            for j in range(1, i):
-                a_new[:, j] = a[:, j] - k_i * a[:, i - j]
-            a = np.where(active[:, None], a_new, a)
-            e = np.where(active, e * (1.0 - k_i * k_i), e)
+        a, e, zero, p = _levinson_batched(x, starts, ends, ii,
+                                          size_rep_f, order)
         out["lpgain"] = np.where(zero, 0.0, e)
         for k in range(order):
             out[f"lpc{k}"] = np.where(zero | (k + 1 > p), 0.0, a[:, k + 1])
+
+    if "lsp" in families:
+        # f_lsp (lsp.cpp analogue, kernels.py:1649): sum/difference
+        # polynomials of A(z) both have LEADING AND TRAILING coefficient
+        # +-1, so np.roots never trims — the stacked companion eigvals are
+        # the identical LAPACK call per group
+        order = options.get("lsp", {}).get("order", 4)
+        av = _lpc_poly_batched(x, starts, ends, ii, size_rep_f, order)
+        pp = np.concatenate([av, np.zeros((n_groups, 1))], axis=1) \
+            + np.concatenate([np.zeros((n_groups, 1)), av[:, ::-1]], axis=1)
+        qq = np.concatenate([av, np.zeros((n_groups, 1))], axis=1) \
+            - np.concatenate([np.zeros((n_groups, 1)), av[:, ::-1]], axis=1)
+        angs = []
+        for poly in (pp, qq):
+            deg = poly.shape[1] - 1
+            comp = np.zeros((n_groups, deg, deg))
+            comp[:, np.arange(1, deg), np.arange(deg - 1)] = 1.0
+            comp[:, 0, :] = -poly[:, 1:] / poly[:, :1]
+            ang = np.angle(np.linalg.eigvals(comp))
+            ang = np.where((ang > 1e-9) & (ang < np.pi - 1e-9), ang, np.inf)
+            angs.append(ang)
+        allang = np.sort(np.concatenate(angs, axis=1), axis=1)
+        for i in range(order):
+            v = allang[:, i]
+            out[f"lsp{i}"] = np.where(np.isfinite(v), v, 0.0)
+
+    if "formants" in families:
+        # f_formants (formantLpc.cpp analogue, kernels.py:1681): LPC-root
+        # frequencies/bandwidths; A(z) has leading 1 so the full-size
+        # companion matches np.roots except when trailing coefficients are
+        # exactly zero (roots at 0 — filtered out either way)
+        fopts = options.get("formants", {})
+        order = fopts.get("order", 6)
+        n_formants = fopts.get("n_formants", 3)
+        T_f = fopts.get("T", 1.0)
+        av = _lpc_poly_batched(x, starts, ends, ii, size_rep_f, order)
+        trivial = np.all(np.abs(av[:, 1:]) <= 1e-8, axis=1)  # allclose(,0)
+        comp = np.zeros((n_groups, order, order))
+        comp[:, np.arange(1, order), np.arange(order - 1)] = 1.0
+        comp[:, 0, :] = -av[:, 1:]
+        roots = np.linalg.eigvals(comp)
+        fs = 1.0 / T_f if T_f != 0.0 else 1.0
+        ang = np.angle(roots)
+        mag = np.abs(roots)
+        okr = ((ang > 1e-9) & (ang < np.pi - 1e-9) & (mag > 1e-12)
+               & ~trivial[:, None])
+        freq = np.where(okr, ang / (2.0 * np.pi) * fs, np.inf)
+        with np.errstate(divide="ignore"):
+            bw = np.where(okr, -np.log(np.where(mag > 0, mag, 1.0))
+                          / np.pi * fs, np.inf)
+        sidx = np.lexsort((bw, freq), axis=1)     # tuple sort (freq, bw)
+        freq_s = np.take_along_axis(freq, sidx, axis=1)
+        bw_s = np.take_along_axis(bw, sidx, axis=1)
+        for i in range(n_formants):
+            if i < freq_s.shape[1]:
+                fv, bv = freq_s[:, i], bw_s[:, i]
+                ok = np.isfinite(fv)
+                out[f"formantFreq{i + 1}"] = np.where(ok, fv, 0.0)
+                out[f"formantBw{i + 1}"] = np.where(ok, bv, 0.0)
+            else:
+                out[f"formantFreq{i + 1}"] = np.zeros(n_groups)
+                out[f"formantBw{i + 1}"] = np.zeros(n_groups)
 
     if "acf" in families:
         aopts = options.get("acf", {})

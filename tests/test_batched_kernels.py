@@ -499,3 +499,34 @@ def test_peaks_legacy_automaton_lattice(seed):
             assert np.isclose(got, v, rtol=1e-12, atol=1e-12), (
                 f"group {gi} (n={e - s}) {k}: batched={got} pergroup={v} "
                 f"series={x[s:e].tolist()}")
+
+
+@pytest.mark.parametrize("fams,opts", [
+    (["lsp"], {}),
+    (["lsp"], {"lsp": {"order": 6}}),
+    (["formants"], {}),
+    (["formants"], {"formants": {"order": 4, "n_formants": 2, "T": 0.5}}),
+])
+def test_lsp_formants_companion_eigvals_match_roots(fams, opts):
+    """lsp/formants batched via stacked companion eigvals: both
+    polynomials carry leading coefficient 1 (and lsp trailing +-1), so
+    np.roots' trim path never fires and per-group results match the
+    kernels to eigensolver precision (residual ulp differences come from
+    the batched autocorrelation input, bounded ~1e-12 relative)."""
+    rng = np.random.RandomState(31)
+    for trial in range(5):
+        sizes = rng.randint(1, 120, size=30)
+        xs = [np.cumsum(rng.randn(n)) if trial % 2 == 0
+              else np.zeros(n) if trial == 3 else rng.randn(n)
+              for n in sizes]
+        x = np.concatenate(xs)
+        ends = np.cumsum(sizes).astype(np.int64)
+        starts = ends - sizes.astype(np.int64)
+        bat = compute_batched(x, starts, ends, fams, opts)
+        for gi, (s, e) in enumerate(zip(starts, ends)):
+            want = compute_all(x[s:e], fams, opts)
+            for k, v in want.items():
+                got = float(bat[k][gi])
+                assert np.isclose(got, v, rtol=1e-9, atol=1e-12), (
+                    f"group {gi} (n={e - s}) fams={fams} {k}: "
+                    f"batched={got} pergroup={v}")
