@@ -725,3 +725,40 @@ def test_entire_reference_config_tree_compiles():
             assert "arff_targets" in os.path.basename(c), (
                 c, p.unresolved[:5])
     assert clean >= 60, clean
+
+
+def test_every_stage_carrying_reference_conf_executes(spark):
+    """THE compat guarantee: every reference config that compiles to at
+    least one stage also EXECUTES end-to-end on transcript LLD data and
+    yields a non-empty frame. (Configs with no mappable stages are pure
+    audio-IO dumps — identity in this column world.)"""
+    import glob
+    import os
+    confs = sorted(glob.glob("/root/reference/config/**/*.conf",
+                             recursive=True))
+    if not confs:
+        pytest.skip("reference config tree not present")
+    from opensmile_spark.config import run_config
+    from opensmile_spark.lld import compute_lld
+    from opensmile_spark.smileconf import conf_to_config, load_conf
+    from opensmile_spark.transcripts import transcripts_from_events
+
+    t = compute_lld(
+        transcripts_from_events(spark, "/root/testdata/sf0.001")).cache()
+    t.count()
+    executed = 0
+    failures = []
+    for c in confs:
+        cfg = conf_to_config(load_conf(c), ["char_len"])
+        if not cfg["stages"]:
+            continue
+        try:
+            n = run_config(t, cfg).count()
+            assert n > 0, c
+            executed += 1
+        except Exception as ex:              # collect all, assert once
+            failures.append((os.path.basename(c), type(ex).__name__,
+                             str(ex)[:120]))
+    t.unpersist()
+    assert not failures, failures
+    assert executed >= 45, executed
