@@ -113,6 +113,7 @@ def run_scaling() -> dict:
     # not a shrinking constant-size toy.
     n_convs = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "1200000"))
     cal_before = _host_cal()
+    probe_eff, probe_ts = _host_scale_probe(n_small, n_large)
     corpus = "/dev/shm/opensmile_spark_bench_lld"
     lld_cols = ["char_len", "token_cnt", "punct_density", "ttr",
                 "reply_latency"]
@@ -247,6 +248,9 @@ def run_scaling() -> dict:
         "host_cal_sec": [cal_before, _host_cal()],
         "host_cal_series": [round(c, 3) for c in cal_series],
         "host_cal_end": [round(c, 3) for c in cal_end],
+        "host_scale_probe": [probe_eff, _host_scale_probe(
+            n_small, n_large)[0]],            # [before, after] the block
+        "host_scale_probe_sec": probe_ts,
     }
     shutil.rmtree(corpus, ignore_errors=True)
     return out
@@ -267,6 +271,40 @@ def _host_cal() -> float:
         a = a @ a
         a /= np.abs(a).max() + 1.0
     return round(time.time() - t0, 3)
+
+
+def _probe_task(_i):
+    import os as _os
+    _os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    _os.environ.setdefault("OMP_NUM_THREADS", "1")
+    import numpy as _np
+    rng = _np.random.RandomState(1)
+    a = rng.rand(2_000_000)
+    for _ in range(12):
+        a = _np.tanh(a * 1.000001) + 1e-9   # ufunc-bound, BLAS-free
+    return float(a[0])
+
+
+def _host_scale_probe(n_small: int, n_large: int):
+    """Engine-free ceiling on what the HOST can scale right now: the same
+    fixed single-thread numpy task run as p-process pools with total work
+    proportional to p (two waves per process). Ideal wall time is equal at
+    both levels, so eff = t_small / t_large; a probe eff well under 1
+    means NO engine could have measured clean N->4N scaling in this
+    window. Pure multiprocessing + elementwise ufuncs — no Spark, no
+    BLAS threading to oversubscribe."""
+    import multiprocessing as mp
+
+    ts = {}
+    ctx = mp.get_context("spawn")
+    for p in (n_small, n_large):
+        with ctx.Pool(p) as pool:
+            pool.map(_probe_task, range(p))          # warm the workers
+            t0 = time.time()
+            pool.map(_probe_task, range(p * 2))
+            ts[p] = time.time() - t0
+    return round(ts[n_small] / ts[n_large], 3), {
+        str(p): round(t, 2) for p, t in ts.items()}
 
 
 def main():
