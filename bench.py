@@ -103,15 +103,16 @@ def run_scaling() -> dict:
 
     n_small = int(os.environ.get("SPARK_GRAFT_SCALE_SMALL", "4"))
     n_large = int(os.environ.get("SPARK_GRAFT_SCALE_LARGE", "16"))
-    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "4"))
-    # 1.2M convs (~72 M turns): after the round-4 cross-group batching the
-    # kernel runs ~2.8x faster per row, which shrank the job's parallel
-    # work W below the point where fixed per-job costs c stay amortized at
-    # local[16] (Amdahl: efficiency = f(W/c), and W halved). Growing the
-    # corpus restores W to (slightly above) the r1-r3 regime — the honest
-    # response, since the rule's regime of interest is the 100 TB end,
-    # not a shrinking constant-size toy.
-    n_convs = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "1200000"))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "6"))
+    max_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_PAIRS", "10"))
+    # 600k convs (~36 M turns): half the r4 corpus at the SAME
+    # 192-file / >=8-waves-per-level layout. W ~ 45 s at local[4] still
+    # dominates the fixed residue c (~4-9 s), while halving each pair's
+    # wall-clock exposure — on a shared host whose clean windows last
+    # minutes, a shorter pair is twice as likely to land entirely inside
+    # one (the r4 record's failure mode was zero calibration-clean pairs
+    # across 4 long pairs).
+    n_convs = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "600000"))
     cal_before = _host_cal()
     probe_eff, probe_ts = _host_scale_probe(n_small, n_large)
     corpus = "/dev/shm/opensmile_spark_bench_lld"
@@ -141,7 +142,12 @@ def run_scaling() -> dict:
     cal_series: list[float] = []
     cal_end: list[float] = []
     cooldown = float(os.environ.get("SPARK_GRAFT_SCALE_COOLDOWN", "75"))
-    for rep in range(reps):
+    # a pair is calibration-CLEAN when the single-thread probe read
+    # healthy (<= ~2x the idle 0.19-0.26 s) both immediately before and
+    # immediately after it — fixed a priori, every raw series recorded
+    CAL_CLEAN = 0.5
+
+    def run_pair(rep: int) -> None:
         # Idle cooldown before each pair: the observed failure mode across
         # r4d runs is PROGRESSIVE host slowdown under sustained 16-thread
         # load (calibration probe 0.07 s when idle-started -> 1.27 s by
@@ -193,6 +199,22 @@ def run_scaling() -> dict:
             times[n].append(time.time() - t0)
             s.stop()
         cal_end.append(_host_cal())          # immediately at pair end
+
+    def n_clean() -> int:
+        return sum(1 for cb, ca in zip(cal_series, cal_end)
+                   if cb <= CAL_CLEAN and ca <= CAL_CLEAN)
+
+    for rep in range(reps):
+        run_pair(rep)
+    # adaptive extension (r4 verdict task 1c): a record taken entirely
+    # inside a dirty host window (zero clean pairs) measures the
+    # neighbours, not the engine — keep sampling (bounded by max_pairs)
+    # until two calibration-clean pairs corroborate each other, rather
+    # than recording the dirty window as the engine's number.
+    rep = reps
+    while n_clean() < 2 and rep < max_pairs:
+        run_pair(rep)
+        rep += 1
     small = min(times[n_small])
     large = min(times[n_large])
     speedup = small / large
@@ -210,19 +232,15 @@ def run_scaling() -> dict:
                 for a, b in zip(times[n_small], times[n_large])]
     minratio = round(speedup / (n_large / n_small), 3)
     pair_est = (sorted(pair_eff)[-2] if len(pair_eff) >= 2 else pair_eff[0])
-    # calibration-gated estimator: a pair whose PRE-PAIR single-thread
-    # probe already ran 2x+ slower than a healthy core was measured under
-    # external contention — it quantifies the neighbour load, not the
-    # engine's scaling. The gate is fixed a priori (absolute threshold,
-    # ~2x the healthy 0.19-0.26 s probe) and every raw series is recorded,
-    # so the exclusion is auditable. With >=2 clean pairs the second-best
-    # clean pair is used (corroboration, as above); a single clean pair is
-    # accepted as-is — the probe itself witnessed the idle host.
-    CAL_CLEAN = 0.5
+    # calibration-gated estimator: a pair whose single-thread probes
+    # (pre AND post) already ran 2x+ slower than a healthy core was
+    # measured under external contention — it quantifies the neighbour
+    # load, not the engine's scaling. Engages ONLY with >=2 clean pairs
+    # (second-best clean — corroboration; ADVICE r4: a single clean pair
+    # is auxiliary evidence, not a headline).
     clean = [p for p, cb, ca in zip(pair_eff, cal_series, cal_end)
              if cb <= CAL_CLEAN and ca <= CAL_CLEAN]
-    cal_gated = (sorted(clean)[-2] if len(clean) >= 2
-                 else clean[0] if clean else None)
+    cal_gated = sorted(clean)[-2] if len(clean) >= 2 else None
     eff = max(minratio, pair_est,
               cal_gated if cal_gated is not None else 0.0)
     method = ("calibration-gated pair" if cal_gated is not None
@@ -243,6 +261,8 @@ def run_scaling() -> dict:
         "efficiency_minratio": minratio,
         "efficiency_per_pair": pair_eff,
         "efficiency_cal_gated": cal_gated,
+        "efficiency_cal_pairs": clean,       # auxiliary: raw clean-pair effs
+        "n_pairs": len(pair_eff),
         "n_clean_pairs": len(clean),
         "efficiency_method": method,
         "host_cal_sec": [cal_before, _host_cal()],
@@ -307,16 +327,123 @@ def _host_scale_probe(n_small: int, n_large: int):
         str(p): round(t, 2) for p, t in ts.items()}
 
 
+def _headline_stages(spark, transcripts, lld_plan, lld, anchors, docs, emb):
+    """The same 10 headline stages as r1-r4 (`value` sums them),
+    parameterized by input tables so the sf0.1 driver tables and the
+    10x synthetic sf1 replica run the IDENTICAL plan set."""
+    from pyspark.sql import functions as F
+
+    from opensmile_spark.dedup import minhash_lsh_pairs, ngram_jaccard
+    from opensmile_spark.functionals import functionals_sql
+    from opensmile_spark.operators import (
+        asof_join, backfill_functionals, delta_regression, sessionize, sma,
+    )
+    from opensmile_spark.similarity import cosine_topk
+
+    return [
+        ("lld", lambda: _noop(lld_plan)),
+        ("windows_sma_delta", lambda: _noop(delta_regression(
+            sma(lld, ["char_len", "token_cnt", "reply_latency"], 3),
+            ["char_len"], 2))),
+        ("sessionize", lambda: _noop(
+            sessionize(lld, gap_seconds=43200.0))),
+        ("functionals_sql", lambda: _noop(
+            functionals_sql(lld,
+                            ["char_len", "token_cnt", "reply_latency"]))),
+        ("functionals_kernel", lambda: _noop(
+            flagship(spark, transcripts))),
+        ("asof_join", lambda: _noop(
+            asof_join(anchors, lld.select("conv_id", "ts", "char_len"),
+                      value_cols=["char_len"]))),
+        ("backfill_means", lambda: _noop(
+            backfill_functionals(lld, anchors, ["char_len"],
+                                 families=["means", "moments"]))),
+        # the COMPLETE per-anchor functional vector (all five default
+        # families) — every family linear in conversation length on this
+        # unbounded grid (prefix / blocked-Chan / offline order stats)
+        ("backfill_full", lambda: _noop(
+            backfill_functionals(lld, anchors, ["char_len"],
+                                 families=["means", "moments", "extremes",
+                                           "percentiles", "regression"]))),
+        ("dedup_minhash_lsh", lambda: _noop(
+            ngram_jaccard(docs,
+                          minhash_lsh_pairs(docs, n_hashes=8, bands=4)))),
+        ("ann_cosine_topk", lambda: _noop(
+            cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=10))),
+    ]
+
+
+def run_sf1(spark, docs01, emb01) -> dict:
+    """One direct linear-in-sf datapoint (r4 verdict task 8): the SAME
+    10-stage suite at 10x the sf0.1 volume. Inputs are synthesized
+    deterministically — transcripts from datagen at 10x the driver
+    row count; documents/embeddings as 10 re-keyed replicas of the
+    sf0.1 driver tables (each replica's words carry a replica suffix,
+    so within-replica near-dup structure is preserved exactly — 10x
+    the pairs — while no cross-replica shingles collide; embeddings
+    keep their vectors since brute-force scoring cost is value-blind).
+    Done-bar: per-stage times within ~10x of sf0.1."""
+    from pyspark.sql import functions as F
+
+    from opensmile_spark.datagen import generate_transcripts
+    from opensmile_spark.lld import compute_lld
+
+    # ~1M turns, same conv-size scale as the driver tables (~66/conv)
+    n_convs = int(os.environ.get("SPARK_GRAFT_SF1_CONVS", "15000"))
+    t = generate_transcripts(spark, n_convs=n_convs, turns_per_conv=66,
+                             partitions=2 * CPUS)
+    docs = (docs01
+            .withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(9))))
+            .select((F.col("doc_id") * 10 + F.col("__r")).alias("doc_id"),
+                    F.array_join(F.transform(
+                        F.split("text", " "),
+                        lambda w: F.concat(w, F.lit("_"),
+                                           F.col("__r").cast("string"))),
+                        " ").alias("text"),
+                    "lang", "source", "n_chars")
+            .cache())
+    emb = (emb01
+           .withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(9))))
+           .select((F.col("vec_id") * 10 + F.col("__r")).alias("vec_id"),
+                   "embedding", "label")
+           .cache())
+    n_docs, n_emb = docs.count(), emb.count()
+
+    lld_plan = compute_lld(t)
+    lld = lld_plan.cache()
+    n_rows = lld.count()
+    anchors = lld.select("conv_id", F.col("ts").alias("anchor_ts"))
+
+    stages = _headline_stages(spark, t, lld_plan, lld, anchors, docs, emb)
+    reps = int(os.environ.get("SPARK_GRAFT_SF1_REPS", "2"))
+    samples: dict[str, list[float]] = {n: [] for n, _ in stages}
+    for _ in range(reps):
+        for name, fn in stages:
+            t0 = time.time()
+            fn()
+            samples[name].append(time.time() - t0)
+    timings = {n: round(min(v), 3) for n, v in samples.items()}
+    for df in (docs, emb, lld):
+        df.unpersist()
+    return {
+        "rows": n_rows,
+        "docs": n_docs,
+        "embeddings": n_emb,
+        "queries": timings,
+        "value": round(sum(timings.values()), 3),
+        "suite_reps": reps,
+    }
+
+
 def main():
     from pyspark.sql import functions as F
 
     from opensmile_spark.datagen import generate_transcripts
     from opensmile_spark.dedup import minhash_lsh_pairs, ngram_jaccard
-    from opensmile_spark.functionals import functionals_kernel, functionals_sql
+    from opensmile_spark.functionals import functionals_kernel
     from opensmile_spark.lld import compute_lld
     from opensmile_spark.operators import (
-        asof_join, backfill_functionals, delta_regression, overlap_salt,
-        sessionize, sma,
+        delta_regression, overlap_salt, sma,
     )
     from opensmile_spark.similarity import cosine_topk
     from opensmile_spark.transcripts import transcripts_from_events
@@ -356,37 +483,8 @@ def main():
     _noop(cosine_topk(emb.limit(500), emb.filter(F.col("vec_id") < 2), k=5))
 
     # ---- headline stages (same 10 as r1-r3; `value` sums these) ----
-    stages: list[tuple[str, object]] = [
-        ("lld", lambda: _noop(lld_plan)),
-        ("windows_sma_delta", lambda: _noop(delta_regression(
-            sma(lld, ["char_len", "token_cnt", "reply_latency"], 3),
-            ["char_len"], 2))),
-        ("sessionize", lambda: _noop(
-            sessionize(lld, gap_seconds=43200.0))),
-        ("functionals_sql", lambda: _noop(
-            functionals_sql(lld,
-                            ["char_len", "token_cnt", "reply_latency"]))),
-        ("functionals_kernel", lambda: _noop(
-            flagship(spark, transcripts))),
-        ("asof_join", lambda: _noop(
-            asof_join(anchors, lld.select("conv_id", "ts", "char_len"),
-                      value_cols=["char_len"]))),
-        ("backfill_means", lambda: _noop(
-            backfill_functionals(lld, anchors, ["char_len"],
-                                 families=["means", "moments"]))),
-        # the COMPLETE per-anchor functional vector (all five default
-        # families) — every family linear in conversation length on this
-        # unbounded grid (prefix / blocked-Chan / offline order stats)
-        ("backfill_full", lambda: _noop(
-            backfill_functionals(lld, anchors, ["char_len"],
-                                 families=["means", "moments", "extremes",
-                                           "percentiles", "regression"]))),
-        ("dedup_minhash_lsh", lambda: _noop(
-            ngram_jaccard(docs,
-                          minhash_lsh_pairs(docs, n_hashes=8, bands=4)))),
-        ("ann_cosine_topk", lambda: _noop(
-            cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=10))),
-    ]
+    stages = _headline_stages(spark, transcripts, lld_plan, lld,
+                              anchors, docs, emb)
 
     # ---- round-4 evidence stages (reported separately from `value`) ----
     #
@@ -521,6 +619,13 @@ def main():
     }
     if scaling is not None:
         result["scaling"] = scaling
+
+    # ---- sf1 linear-in-sf datapoint (runs LAST: its timings are its
+    # own; the headline suite above is untouched by it) ----
+    if not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+        sf1 = run_sf1(spark, docs, emb)
+        sf1["value_ratio_vs_sf"] = round(sf1["value"] / max(total, 1e-9), 2)
+        result["sf1"] = sf1
 
     spark.stop()
     shutil.rmtree(SCRATCH, ignore_errors=True)

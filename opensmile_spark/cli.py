@@ -281,7 +281,8 @@ def cmd_ingest(spark, args):
                                              incremental_dedup)
     from opensmile_spark.tables import read_table
 
-    if args.output in (args.store, args.input):
+    out_abs = os.path.abspath(args.output)
+    if out_abs in (os.path.abspath(args.store), os.path.abspath(args.input)):
         raise SystemExit("--output must differ from --store/--input")
     docs = read_table(spark, args.input)
     if args.init:

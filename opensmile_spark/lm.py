@@ -183,7 +183,10 @@ def _charlm_ppl_arrow(df: DataFrame, model: CharLM,
         return pd.DataFrame({id_col: pdf[id_col], "n_bigrams": n_out,
                              "ppl": ppl_out})
 
-    out_schema = f"{id_col} long, n_bigrams long, ppl double"
+    # carry the caller's id type (string doc-ids are the common corpus
+    # case) instead of assuming long — same contract as similarity._id_ddl
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_ddl}, n_bigrams long, ppl double"
     return df.select(id_col, text_col).mapInPandas(
         lambda it: (score(p) for p in it), schema=out_schema)
 

@@ -460,6 +460,7 @@ def extract_media_features(
     n_features: int = 8,
     fake: bool = False,
     batch_size_hint: int = 256,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow-batched bytes).
 
@@ -471,15 +472,56 @@ def extract_media_features(
     distributed plumbing — binary Arrow transfer, per-batch iteration,
     output schema — is fully exercised; fake=False raises
     NotImplementedError for them (av is not in this image).
+
+    on_error="column" adds a `decode_error` string column and converts
+    per-row decode failures (e.g. jpeg.py's ValueError on progressive/
+    arithmetic/12-bit streams, truncated payloads, unknown codecs with
+    fake=False) into NaN features + the error message on THAT row
+    instead of killing the whole task — at corpus scale one corrupt
+    payload must not fail a 100k-row partition. on_error="raise" (the
+    default) keeps strict fail-fast semantics for curated inputs.
     """
     import hashlib
 
     import numpy as np
     import pandas as pd
 
+    if on_error not in ("raise", "column"):
+        raise ValueError(f"on_error must be 'raise' or 'column', "
+                         f"got {on_error!r}")
     feat_cols = [f"feat_{i}" for i in range(n_features)]
     schema = "media_id long, kind string, n_bytes long, " + \
         ", ".join(f"{c} double" for c in feat_cols)
+    if on_error == "column":
+        schema += ", decode_error string"
+
+    def decode_one(payload, feats, r):
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            x, sr = decode_wav(bytes(payload))
+            feats[r] = wav_features(x, sr, n_features)
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            frames, fps = decode_avi(bytes(payload))
+            feats[r] = video_features(frames, fps, n_features)
+        elif payload[:2] == b"BM":
+            feats[r] = image_features(decode_bmp(bytes(payload)),
+                                      n_features)
+        elif payload[:2] == b"\xff\xd8":
+            from opensmile_spark.jpeg import decode_jpeg
+
+            img = decode_jpeg(bytes(payload))
+            if img.ndim == 2:          # grayscale stream
+                img = np.stack([img] * 3, axis=-1)
+            feats[r] = image_features(img, n_features)
+        elif fake:
+            h = hashlib.md5(payload).digest()
+            feats[r] = [h[i % 16] / 255.0 for i in range(n_features)]
+        else:
+            raise NotImplementedError(
+                "this codec needs PIL/av — not available in this "
+                "image; pass fake=True for the deterministic "
+                "plumbing path (WAV audio, BMP + baseline-JPEG "
+                "images and uncompressed AVI video decode for "
+                "real either way)")
 
     def run(batches):
         for pdf in batches:
@@ -490,36 +532,21 @@ def extract_media_features(
                     lambda b: len(b) if b is not None else 0),
             }
             feats = np.empty((len(pdf), n_features))
+            errs = [None] * len(pdf)
             for r, payload in enumerate(pdf["payload"]):
                 payload = payload or b""
-                if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-                    x, sr = decode_wav(bytes(payload))
-                    feats[r] = wav_features(x, sr, n_features)
-                elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-                    frames, fps = decode_avi(bytes(payload))
-                    feats[r] = video_features(frames, fps, n_features)
-                elif payload[:2] == b"BM":
-                    feats[r] = image_features(decode_bmp(bytes(payload)),
-                                              n_features)
-                elif payload[:2] == b"\xff\xd8":
-                    from opensmile_spark.jpeg import decode_jpeg
-
-                    img = decode_jpeg(bytes(payload))
-                    if img.ndim == 2:          # grayscale stream
-                        img = np.stack([img] * 3, axis=-1)
-                    feats[r] = image_features(img, n_features)
-                elif fake:
-                    h = hashlib.md5(payload).digest()
-                    feats[r] = [h[i % 16] / 255.0 for i in range(n_features)]
-                else:
-                    raise NotImplementedError(
-                        "this codec needs PIL/av — not available in this "
-                        "image; pass fake=True for the deterministic "
-                        "plumbing path (WAV audio, BMP + baseline-JPEG "
-                        "images and uncompressed AVI video decode for "
-                        "real either way)")
+                if on_error == "raise":
+                    decode_one(payload, feats, r)
+                    continue
+                try:
+                    decode_one(payload, feats, r)
+                except Exception as e:       # noqa: BLE001 — quarantined
+                    feats[r] = np.nan
+                    errs[r] = f"{type(e).__name__}: {e}"
             for i, c in enumerate(feat_cols):
                 out[c] = feats[:, i]
+            if on_error == "column":
+                out["decode_error"] = errs
             yield pd.DataFrame(out)
 
     proj = df.select("media_id", "kind", "payload")

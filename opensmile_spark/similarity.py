@@ -104,6 +104,7 @@ def knn_join(
     query_id_col: str | None = None,
     query_blocks: int = 8,
     index_chunks: int | None = None,
+    exclude_self: bool | None = None,
 ) -> DataFrame:
     """EXACT bulk k-nearest-neighbors join by cosine — the large-query-set
     complement of `cosine_topk` (whose broadcast contract wants a small
@@ -115,9 +116,20 @@ def knn_join(
     multiply-adds are inherent to exact kNN — this spreads them across
     the cluster at BLAS speed with no driver materialization and no
     full-score shuffle (emission is |Q| x chunks x k rows). Use the
-    ANN paths (lsh/ivf/pq) when approximate recall is acceptable."""
+    ANN paths (lsh/ivf/pq) when approximate recall is acceptable.
+
+    `exclude_self` gates the item_id == query_id drop. Default (None):
+    excluded only when the query ids live in the index's id space —
+    i.e. `query_id_col` was not remapped away from `id_col`. When the
+    queries are a DISTINCT table whose ids merely collide with index
+    ids (both 0-based, say), pass exclude_self=False — otherwise
+    legitimate nearest neighbors are silently dropped."""
     import numpy as np
 
+    if exclude_self is None:
+        # queries whose id column was remapped away from the index's id
+        # column are a distinct table — id equality is a coincidence there
+        exclude_self = query_id_col is None or query_id_col == id_col
     query_id_col = query_id_col or id_col
     sc = index.sparkSession.sparkContext
     n_chunks = index_chunks or max(4, sc.defaultParallelism)
@@ -147,8 +159,9 @@ def knn_join(
         S = Q @ X.T                                          # (nq, n)
         items = idf["__iid"].to_numpy()
         qids = qdf["__qid"].to_numpy()
-        # self-match exclusion before the cut so k survivors remain
-        S = np.where(items[None, :] == qids[:, None], -np.inf, S)
+        if exclude_self:
+            # self-match exclusion before the cut so k survivors remain
+            S = np.where(items[None, :] == qids[:, None], -np.inf, S)
         top = _row_topk(S, k)
         lk = top.shape[1]
         out = pd.DataFrame({
@@ -717,8 +730,8 @@ def pq_topk(index: DataFrame, queries: DataFrame, k: int = 10,
             m: int = 8, n_codes: int = 16, rescore_factor: int = 4,
             id_col: str = "vec_id", vec_col: str = "embedding",
             seed: int = 42, codebooks=None,
-            query_blocks: int = 8, index_chunks: int | None = None
-            ) -> DataFrame:
+            query_blocks: int = 8, index_chunks: int | None = None,
+            exclude_self: bool = True) -> DataFrame:
     """ANN top-k via PQ/ADC with exact re-scoring — fully DISTRIBUTED on
     both sides (the r3 verdict's driver-collect fix):
 
@@ -739,7 +752,12 @@ def pq_topk(index: DataFrame, queries: DataFrame, k: int = 10,
     `query_blocks` times is m ints per vector, a bounded multiple of the
     compact code layout, not of the float vectors. For routed candidate
     generation at scale use ivfpq_topk. Reference: Jegou et al.,
-    TPAMI 2011."""
+    TPAMI 2011.
+
+    `exclude_self=True` (the default — queries here share the index's
+    id space, typically sampled from it) drops item_id == query_id
+    matches; pass False when queries are a DISTINCT table whose ids
+    merely collide with index ids."""
     import numpy as np
 
     if codebooks is None:
@@ -800,7 +818,9 @@ def pq_topk(index: DataFrame, queries: DataFrame, k: int = 10,
                           "adc_score double")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_score").desc(), F.col("item_id").asc())
-    cand = (scored.filter(F.col("item_id") != F.col("query_id"))
+    if exclude_self:
+        scored = scored.filter(F.col("item_id") != F.col("query_id"))
+    cand = (scored
             .withColumn("__r", F.row_number().over(w))
             .filter(F.col("__r") <= local_k)
             .select("query_id", "item_id"))
@@ -812,7 +832,8 @@ def ivfpq_topk(index: DataFrame, queries: DataFrame, k: int = 10,
                m: int = 8, n_codes: int = 32, rescore_factor: int = 4,
                id_col: str = "vec_id", vec_col: str = "embedding",
                seed: int = 42,
-               fit_fraction: float | None = 1.0) -> DataFrame:
+               fit_fraction: float | None = 1.0,
+               exclude_self: bool = True) -> DataFrame:
     """IVF-PQ fusion — the canonical billion-scale ANN layout (Jegou'11
     §IV; what FAISS calls IVFxx,PQyy): a coarse k-means quantizer routes
     each query to `n_probe` cells, and within the probed cells candidates
@@ -839,7 +860,8 @@ def ivfpq_topk(index: DataFrame, queries: DataFrame, k: int = 10,
     qt = _ivfpq_query_tables(queries, centers, codebooks, n_probe,
                              id_col, vec_col)
     shortlist = _ivfpq_shortlist(codes, qt, m, n_codes,
-                                 k * rescore_factor, id_col)
+                                 k * rescore_factor, id_col,
+                                 exclude_self=exclude_self)
     return _exact_rerank(shortlist.select("query_id", "item_id"),
                          index, queries, k, id_col, vec_col)
 
@@ -950,6 +972,7 @@ def ivfpq_probe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index: DataFrame | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Query a persisted IVF-PQ layout (ivfpq_build): centroids and
     codebooks load as tiny driver metadata, the query DataFrame becomes
@@ -981,7 +1004,8 @@ def ivfpq_probe(
     codes = spark.read.parquet(f"{path}/codes") \
         .filter(F.col("__cell").isin(cells))
     shortlist = _ivfpq_shortlist(codes, qt, m, n_codes,
-                                 k * rescore_factor, id_col)
+                                 k * rescore_factor, id_col,
+                                 exclude_self=exclude_self)
     if index is None:
         w = Window.partitionBy("query_id").orderBy(
             F.col("adc_score").desc(), F.col("item_id").asc())
@@ -1039,14 +1063,18 @@ def _ivfpq_query_tables(queries: DataFrame, centers, codebooks,
 
 
 def _ivfpq_shortlist(codes: DataFrame, qt: DataFrame, m: int,
-                     n_codes: int, local_k: int, id_col: str) -> DataFrame:
+                     n_codes: int, local_k: int, id_col: str,
+                     exclude_self: bool = True) -> DataFrame:
     """Bucketed candidate join on the cell key: each code row meets only
     the queries probing its cell; unprobed cells drop out of the inner
     join (the partition-pruning analogue of ivf_probe's cell filter).
     ADC score = qc + sum_j adc[j*n_codes + code_j] as a pure JVM
-    expression — zero Python in the scoring path."""
-    cand = codes.join(qt, "__cell") \
-        .filter(F.col(id_col) != F.col("query_id"))
+    expression — zero Python in the scoring path. exclude_self gates
+    the self-match drop (False when queries are a distinct table with a
+    coincidentally overlapping id space)."""
+    cand = codes.join(qt, "__cell")
+    if exclude_self:
+        cand = cand.filter(F.col(id_col) != F.col("query_id"))
     s = F.col("qc")
     for j in range(m):
         s = s + F.get("adc", (F.lit(j * n_codes)

@@ -99,3 +99,68 @@ def test_spark_decode_media_jpeg(spark):
     got = feats.set_index("media_id").loc[int(row.media_id)]
     np.testing.assert_allclose(
         [got[f"feat_{i}"] for i in range(6)], want, rtol=1e-9)
+
+
+def test_fill_bytes_before_marker():
+    """T.81 B.1.1.2: repeated 0xFF fill bytes may legally pad any marker.
+    The scan must skip them rather than misread a bogus segment length."""
+    from opensmile_spark.jpeg import decode_jpeg, encode_jpeg
+
+    img = _test_image(24, 17, seed=3)
+    payload = encode_jpeg(img, quality=85)
+    want = decode_jpeg(payload)
+    # pad the first DQT marker (header region, before entropy data)
+    i = payload.index(b"\xff\xdb")
+    padded = payload[:i] + b"\xff\xff\xff" + payload[i:]
+    got = decode_jpeg(padded)
+    np.testing.assert_array_equal(got, want)
+
+
+def _progressive_payload(media_id=0, w=16, h=16):
+    """A progressive-JPEG stand-in: a real baseline stream with its SOF0
+    marker flipped to SOF2 — parses as progressive, which jpeg.py
+    documents as out of scope (raises ValueError)."""
+    from opensmile_spark.multimodal import synthesize_jpeg_bytes
+
+    payload = synthesize_jpeg_bytes(media_id, w, h)
+    i = payload.index(b"\xff\xc0")
+    return payload[:i] + b"\xff\xc2" + payload[i + 2:]
+
+
+def test_progressive_stream_raises():
+    from opensmile_spark.jpeg import decode_jpeg
+
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(_progressive_payload())
+
+
+def test_mixed_corpus_decode_error_column(spark):
+    """A corpus mixing baseline and progressive JPEGs (plus a BMP) must
+    not fail the task: on_error='column' quarantines the per-row
+    ValueError into `decode_error` and decodes everything else."""
+    from opensmile_spark.multimodal import (
+        extract_media_features, synthesize_bmp_bytes, synthesize_jpeg_bytes,
+    )
+
+    rows = [
+        (0, "image", bytearray(synthesize_jpeg_bytes(0, 16, 16))),
+        (1, "image", bytearray(_progressive_payload(1))),
+        (2, "image", bytearray(synthesize_bmp_bytes(2, 16, 16))),
+        (3, "video", bytearray(b"\x00\x00\x00\x01h264-ish")),  # unknown codec
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary")
+    out = extract_media_features(media, n_features=4, fake=False,
+                                 on_error="column").toPandas()
+    out = out.set_index("media_id").sort_index()
+    assert "decode_error" in out.columns
+    assert out.loc[0, "decode_error"] is None
+    assert out.loc[2, "decode_error"] is None
+    assert "baseline" in out.loc[1, "decode_error"]
+    assert "NotImplementedError" in out.loc[3, "decode_error"]
+    feat_cols = [f"feat_{i}" for i in range(4)]
+    assert out.loc[[0, 2], feat_cols].notna().all().all()
+    assert out.loc[[1, 3], feat_cols].isna().all().all()
+    # strict mode still fails fast on the same corpus
+    with pytest.raises(Exception, match="baseline|NotImplementedError"):
+        extract_media_features(media, n_features=4, fake=False).collect()

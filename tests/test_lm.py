@@ -203,3 +203,22 @@ def test_bm25_repartition_invariant(spark):
                    bm25_index(_docs(spark, TEXTS[:6])), queries,
                    k=5).collect())
     assert a == b
+
+
+def test_charlm_arrow_string_doc_ids(spark):
+    """method='arrow' (the 100 TB path) must carry the caller's id type:
+    string doc ids were silently assumed long before round 5 (the output
+    schema was hardcoded '{id_col} long')."""
+    docs = spark.createDataFrame(
+        [(f"doc-{i}", t) for i, t in enumerate(TEXTS)],
+        "doc_id string, text string")
+    model = charlm_fit(docs)
+    a = {r["doc_id"]: (r["n_bigrams"], r["ppl"]) for r in
+         charlm_perplexity(docs, model, method="arrow").collect()}
+    j = {r["doc_id"]: (r["n_bigrams"], r["ppl"]) for r in
+         charlm_perplexity(docs, model, method="join").collect()}
+    assert set(a) == set(j) and all(isinstance(k, str) for k in a)
+    for d in j:
+        assert a[d][0] == j[d][0]
+        if j[d][1] is not None and not math.isnan(j[d][1]):
+            assert a[d][1] == pytest.approx(j[d][1], rel=1e-12)

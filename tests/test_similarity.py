@@ -515,3 +515,38 @@ def test_ivfpq_query_side_lazy(spark, emb):
     assert acc.value == 0, "query side was materialized during construction"
     assert out.count() > 0
     assert acc.value > 0
+
+
+def test_exclude_self_gating(spark, emb):
+    """ADVICE r4: when index and queries are DISTINCT tables whose id
+    spaces merely collide (both 0-based), self-match exclusion silently
+    drops legitimate nearest neighbors. exclude_self=False must keep
+    them; the default keeps the sampled-from-index semantics."""
+    from opensmile_spark.similarity import ivfpq_topk, knn_join, pq_topk
+
+    # "distinct" queries: the same vectors under colliding ids — with
+    # exclusion off, each query's top-1 is its own vector at cosine ~1
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    got = knn_join(emb, queries, k=3, exclude_self=False).toPandas()
+    top1 = got[got["rank"] == 1].set_index("query_id")
+    for q in (0, 1, 2):
+        assert top1.loc[q, "item_id"] == q
+        assert top1.loc[q, "cosine"] == pytest.approx(1.0, abs=1e-9)
+
+    # default: sampled-from-index semantics — self excluded
+    dflt = knn_join(emb, queries, k=3).toPandas()
+    assert not ((dflt["query_id"] == dflt["item_id"]).any())
+
+    # PQ + IVF-PQ paths honor the same flag (exact re-rank => cosine ~1)
+    pq = pq_topk(emb, queries, k=3, m=8, n_codes=16,
+                 exclude_self=False).toPandas()
+    pq1 = pq[pq["rank"] == 1].set_index("query_id")
+    ivf = ivfpq_topk(emb, queries, k=3, n_centroids=4, n_probe=4,
+                     m=8, n_codes=16, exclude_self=False).toPandas()
+    ivf1 = ivf[ivf["rank"] == 1].set_index("query_id")
+    for q in (0, 1, 2):
+        assert pq1.loc[q, "item_id"] == q
+        assert pq1.loc[q, "cosine"] == pytest.approx(1.0, abs=1e-9)
+        assert ivf1.loc[q, "item_id"] == q
+        assert ivf1.loc[q, "cosine"] == pytest.approx(1.0, abs=1e-9)
