@@ -1091,11 +1091,16 @@ def q_emo_large(spark, sf_dir):
     out = emo_large_style(_transcripts(spark, sf_dir),
                           gap_seconds=SESSION_GAP_S)
     keep = out.columns[:40]  # stable probe subset of the ~550-col bank
-    return out.select(*[
-        round_sig(F.col(f"`{c}`")).alias(c)
-        if c not in ("conv_id", "session_id", "n_turns") else F.col(c)
-        for c in keep
-    ])
+
+    def _proj(c):
+        if c in ("conv_id", "session_id", "n_turns"):
+            return F.col(c)
+        # 3rd/4th-power moments amplify summation-order ulps across
+        # engines; 5 sig digits keeps them off rounding boundaries
+        sig = 5 if c.endswith(("skewness", "kurtosis")) else 6
+        return round_sig(F.col(f"`{c}`"), sig).alias(c)
+
+    return out.select(*[_proj(c) for c in keep])
 
 
 def q_decontaminate(spark, sf_dir):
@@ -1438,6 +1443,71 @@ def q_bpe_tokens(spark, sf_dir):
     return out.select(
         "doc_id", "n_bpe_tokens",
         F.array_join(F.slice("bpe_tokens", 1, 8), "|").alias("head_tokens"))
+
+
+def bpe_oracle_sql(merges) -> str:
+    """Pinned-model ENCODE twin of q_bpe_tokens (r4 verdict task 2): given
+    the frozen merge list (the deterministic training artifact — order
+    pinned separately by tests/test_bpe.py), replay the greedy
+    lowest-rank-leftmost merge loop (Sennrich ACL'16 apply step;
+    bpe._encode_word) per distinct pretoken as a DuckDB recursive CTE,
+    then reassemble per-doc token streams by position. The merge table
+    rides as a MAP literal; tools/check_correctness.py trains the model
+    on the current sf_dir and formats it in (training itself is the one
+    genuinely non-SQL step — bounded driver loop, no twin)."""
+    from opensmile_spark.text import BPE_ISH_PATTERN
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    keys = ", ".join(f"'{esc(a)}' || chr(31) || '{esc(b)}'"
+                     for a, b in merges)
+    vals = ", ".join(str(i) for i in range(len(merges)))
+    pat = esc(BPE_ISH_PATTERN)
+    return f"""
+WITH RECURSIVE mgc AS (
+  SELECT MAP([{keys}], [{vals}]) AS mg
+), docs0 AS (
+  SELECT doc_id, regexp_extract_all(text, '{pat}', 0) AS toklist
+  FROM documents
+), wrd AS (
+  SELECT DISTINCT word FROM (SELECT unnest(toklist) AS word FROM docs0)
+), enc AS (
+  SELECT word,
+         list_transform(range(1, length(word) + 1), i -> word[i]) AS syms,
+         0 AS done
+  FROM wrd
+  UNION ALL
+  SELECT word,
+    CASE WHEN best_i IS NULL THEN syms
+         ELSE list_concat(list_concat(
+                syms[1:best_i - 1],
+                [syms[best_i] || syms[best_i + 1]]),
+                syms[best_i + 2:]) END,
+    CASE WHEN best_i IS NULL THEN 1 ELSE 0 END
+  FROM (
+    SELECT word, syms,
+      list_sort(list_filter(
+        list_transform(range(1, CAST(len(syms) AS INT)), i ->
+          struct_pack(rk := mg[syms[i] || chr(31) || syms[i + 1]][1],
+                      i := i)),
+        p -> p.rk IS NOT NULL))[1].i AS best_i
+    FROM enc CROSS JOIN mgc WHERE done = 0
+  )
+), encf AS (
+  SELECT word, syms FROM enc WHERE done = 1
+), emap AS (
+  SELECT map_from_entries(list(struct_pack(k := word, v := syms))) AS m
+  FROM encf
+), assembled AS (
+  SELECT d.doc_id,
+    flatten(list_transform(d.toklist, w -> m[w][1])) AS toks
+  FROM docs0 d CROSS JOIN emap
+)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+  array_to_string(toks[1:8], '|') AS head_tokens
+FROM assembled
+"""
 
 
 def q_pack_sequences(spark, sf_dir):
@@ -2990,6 +3060,528 @@ FROM mu m JOIN vr USING (conv_id, session_id)
 
 
 _ORACLES["egemaps_core"] = _egemaps_core_oracle()
+
+
+def _peaks2_slope_ctes() -> str:
+    """Recursive-CTE twin of the UNRESTRICTED cFunctionalPeaks2 automaton's
+    slope outputs (functionalPeaks2.cpp:314-919, default relThresh=0.1,
+    dynRelThresh=0, absThresh = 0.1*range) over the long-form channel table
+    `chanv(conv_id, session_id, ch, turn_idx, v)`:
+
+      g0   — per-group value list, absThresh, strict local extrema
+             (python index i in [2, N-3]) as (pos, val, mx) structs;
+      p2a  — pass 2a elimination replayed one extremum per recursion step,
+             all groups in lockstep; retroactive kills (alive[last_max]=
+             False) carried as a dead-index list;
+      p2b  — pass 2b (below-threshold minima against the running max);
+      p3   — pass 3 alternation enforcement (same-type repeats resolved
+             to the more extreme one, retroactively);
+      sv/sl — survivors; rising slope of each surviving max against the
+             most recent surviving min before it (initial state (0, x[0])),
+             falling symmetric; boundary slope appended from the last
+             survivor to x[N-1]; F=0 degenerates to the single
+             (x[N-1]-x[0])/N slope routed by sign;
+      slopes — mean over ALL slopes (divided only when n>1), stddev over
+             the SURVIVOR-pair slopes only but normalized by the full n
+             (reference quirk, kept).
+
+    Equality with kernels.f_peaks2 pinned standalone on 149 randomized/
+    adversarial groups (plateaus, constants, monotones, sawtooths) before
+    integration."""
+    return """
+, garr AS (
+  SELECT conv_id, session_id, ch, list(v ORDER BY turn_idx) AS xs,
+         CAST(COUNT(*) AS INT) AS n, MAX(v) - MIN(v) AS rng
+  FROM chanv GROUP BY conv_id, session_id, ch
+), g0 AS (
+  SELECT conv_id, session_id, ch, n, 0.1 * rng AS ath,
+    xs[1] AS x0, xs[n] AS xl,
+    CASE WHEN n >= 5 THEN
+      list_filter(
+        list_transform(range(3, n - 1), j ->
+          CASE WHEN (xs[j] > xs[j-1] AND xs[j] > xs[j+1])
+                 OR (xs[j] < xs[j-1] AND xs[j] < xs[j+1])
+          THEN struct_pack(pos := j - 1, val := xs[j],
+                           mx := xs[j] > xs[j-1] AND xs[j] > xs[j+1])
+          END),
+        e -> e IS NOT NULL)
+    ELSE [] END AS ext
+  FROM garr
+), gm AS (SELECT *, CAST(len(ext) AS INT) AS m FROM g0
+), p2a AS (
+  SELECT conv_id, session_id, ch, m, ext, ath, x0, 0 AS k,
+         x0 AS lastval, x0 AS lastmin, x0 AS lastmax,
+         0 AS minflag, -1 AS lastmaxi, CAST([] AS BIGINT[]) AS dead
+  FROM gm
+  UNION ALL
+  SELECT conv_id, session_id, ch, m, ext, ath, x0, k + 1,
+    y,
+    CASE WHEN NOT ismax AND NOT isbelow THEN y ELSE lastmin END,
+    CASE WHEN ismax AND NOT isbelow THEN y
+         WHEN ismax AND isbelow AND NOT killlow AND (grow OR minflag = 1)
+              THEN y
+         ELSE lastmax END,
+    CASE WHEN ismax THEN 0 WHEN NOT isbelow THEN 1 ELSE minflag END,
+    CASE WHEN ismax AND NOT isbelow THEN k
+         WHEN ismax AND isbelow AND NOT killlow AND (grow OR minflag = 1)
+              THEN k
+         ELSE lastmaxi END,
+    CASE WHEN ismax AND isbelow AND killlow THEN list_append(dead, k)
+         WHEN ismax AND isbelow AND NOT killlow AND grow AND lastmaxi >= 0
+              THEN list_append(dead, lastmaxi)
+         WHEN ismax AND isbelow AND NOT killlow AND NOT grow AND minflag = 0
+              THEN list_append(dead, k)
+         ELSE dead END
+  FROM (
+    SELECT p.*, ext[k + 1].val AS y, ext[k + 1].mx AS ismax,
+           ABS(ext[k + 1].val - lastval) < ath AS isbelow,
+           (ext[k + 1].val - lastmin) < ath AS killlow,
+           ext[k + 1].val > lastmax * 1.05 AS grow
+    FROM p2a p WHERE k < m
+  )
+), d2a AS (
+  SELECT conv_id, session_id, ch, m, ext, ath, x0, dead
+  FROM p2a WHERE k = m
+), p2b AS (
+  SELECT conv_id, session_id, ch, m, ext, ath, x0, 0 AS k,
+         x0 AS lastmax, dead
+  FROM d2a
+  UNION ALL
+  SELECT conv_id, session_id, ch, m, ext, ath, x0, k + 1,
+    CASE WHEN NOT sk AND ismax THEN y ELSE lastmax END,
+    CASE WHEN NOT sk AND NOT ismax AND (lastmax - y) < ath
+         THEN list_append(dead, k) ELSE dead END
+  FROM (
+    SELECT p.*, ext[k + 1].val AS y, ext[k + 1].mx AS ismax,
+           list_contains(dead, k) AS sk
+    FROM p2b p WHERE k < m
+  )
+), d2b AS (
+  SELECT conv_id, session_id, ch, m, ext, x0, dead FROM p2b WHERE k = m
+), p3 AS (
+  SELECT conv_id, session_id, ch, m, ext, x0, 0 AS k,
+         x0 AS lastmax, x0 AS lastmin, 0 AS minflag, 1 AS init,
+         -1 AS lastmini, -1 AS lastmaxi, dead
+  FROM d2b
+  UNION ALL
+  SELECT conv_id, session_id, ch, m, ext, x0, k + 1,
+    CASE WHEN sk THEN lastmax
+         WHEN ismax AND (minflag = 1 OR init = 1) THEN y
+         WHEN ismax AND minflag = 0 AND init = 0 AND y > lastmax THEN y
+         ELSE lastmax END,
+    CASE WHEN sk THEN lastmin
+         WHEN NOT ismax AND (minflag = 0 OR init = 1) THEN y
+         WHEN NOT ismax AND minflag = 1 AND init = 0 AND y < lastmin THEN y
+         ELSE lastmin END,
+    CASE WHEN sk THEN minflag WHEN ismax THEN 0 ELSE 1 END,
+    CASE WHEN sk THEN init ELSE 0 END,
+    CASE WHEN sk THEN lastmini
+         WHEN NOT ismax AND (minflag = 0 OR init = 1) THEN k
+         WHEN NOT ismax AND minflag = 1 AND init = 0 AND y < lastmin THEN k
+         ELSE lastmini END,
+    CASE WHEN sk THEN lastmaxi
+         WHEN ismax AND (minflag = 1 OR init = 1) THEN k
+         WHEN ismax AND minflag = 0 AND init = 0 AND y > lastmax THEN k
+         ELSE lastmaxi END,
+    CASE WHEN sk THEN dead
+         WHEN NOT ismax AND minflag = 1 AND init = 0 AND y >= lastmin
+              THEN list_append(dead, k)
+         WHEN NOT ismax AND minflag = 1 AND init = 0 AND y < lastmin
+              AND lastmini >= 0 THEN list_append(dead, lastmini)
+         WHEN ismax AND minflag = 0 AND init = 0 AND y <= lastmax
+              THEN list_append(dead, k)
+         WHEN ismax AND minflag = 0 AND init = 0 AND y > lastmax
+              AND lastmaxi >= 0 THEN list_append(dead, lastmaxi)
+         ELSE dead END
+  FROM (
+    SELECT p.*, ext[k + 1].val AS y, ext[k + 1].mx AS ismax,
+           list_contains(dead, k) AS sk
+    FROM p3 p WHERE k < m
+  )
+), d3 AS (
+  SELECT conv_id, session_id, ch, m, ext, x0, dead FROM p3 WHERE k = m
+), sv AS (
+  SELECT d.conv_id, d.session_id, d.ch, d.x0, q.xl, q.n,
+    list_filter(
+      list_transform(range(1, d.m + 1),
+        j -> CASE WHEN NOT list_contains(d.dead, CAST(j - 1 AS BIGINT))
+                  THEN d.ext[j] END),
+      e -> e IS NOT NULL) AS fs
+  FROM d3 d JOIN gm q USING (conv_id, session_id, ch)
+), sl AS (
+  SELECT conv_id, session_id, ch, x0, xl, n, fs,
+    CAST(len(fs) AS INT) AS f,
+    list_filter(
+      list_transform(range(1, CAST(len(fs) AS INT) + 1), i ->
+        CASE WHEN fs[i].mx AND
+          fs[i].pos - COALESCE(
+            list_filter(fs, (e, j) -> j < i AND NOT e.mx)
+              [len(list_filter(fs, (e, j) -> j < i AND NOT e.mx))].pos,
+            0) > 0
+        THEN (fs[i].val - COALESCE(
+                list_filter(fs, (e, j) -> j < i AND NOT e.mx)
+                  [len(list_filter(fs, (e, j) -> j < i AND NOT e.mx))].val,
+                x0))
+             / (fs[i].pos - COALESCE(
+                list_filter(fs, (e, j) -> j < i AND NOT e.mx)
+                  [len(list_filter(fs, (e, j) -> j < i AND NOT e.mx))].pos,
+                0))
+        END),
+      s -> s IS NOT NULL) AS rise_main,
+    list_filter(
+      list_transform(range(1, CAST(len(fs) AS INT) + 1), i ->
+        CASE WHEN NOT fs[i].mx AND
+          fs[i].pos - COALESCE(
+            list_filter(fs, (e, j) -> j < i AND e.mx)
+              [len(list_filter(fs, (e, j) -> j < i AND e.mx))].pos,
+            0) > 0
+        THEN (COALESCE(
+                list_filter(fs, (e, j) -> j < i AND e.mx)
+                  [len(list_filter(fs, (e, j) -> j < i AND e.mx))].val,
+                x0) - fs[i].val)
+             / (fs[i].pos - COALESCE(
+                list_filter(fs, (e, j) -> j < i AND e.mx)
+                  [len(list_filter(fs, (e, j) -> j < i AND e.mx))].pos,
+                0))
+        END),
+      s -> s IS NOT NULL) AS fall_main,
+    COALESCE(list_filter(fs, e -> NOT e.mx)
+             [len(list_filter(fs, e -> NOT e.mx))].pos, 0) AS lminpos,
+    COALESCE(list_filter(fs, e -> NOT e.mx)
+             [len(list_filter(fs, e -> NOT e.mx))].val, x0) AS lminval,
+    COALESCE(list_filter(fs, e -> e.mx)
+             [len(list_filter(fs, e -> e.mx))].pos, 0) AS lmaxpos,
+    COALESCE(list_filter(fs, e -> e.mx)
+             [len(list_filter(fs, e -> e.mx))].val, x0) AS lmaxval
+  FROM sv
+), sl2 AS (
+  SELECT conv_id, session_id, ch, rise_main, fall_main,
+    CASE
+      WHEN f = 0 THEN
+        CASE WHEN (xl - x0) / n > 0 THEN [(xl - x0) / n]
+             ELSE CAST([] AS DOUBLE[]) END
+      WHEN NOT fs[f].mx AND (n - 1 - lminpos) > 0
+        THEN list_append(rise_main, (xl - lminval) / (n - 1 - lminpos))
+      ELSE rise_main END AS rise_all,
+    CASE
+      WHEN f = 0 THEN
+        CASE WHEN (xl - x0) / n < 0 THEN [(xl - x0) / n]
+             ELSE CAST([] AS DOUBLE[]) END
+      WHEN fs[f].mx AND (n - 1 - lmaxpos) > 0
+        THEN list_append(fall_main, (xl - lmaxval) / (n - 1 - lmaxpos))
+      ELSE fall_main END AS fall_all
+  FROM sl
+), slm AS (
+  SELECT conv_id, session_id, ch, rise_main, fall_main,
+    CAST(len(rise_all) AS INT) AS nr, CAST(len(fall_all) AS INT) AS nf,
+    COALESCE(list_aggregate(rise_all, 'sum'), 0.0) AS sumr,
+    COALESCE(list_aggregate(fall_all, 'sum'), 0.0) AS sumf
+  FROM sl2
+), slmu AS (
+  SELECT conv_id, session_id, ch, rise_main, fall_main, nr, nf,
+    CASE WHEN nr = 0 THEN 0.0 WHEN nr > 1 THEN sumr / nr ELSE sumr END
+      AS mean_rs,
+    CASE WHEN nf = 0 THEN 0.0 WHEN nf > 1 THEN sumf / nf ELSE sumf END
+      AS mean_fs
+  FROM slm
+), slss AS (
+  SELECT conv_id, session_id, ch, mean_rs, mean_fs,
+    CASE WHEN nr > 1 THEN COALESCE(list_aggregate(
+          list_transform(rise_main, s -> POW(s - mean_rs, 2)), 'sum'), 0.0)
+          / nr
+         ELSE COALESCE(list_aggregate(
+          list_transform(rise_main, s -> POW(s - mean_rs, 2)), 'sum'), 0.0)
+    END AS ssr,
+    CASE WHEN nf > 1 THEN COALESCE(list_aggregate(
+          list_transform(fall_main, s -> POW(s - mean_fs, 2)), 'sum'), 0.0)
+          / nf
+         ELSE COALESCE(list_aggregate(
+          list_transform(fall_main, s -> POW(s - mean_fs, 2)), 'sum'), 0.0)
+    END AS ssf
+  FROM slmu
+), slopes AS (
+  SELECT conv_id, session_id, ch, mean_rs, mean_fs,
+    CASE WHEN ssr > 0 THEN SQRT(ssr) ELSE 0.0 END AS sd_rs,
+    CASE WHEN ssf > 0 THEN SQRT(ssf) ELSE 0.0 END AS sd_fs
+  FROM slss
+)"""
+
+
+_P2_CHANNELS = [("char_len", "cl"), ("token_cnt", "tk"),
+                ("punct_density", "pd"), ("ttr", "tt"),
+                ("reply_latency", "rl")]
+
+
+def _egemaps_bundle_oracle() -> str:
+    """Full twin of q_egemaps_bundle (presets.egemaps_style): per-(conv,
+    session) amean/stddevNorm/percentiles/pctlrange + the four peaks2
+    SLOPE functionals over all five sma3 channels (the UNRESTRICTED
+    automaton — see _peaks2_slope_ctes), plus nonX(0) segment statistics
+    of the noZeroSma-smoothed is_tool channel (functionalSegments.cpp
+    process_SegNonX, segMinLng=3 / pauseMinLng=2 / maxNumSeg=20,
+    timeNorm=segment). Promotes the egemaps_bundle tail gate from
+    rows-only to a full replica oracle (r4 verdict task 2)."""
+
+    def smooth(c):
+        return (f"({c} + COALESCE(lag({c}) OVER egw, first_value({c}) OVER egwf)"
+                f" + COALESCE(lead({c}) OVER egw, last_value({c}) OVER egwf))"
+                f" / 3.0")
+
+    nzsm = """
+    CASE WHEN is_tool = 0.0 THEN 0.0 ELSE (
+      (is_tool
+       + CASE WHEN COALESCE(lag(is_tool) OVER egw, first_value(is_tool) OVER egwf)
+              <> 0.0 THEN COALESCE(lag(is_tool) OVER egw,
+                                   first_value(is_tool) OVER egwf) ELSE 0 END
+       + CASE WHEN COALESCE(lead(is_tool) OVER egw, last_value(is_tool) OVER egwf)
+              <> 0.0 THEN COALESCE(lead(is_tool) OVER egw,
+                                   last_value(is_tool) OVER egwf) ELSE 0 END)
+      / (1
+         + CASE WHEN COALESCE(lag(is_tool) OVER egw,
+                              first_value(is_tool) OVER egwf) <> 0.0
+                THEN 1 ELSE 0 END
+         + CASE WHEN COALESCE(lead(is_tool) OVER egw,
+                              last_value(is_tool) OVER egwf) <> 0.0
+                THEN 1 ELSE 0 END)
+    ) END"""
+
+    sm_cols = ",\n    ".join(
+        f"{smooth(c)} AS v_{k}" for c, k in _P2_CHANNELS)
+    chan_union = "\n  UNION ALL\n".join(
+        f"  SELECT conv_id, session_id, turn_idx, '{k}' AS ch, v_{k} AS v "
+        f"FROM sm" for _, k in _P2_CHANNELS)
+
+    def out_cols(k, name):
+        sdn = (f"CASE WHEN m2 > 0 THEN "
+               f"(CASE WHEN m2 > 0 THEN SQRT(m2) ELSE 0.0 END) / "
+               f"(CASE WHEN mean <> 0 THEN mean ELSE 1.0 END) ELSE 0.0 END")
+        exprs = [("amean", "mean"), ("stddevNorm", sdn),
+                 ("percentile20.0", "p20"), ("percentile50.0", "p50"),
+                 ("percentile80.0", "p80"),
+                 ("pctlrange0-2", "ABS(p80 - p20)"),
+                 ("meanRisingSlope", "mean_rs"),
+                 ("stddevRisingSlope", "sd_rs"),
+                 ("meanFallingSlope", "mean_fs"),
+                 ("stddevFallingSlope", "sd_fs")]
+        return ",\n  ".join(
+            f"ROUND(MAX(CASE WHEN ch = '{k}' THEN {e} END), 6) "
+            f'AS "{name}_sma3_{f}"' for f, e in exprs)
+
+    wide = ",\n  ".join(out_cols(k, c) for c, k in _P2_CHANNELS)
+
+    body = f"""
+, sm AS (
+  SELECT conv_id, session_id, turn_idx,
+    {sm_cols},
+    {nzsm} AS v_nz
+  FROM sessions
+  WINDOW egw AS (PARTITION BY conv_id ORDER BY turn_idx),
+         egwf AS (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+), chanv AS (
+{chan_union}
+){_peaks2_slope_ctes()}
+, mu AS (
+  SELECT conv_id, session_id, ch, COUNT(*) AS n, AVG(v) AS mean,
+    quantile_cont(v, 0.20) AS p20, quantile_cont(v, 0.50) AS p50,
+    quantile_cont(v, 0.80) AS p80
+  FROM chanv GROUP BY conv_id, session_id, ch
+), vr AS (
+  SELECT c.conv_id, c.session_id, c.ch,
+    SUM(POW(c.v - m.mean, 2)) / MAX(m.n) AS m2
+  FROM chanv c JOIN mu m USING (conv_id, session_id, ch)
+  GROUP BY c.conv_id, c.session_id, c.ch
+), core AS (
+  SELECT conv_id, session_id, MAX(n) AS n_turns,
+  {wide}
+  FROM mu JOIN vr USING (conv_id, session_id, ch)
+          JOIN slopes USING (conv_id, session_id, ch)
+  GROUP BY conv_id, session_id
+), flags AS (
+  SELECT conv_id, session_id,
+    CAST(ROW_NUMBER() OVER sw - 1 AS BIGINT) AS i, v_nz AS x,
+    COUNT(*) OVER (PARTITION BY conv_id, session_id) AS n
+  FROM sm
+  WINDOW sw AS (PARTITION BY conv_id, session_id ORDER BY turn_idx)
+), sess_n AS (
+  SELECT conv_id, session_id, MAX(n) AS n FROM flags
+  GROUP BY conv_id, session_id
+), matched AS (
+  SELECT conv_id, session_id, i,
+    SUM(CASE WHEN prev_mi IS NULL OR i - prev_mi - 1 >= 2 THEN 1 ELSE 0 END)
+        OVER (PARTITION BY conv_id, session_id ORDER BY i) AS grp
+  FROM (
+    SELECT conv_id, session_id, i,
+      lag(i) OVER (PARTITION BY conv_id, session_id ORDER BY i) AS prev_mi
+    FROM flags WHERE x <> 0.0
+  )
+), grps AS (
+  SELECT conv_id, session_id, grp, COUNT(*) AS n_m,
+         MIN(i) AS first_i, MAX(i) AS last_i
+  FROM matched GROUP BY conv_id, session_id, grp
+), segs AS (
+  SELECT conv_id, session_id, last_i - first_i AS seg_len,
+    ROW_NUMBER() OVER (PARTITION BY conv_id, session_id
+                       ORDER BY first_i) AS seg_rank
+  FROM grps WHERE n_m >= 3
+), capped AS (
+  SELECT conv_id, session_id, CAST(seg_len AS DOUBLE) AS seg_len
+  FROM segs WHERE seg_rank <= 20
+), st0 AS (
+  SELECT conv_id, session_id, COUNT(*) AS n_seg, SUM(seg_len) AS sum_len,
+         MAX(seg_len) AS max_len, MIN(seg_len) AS min_len,
+         AVG(seg_len) AS mean_len
+  FROM capped GROUP BY conv_id, session_id
+), st AS (
+  SELECT s.*,
+    CASE WHEN s.n_seg > 1
+         THEN SQRT(SUM(POW(c.seg_len - s.mean_len, 2)) / s.n_seg)
+         ELSE 0.0 END AS len_dev
+  FROM st0 s JOIN capped c USING (conv_id, session_id)
+  GROUP BY s.conv_id, s.session_id, s.n_seg, s.sum_len, s.max_len,
+           s.min_len, s.mean_len
+)
+SELECT core.*,
+  ROUND(COALESCE(st.n_seg, 0) / 20.0, 6) AS "is_tool_sma3nz_numSegments",
+  ROUND(COALESCE(st.mean_len, 0.0) / sn.n, 6) AS "is_tool_sma3nz_meanSegLen",
+  ROUND(COALESCE(st.max_len, 0.0) / sn.n, 6) AS "is_tool_sma3nz_maxSegLen",
+  ROUND(COALESCE(st.min_len, 0.0) / sn.n, 6) AS "is_tool_sma3nz_minSegLen",
+  ROUND(COALESCE(st.len_dev, 0.0) / sn.n, 6)
+      AS "is_tool_sma3nz_segLenStddev"
+FROM core
+JOIN sess_n sn USING (conv_id, session_id)
+LEFT JOIN st USING (conv_id, session_id)
+"""
+    return SQL_PREFIX.replace("WITH ", "WITH RECURSIVE ", 1) + body
+
+
+_ORACLES["egemaps_bundle"] = _egemaps_bundle_oracle()
+
+
+def _emo_large_oracle() -> str:
+    """Twin of q_emo_large's 40-col probe subset (the means/moments/
+    extremes/percentiles head of the emo_large bank over the char_len_sma3
+    channel at (conv, session) grain). Kernel semantics mirrored exactly:
+    two-pass centered moments with the d3/d4 > 0 guards
+    (functionalMoments.cpp:89-166), nz/pos/neg conditional means and the
+    nzgmean/flatness pair (functionalMeans.cpp), first-occurrence
+    maxPos/minPos at timeNorm=frames (functionalExtremes.cpp:93-137),
+    quantile_cont == interp=1 percentiles. Promotes the emo_large tail
+    gate from rows-only to a full replica oracle (r4 verdict task 2)."""
+    r = _rsig
+    smooth = ("(char_len + COALESCE(lag(char_len) OVER w, "
+              "first_value(char_len) OVER wf) + COALESCE(lead(char_len) "
+              "OVER w, last_value(char_len) OVER wf)) / 3.0")
+    mean1 = "(CASE WHEN mean <> 0 THEN mean ELSE 1.0 END)"
+    amean1 = "(CASE WHEN mean <> 0 THEN ABS(mean) ELSE 1.0 END)"
+    sd = "(CASE WHEN m2 > 0 THEN SQRT(m2) ELSE 0.0 END)"
+    exprs = [
+        ("amean", "mean"),
+        ("absmean", "s_abs / nd"),
+        ("qmean", "s_q / nd"),
+        ("nzamean", "CASE WHEN nnz > 0 THEN s_nz / nnz ELSE 0.0 END"),
+        ("nzabsmean", "CASE WHEN nnz > 0 THEN s_nzabs / nnz ELSE 0.0 END"),
+        ("nzqmean", "CASE WHEN nnz > 0 THEN s_nzq / nnz ELSE 0.0 END"),
+        ("nzgmean", "CASE WHEN nnz > 0 THEN EXP(s_nzlog / nnz) ELSE 0.0 END"),
+        ("nnz", "CAST(nnz AS DOUBLE)"),
+        ("flatness", "CASE WHEN s_abs / nd <> 0 THEN "
+         "(CASE WHEN nnz > 0 THEN EXP(s_nzlog / nnz) ELSE 0.0 END) "
+         "/ (s_abs / nd) ELSE 1.0 END"),
+        ("posamean", "CASE WHEN npos > 0 THEN s_pos / npos ELSE 0.0 END"),
+        ("negamean", "CASE WHEN nneg > 0 THEN s_neg / nneg ELSE 0.0 END"),
+        ("posqmean", "CASE WHEN npos > 0 THEN s_posq / npos ELSE 0.0 END"),
+        ("posrqmean", "SQRT(CASE WHEN npos > 0 THEN s_posq / npos "
+         "ELSE 0.0 END)"),
+        ("negqmean", "CASE WHEN nneg > 0 THEN s_negq / nneg ELSE 0.0 END"),
+        ("negrqmean", "SQRT(CASE WHEN nneg > 0 THEN s_negq / nneg "
+         "ELSE 0.0 END)"),
+        ("rqmean", "SQRT(s_q / nd)"),
+        ("nzrqmean", "SQRT(CASE WHEN nnz > 0 THEN s_nzq / nnz "
+         "ELSE 0.0 END)"),
+        ("variance", "m2"),
+        ("stddev", sd),
+        # 5-sig (see q_emo_large._proj): summed via a placeholder swap below
+        ("skewness", "CASE WHEN nd * m2 * " + sd + " > 0 THEN "
+         "m3 / (nd * m2 * " + sd + ") ELSE 0.0 END"),
+        ("kurtosis", "CASE WHEN nd * m2 * m2 > 0 THEN "
+         "m4 / (nd * m2 * m2) ELSE 0.0 END"),
+        ("stddevNorm", f"CASE WHEN m2 > 0 THEN {sd} / {mean1} "
+         "ELSE 0.0 END"),
+        ("coeffOfVariation", f"CASE WHEN m2 > 0 THEN {sd} / {amean1} "
+         "ELSE 0.0 END"),
+        ("max", "vmax"),
+        ("min", "vmin"),
+        ("range", "vmax - vmin"),
+        ("maxPos", "maxpos"),
+        ("minPos", "minpos"),
+        ("maxameandist", "vmax - mean"),
+        ("minameandist", "mean - vmin"),
+        ("quartile1", "q1"),
+        ("quartile2", "q2"),
+        ("quartile3", "q3"),
+        ("iqr1-2", "q2 - q1"),
+        ("iqr2-3", "q3 - q2"),
+        ("iqr1-3", "q3 - q1"),
+        ("percentile20.0", "p20"),
+    ]
+    def _round(f, e):
+        out = r(e)
+        if f in ("skewness", "kurtosis"):      # 5 sig, matching the gate
+            out = out.replace("POW(10, 5 - FLOOR", "POW(10, 4 - FLOOR")
+        return out
+
+    sel = ",\n  ".join(
+        f'{_round(f, e)} AS "char_len_sma3_{f}"' for f, e in exprs)
+    return SQL_PREFIX + f"""
+, sm AS (
+  SELECT conv_id, session_id, turn_idx, {smooth} AS v
+  FROM sessions
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx),
+         wf AS (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+), ix AS (
+  SELECT conv_id, session_id, v,
+    CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, session_id
+                            ORDER BY turn_idx) - 1 AS DOUBLE) AS i,
+    MAX(v) OVER (PARTITION BY conv_id, session_id) AS wmax,
+    MIN(v) OVER (PARTITION BY conv_id, session_id) AS wmin
+  FROM sm
+), mu AS (
+  SELECT conv_id, session_id,
+    COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) AS nd,
+    AVG(v) AS mean, SUM(ABS(v)) AS s_abs, SUM(v * v) AS s_q,
+    SUM(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS nnz,
+    SUM(CASE WHEN v <> 0 THEN v END) AS s_nz,
+    SUM(CASE WHEN v <> 0 THEN ABS(v) END) AS s_nzabs,
+    SUM(CASE WHEN v <> 0 THEN v * v END) AS s_nzq,
+    SUM(CASE WHEN v <> 0 THEN LN(ABS(v)) END) AS s_nzlog,
+    SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS npos,
+    SUM(CASE WHEN v > 0 THEN v END) AS s_pos,
+    SUM(CASE WHEN v > 0 THEN v * v END) AS s_posq,
+    SUM(CASE WHEN v < 0 THEN 1 ELSE 0 END) AS nneg,
+    SUM(CASE WHEN v < 0 THEN v END) AS s_neg,
+    SUM(CASE WHEN v < 0 THEN v * v END) AS s_negq,
+    MAX(v) AS vmax, MIN(v) AS vmin,
+    MIN(CASE WHEN v = wmax THEN i END) AS maxpos,
+    MIN(CASE WHEN v = wmin THEN i END) AS minpos,
+    quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.50) AS q2,
+    quantile_cont(v, 0.75) AS q3, quantile_cont(v, 0.20) AS p20
+  FROM ix GROUP BY conv_id, session_id
+), ctr AS (
+  SELECT s.conv_id, s.session_id,
+    SUM(POW(s.v - m.mean, 2)) / MAX(m.nd) AS m2,
+    SUM(POW(s.v - m.mean, 3)) AS m3,
+    SUM(POW(s.v - m.mean, 4)) AS m4
+  FROM ix s JOIN mu m USING (conv_id, session_id)
+  GROUP BY s.conv_id, s.session_id
+)
+SELECT mu.conv_id, mu.session_id, mu.n AS n_turns,
+  {sel}
+FROM mu JOIN ctr USING (conv_id, session_id)
+"""
+
+
+_ORACLES["emo_large"] = _emo_large_oracle()
 
 def _qreg_oracle() -> str:
     """Quadratic normal equations over i=0..N-1 (functionalRegression.cpp

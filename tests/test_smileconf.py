@@ -762,3 +762,112 @@ def test_every_stage_carrying_reference_conf_executes(spark):
     t.unpersist()
     assert not failures, failures
     assert executed >= 45, executed
+
+
+# ---------------------------------------------------------------------------
+# Differential fuzz: the conf->stage mapping itself (r4 verdict task 4).
+# The compiled-IS13 golden pins one config; this property-tests the mapping:
+# random small confs from the supported component vocabulary must run
+# frame-exactly equal to the directly-composed operator chain.
+# Reference semantics: configManager.cpp:1746-2460.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hst
+
+_FUZZ_FAMS = [("Means", "means"), ("Moments", "moments"),
+              ("Extremes", "extremes"), ("Percentiles", "percentiles"),
+              ("Regression", "regression"), ("Crossings", "crossings")]
+
+_pre_stage = hst.one_of(
+    hst.fixed_dictionaries({"kind": hst.just("sma"),
+                            "win": hst.sampled_from([3, 5]),
+                            "nz": hst.booleans()}),
+    hst.fixed_dictionaries({"kind": hst.just("delta"),
+                            "win": hst.sampled_from([0, 1, 2])}),
+    hst.fixed_dictionaries({"kind": hst.just("mvn")}),
+)
+
+
+@given(chain=hst.lists(_pre_stage, min_size=0, max_size=2),
+       fams=hst.lists(hst.sampled_from(_FUZZ_FAMS), min_size=1,
+                      max_size=3, unique=True),
+       pcs=hst.lists(hst.sampled_from([0.1, 0.2, 0.25, 0.5, 0.75, 0.9]),
+                     min_size=1, max_size=3, unique=True),
+       interp=hst.booleans())
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fuzz_conf_equals_direct_composition(spark, lld_small, chain, fams,
+                                             pcs, interp):
+    from opensmile_spark.functionals import functionals_kernel
+    from opensmile_spark.operators import delta_regression, mvn, sma
+
+    pcs = sorted(pcs)
+    # ---- build the conf text and the direct composition in lockstep ----
+    lines = []
+    level = "lld"
+    cur = ["char_len"]
+    want = lld_small
+    for i, stg in enumerate(chain):
+        nxt = f"lv{i}"
+        if stg["kind"] == "sma":
+            lines += [f"[s{i}:cContourSmoother]",
+                      f"reader.dmLevel = {level}",
+                      f"writer.dmLevel = {nxt}",
+                      f"smaWin = {stg['win']}",
+                      f"noZeroSma = {int(stg['nz'])}", ""]
+            want = sma(want, cur, stg["win"], no_zero_sma=stg["nz"])
+            cur = [f"{c}_sma{stg['win']}{'nz' if stg['nz'] else ''}"
+                   for c in cur]
+        elif stg["kind"] == "delta":
+            lines += [f"[s{i}:cDeltaRegression]",
+                      f"reader.dmLevel = {level}",
+                      f"writer.dmLevel = {nxt}",
+                      f"deltawin = {stg['win']}", ""]
+            want = delta_regression(want, cur, stg["win"])
+            cur = [f"{c}_de" for c in cur]
+        else:
+            lines += [f"[s{i}:cVectorMVN]",
+                      f"reader.dmLevel = {level}",
+                      f"writer.dmLevel = {nxt}", ""]
+            want = mvn(want, cur)
+            cur = [f"{c}_mvn" for c in cur]
+        level = nxt
+    fam_confs = " ; ".join(f[0] for f in fams)
+    lines += ["[func:cFunctionals]",
+              f"reader.dmLevel = {level}",
+              "writer.dmLevel = out",
+              f"functionalsEnabled = {fam_confs}"]
+    options = {}
+    if any(f[1] == "percentiles" for f in fams):
+        for i, p in enumerate(pcs):
+            lines.append(f"Percentiles.percentile[{i}] = {p}")
+        options["percentiles"] = {"percentiles": tuple(pcs),
+                                  "pctlranges": ()}
+        if len(pcs) >= 2:
+            lines.append("Percentiles.pctlrange[0] = 0-1")
+            options["percentiles"]["pctlranges"] = ((0, 1),)
+        lines.append(f"Percentiles.interp = {int(interp)}")
+        options["percentiles"]["interp"] = interp
+    conf = "\n".join(lines) + "\n"
+
+    got, report = run_smile_conf(lld_small, conf, ["char_len"],
+                                 group_cols=("conv_id",), is_text=True)
+    want_out = functionals_kernel(
+        want, cur, ("conv_id",),
+        families=[f[1] for f in fams],
+        options=options or None)
+
+    g = {r["conv_id"]: r for r in got.collect()}
+    w = {r["conv_id"]: r for r in want_out.collect()}
+    assert set(g) == set(w) and len(g) > 0
+    assert sorted(got.columns) == sorted(want_out.columns)
+    for cid in w:
+        for c in want_out.columns:
+            gv, wv = g[cid][c], w[cid][c]
+            if isinstance(wv, float):
+                ok = (gv == wv or gv == pytest.approx(wv, rel=1e-12)
+                      or (wv != wv and gv != gv))
+                assert ok, (cid, c, gv, wv)
+            else:
+                assert gv == wv, (cid, c)

@@ -163,3 +163,85 @@ def test_streaming_bpe_encode(spark, tmp_path):
             for r in bpe_encode_ids(batch, model)
             .select("doc_id", "bpe_token_ids").collect()}
     assert got == want
+
+
+def test_streaming_span_dedup_foreachbatch(spark, tmp_path):
+    """ExactSubstr span dedup incrementally (r4 verdict task 7): the
+    corpus gram model is frozen history; each micro-batch is cut against
+    history ∪ batch via foreachBatch and keeps only its own rows. With
+    the stream replaying docs already in history, per-batch outputs must
+    equal the one-shot batch run — the documented incremental story for
+    the training-data path."""
+    from opensmile_spark.spandedup import span_dedup
+
+    rows = []
+    dup = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    for i in range(12):
+        uniq = " ".join(f"tok{i}_{j}" for j in range(10))
+        rows.append((i, (dup + uniq) if i % 2 == 0 else uniq))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "span_src")
+    docs.repartition(3).write.parquet(src)
+    history = spark.read.parquet(src)
+
+    want = {r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"], r["clean_text"])
+            for r in span_dedup(history, k=8, min_count=2).collect()}
+
+    got = {}
+
+    def cut(batch_df, _):
+        ids = [r["doc_id"] for r in batch_df.select("doc_id").collect()]
+        out = span_dedup(
+            history.filter(~F.col("doc_id").isin(ids)).unionByName(batch_df),
+            k=8, min_count=2).filter(F.col("doc_id").isin(ids))
+        for r in out.collect():
+            got[r["doc_id"]] = (r["n_dup_spans"], r["dup_tokens"],
+                                r["clean_text"])
+
+    stream = spark.readStream.schema(docs.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = stream.writeStream.foreachBatch(cut) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert got == want and len(got) == 12
+
+
+def test_streaming_nb_score_foreachbatch(spark, tmp_path):
+    """NB quality scoring on a stream: the model (token log-odds) is a
+    frozen artifact from nb_fit on the labeled seed; scoring is per-doc
+    and batch-contained, so foreachBatch scoring must be micro-batching
+    invariant and equal the batch run."""
+    from opensmile_spark.classify import nb_fit, nb_score
+
+    seed = spark.createDataFrame(
+        [(i, "clean proper sentence number %d" % i, 1) for i in range(8)]
+        + [(100 + i, "zzz spam spam buy now %d" % i, 0) for i in range(8)],
+        "doc_id long, text string, label int")
+    weights, params = nb_fit(seed)
+
+    corpus = spark.createDataFrame(
+        [(i, "clean proper sentence again %d" % i) for i in range(6)]
+        + [(50 + i, "buy now spam zzz %d" % i) for i in range(6)],
+        "doc_id long, text string")
+    src = str(tmp_path / "nb_src")
+    corpus.repartition(3).write.parquet(src)
+
+    want = {r["doc_id"]: (r["nb_score"], r["nb_score_pred"])
+            for r in nb_score(spark.read.parquet(src), weights,
+                              params).collect()}
+
+    got = {}
+
+    def score(batch_df, _):
+        for r in nb_score(batch_df, weights, params).collect():
+            got[r["doc_id"]] = (r["nb_score"], r["nb_score_pred"])
+
+    stream = spark.readStream.schema(corpus.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = stream.writeStream.foreachBatch(score) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert set(got) == set(want) and len(got) == 12
+    for d in want:
+        assert got[d][0] == pytest.approx(want[d][0], rel=1e-12)
+        assert got[d][1] == want[d][1]

@@ -81,6 +81,20 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+
+    # dynamic replica oracles: gates whose SQL twin depends on a
+    # runtime-trained-but-deterministic artifact (the pinned BPE merge
+    # table). Built here, outside the driver window, per r4 verdict
+    # task 2 — the encode side is pure DuckDB SQL.
+    def _bpe_dynamic():
+        from opensmile_spark.bpe import bpe_train
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        model = bpe_train(docs, n_merges=100, min_count=2)
+        return entrymod.bpe_oracle_sql(model.merges)
+
+    dynamic = {"bpe_tokens": _bpe_dynamic}
+
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -91,6 +105,9 @@ def main():
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             n_fail += 1
             continue
+        if name in dynamic and name not in oracles:
+            oracles = dict(oracles)
+            oracles[name] = dynamic[name]()
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(sdf)} rows")
             continue
