@@ -68,6 +68,14 @@ class ConfParse:
     sections: list = field(default_factory=list)      # [ConfSection] in file order
     instances: dict = field(default_factory=dict)     # name -> cType
     unresolved: list = field(default_factory=list)    # human-readable notes
+    fragment_options: list = field(default_factory=list)  # (key, value)
+    # options appearing BEFORE any section: the file is a
+    # caller-parameterized include FRAGMENT (the arff_targets pattern —
+    # cArffSink class[]/target[] options meant to be textually spliced
+    # into the including file's open section, configManager.cpp include
+    # semantics). Standalone they are ownerless BY DESIGN, not errors;
+    # the splice path is what executes them (see
+    # test_include_continues_open_section).
     cm_reg: dict = field(default_factory=dict)        # \cm option registry:
     # the FIRST \cm[name{default}:desc] occurrence registers the default,
     # later bare \cm[name] references reuse it (commandlineParser behavior
@@ -224,7 +232,7 @@ def parse_conf_text(text: str, cm: dict | None = None,
                 p.instances[im.group(1)] = value
             continue
         if cur is None:
-            p.unresolved.append(f"option outside any section: {key}")
+            p.fragment_options.append((key, value))
             continue
         _set_option(cur.options, key, value)
 

@@ -132,3 +132,37 @@ def test_kmeans_fit_deterministic():
     assert np.array_equal(a, b)
     with pytest.raises(ValueError):
         kmeans_fit_np(X[:3], 5)
+
+
+def test_semdedup_blocked_kernel_matches_dense(spark, monkeypatch):
+    """An oversized cluster runs the BLOCKED prior-sim kernel (r4 verdict
+    task 6): with a tiny block size (7 rows — many chunk x prior-block
+    tiles, odd tail) the decisions and max_prior_sim must be bit-equal
+    to the single-block dense path up to BLAS-blocking ulps (dgemm
+    reorders the inner sums per tile shape), and memory stays
+    O(block² + n·d) by construction (the Gram matrix is never
+    materialized whole)."""
+    import os
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(12, 8)
+    rows = []
+    for i in range(60):                      # planted near-dup structure
+        v = base[i % 12] + rng.randn(8) * (0.01 if i % 2 else 0.3)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    monkeypatch.setenv("SPARK_GRAFT_SEMDEDUP_BLOCK", "7")
+    blocked = semdedup(df, threshold=0.9, n_clusters=1, n_iter=1,
+                       sample_per_centroid=60).toPandas() \
+        .set_index("vec_id").sort_index()
+    monkeypatch.setenv("SPARK_GRAFT_SEMDEDUP_BLOCK", "1000000")
+    dense = semdedup(df, threshold=0.9, n_clusters=1, n_iter=1,
+                     sample_per_centroid=60).toPandas() \
+        .set_index("vec_id").sort_index()
+    assert (blocked["keep"] == dense["keep"]).all()
+    assert blocked["keep"].sum() < 60        # pruning actually happened
+    a = blocked["max_prior_sim"].to_numpy(dtype=float)
+    b = dense["max_prior_sim"].to_numpy(dtype=float)
+    assert (np.isclose(a, b, rtol=1e-12, atol=1e-12)
+            | (np.isnan(a) & np.isnan(b))).all()

@@ -705,9 +705,13 @@ def test_flagship_confs_execute_end_to_end(spark, conf, min_cols):
 
 
 def test_entire_reference_config_tree_compiles():
-    """EVERY .conf in the reference tree parses and compiles without
-    raising; all but the caller-parameterized include fragments
-    (arff_targets*) resolve with zero notes."""
+    """EVERY .conf in the reference tree parses and compiles with ZERO
+    unresolved notes (65/65, r4 verdict task 5). The two arff_targets
+    files are caller-parameterized include FRAGMENTS — ownerless
+    cArffSink class[]/target[] options meant to be spliced into the
+    including file's open section — classified as fragment_options, not
+    errors; the splice path is pinned by
+    test_include_continues_open_section."""
     import glob
     import os
     confs = sorted(glob.glob("/root/reference/config/**/*.conf",
@@ -715,16 +719,17 @@ def test_entire_reference_config_tree_compiles():
     if not confs:
         pytest.skip("reference config tree not present")
     from opensmile_spark.smileconf import conf_to_config, load_conf
-    clean = 0
+    fragments = []
     for c in confs:
         p = load_conf(c)            # must not raise
         conf_to_config(p, ["char_len"])   # must not raise
-        if not p.unresolved:
-            clean += 1
-        else:
-            assert "arff_targets" in os.path.basename(c), (
-                c, p.unresolved[:5])
-    assert clean >= 60, clean
+        assert not p.unresolved, (c, p.unresolved[:5])
+        if p.fragment_options:
+            fragments.append(os.path.basename(c))
+            assert any(k.startswith(("class[", "target["))
+                       for k, _ in p.fragment_options), c
+    assert len(confs) >= 65
+    assert all("arff_targets" in f for f in fragments), fragments
 
 
 def test_every_stage_carrying_reference_conf_executes(spark):
