@@ -34,6 +34,22 @@ DEFAULT_FAMILIES = [
     "crossings", "times", "onset", "segments", "peaks2",
 ]
 
+# numpy twins of the cVectorOperation exprs (operators/vector_ops.py:20,
+# vectorOperation.cpp op table) for in-kernel lane derivation — equality
+# with the withColumn pipeline is pinned by
+# tests/test_prepartitioned.py::test_derive_matches_vector_op
+DERIVE_OPS = {
+    "sq": lambda x: x * x,
+    "abs": np.abs,
+    "log": lambda x: np.where(x > 0.0, np.log(np.where(x > 0.0, x, 1.0)),
+                              0.0),
+    "log1p": np.log1p,
+    "sqrt": lambda x: np.sqrt(np.abs(x)),
+    "dBp": lambda x: 10.0 * np.where(
+        x > 0.0, np.log10(np.where(x > 0.0, x, 1.0)), 0.0),
+    "fconv_mel": lambda x: 1127.0 * np.log1p(x / 700.0),
+}
+
 
 def feature_names(value_cols, families=None, options=None) -> list[str]:
     """Static output names (<input>_<functional>, functionals.cpp:236-241)."""
@@ -51,6 +67,8 @@ def functionals_kernel(
     options: dict | None = None,
     pre_partitioned: bool = False,
     repartition_cols: list | None = None,
+    engine: str = "pandas",
+    derive: list[str] | None = None,
 ) -> DataFrame:
     """One output row per group; columns <value>_<functional>.
 
@@ -87,7 +105,23 @@ def functionals_kernel(
     partial rows per group."""
     families = families or DEFAULT_FAMILIES
     group_cols = list(group_cols)
-    feats = feature_names(value_cols, families, options)
+    # `derive`: elementwise cVectorOperation lanes (DERIVE_OPS) computed
+    # INSIDE the kernel worker from the transferred lanes — the fused form
+    # of vector_op(...) |> functionals_kernel(...). The reference's big
+    # presets run functionals over derived LLDs as a matter of course
+    # (log-energy, de-coefficients; e.g. ComParE_2016 functionals cover
+    # both LLD and derived contours), and fusing the projection into the
+    # kernel means those lanes never cross the executor<->worker socket:
+    # at 100 TB, 1+len(derive) functional lanes per transferred byte.
+    derive = list(derive or [])
+    for op in derive:
+        if op not in DERIVE_OPS:
+            raise ValueError(f"unknown derive op {op!r}; "
+                             f"have {sorted(DERIVE_OPS)}")
+    lanes = [(c, None) for c in value_cols] + [
+        (f"{c}__{op}", (c, op)) for c in value_cols for op in derive]
+    lane_names = [ln for ln, _ in lanes]
+    feats = feature_names(lane_names, families, options)
     probe_keys = list(compute_all(np.arange(1.0, 9.0), families, options))
 
     key_schema = ", ".join(
@@ -120,21 +154,28 @@ def functionals_kernel(
         for k in sample:
             key_src.setdefault(k, "batched" if fam in batched_fams else "loop")
 
-    def process_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        """All groups in pdf are complete; rows already sorted."""
+    def _process_np(arrs: dict) -> dict:
+        """Shared numpy core for both engines: column dict in, column dict
+        out. All groups in arrs are complete; rows already sorted."""
         # group boundary detection on the (pre-sorted) key columns
-        n = len(pdf)
+        n = len(arrs[group_cols[0]])
         change = np.zeros(n, dtype=bool)
         change[0] = True
         for c in group_cols:
-            v = pdf[c].to_numpy()
+            v = arrs[c]
             change[1:] |= v[1:] != v[:-1]
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], n)
-        cols: dict = {c: pdf[c].to_numpy()[starts] for c in group_cols}
+        cols: dict = {c: arrs[c][starts] for c in group_cols}
         cols["n_turns"] = (ends - starts).astype(np.int64)
-        for c in value_cols:
-            xs = pdf[c].to_numpy(dtype=np.float64)
+        base: dict = {}
+        for c, spec in lanes:
+            if spec is None:
+                xs = arrs[c].astype(np.float64, copy=False)
+                base[c] = xs
+            else:
+                src, op = spec
+                xs = DERIVE_OPS[op](base[src])
             if batched_fams:
                 bat = compute_batched(xs, starts, ends, batched_fams, opt)
             else:
@@ -152,7 +193,13 @@ def functionals_kernel(
                     cols[f"{c}_{k}"] = bat[k]
                 else:
                     cols[f"{c}_{k}"] = loop_rows[k]
-        return pd.DataFrame(cols)
+        return cols
+
+    def process_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        arrs = {c: pdf[c].to_numpy() for c in group_cols}
+        for c in value_cols:
+            arrs[c] = pdf[c].to_numpy(dtype=np.float64)
+        return pd.DataFrame(_process_np(arrs))
 
     def run(batches):
         carry = None
@@ -175,13 +222,74 @@ def functionals_kernel(
         if carry is not None and len(carry):
             yield process_block(carry)
 
-    proj = df.select(*group_cols, order_col, *value_cols)
-    if not pre_partitioned:
+    in_cols = group_cols + value_cols
+
+    def run_arrow(batches):
+        """Arrow-native runner (engine='arrow'): pyarrow RecordBatch ->
+        zero-copy numpy views -> the same _process_np core -> RecordBatch.
+        Skips the pandas materialization entirely — on a transfer-bound
+        job (wide scans feeding a fast kernel) the Arrow->pandas copy is
+        the single largest non-compute cost, and it is pure overhead: the
+        kernel reads numpy arrays either way. Numerics are bit-identical
+        (same float64 upcast, same core; pinned by
+        tests/test_functionals.py::test_arrow_engine_matches_pandas)."""
+        import pyarrow as pa
+
+        key_types: dict = {}
+        carry: dict | None = None
+
+        def _np(col):
+            try:
+                return col.to_numpy(zero_copy_only=True)
+            except pa.lib.ArrowInvalid:
+                return col.to_numpy(zero_copy_only=False)
+
+        def _emit(arrs):
+            cols = _process_np(arrs)
+            arrays = [pa.array(cols[c], type=key_types[c])
+                      for c in group_cols]
+            arrays.append(pa.array(cols["n_turns"], type=pa.int64()))
+            arrays += [pa.array(cols[f], type=pa.float64()) for f in feats]
+            return pa.RecordBatch.from_arrays(arrays, names=out_cols)
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            if not key_types:
+                sch = rb.schema
+                for c in group_cols:
+                    key_types[c] = sch.field(c).type
+            arrs = {c: _np(rb.column(i)) for i, c in enumerate(in_cols)}
+            if carry is not None:
+                arrs = {c: np.concatenate([carry[c], arrs[c]])
+                        for c in in_cols}
+            n = len(arrs[group_cols[0]])
+            mask = np.ones(n, dtype=bool)
+            for c in group_cols:
+                mask &= arrs[c] == arrs[c][-1]
+            tail_start = int(np.argmax(mask))
+            carry = {c: arrs[c][tail_start:] for c in in_cols}
+            if tail_start:
+                yield _emit({c: arrs[c][:tail_start] for c in in_cols})
+        if carry is not None and len(carry[group_cols[0]]):
+            yield _emit(carry)
+
+    if pre_partitioned:
+        # order_col is never read by the kernel (order comes from the
+        # layout guarantee); excluding it from the projection keeps it out
+        # of the scan AND the Arrow transfer — one fewer lane per row on
+        # the worker socket, which on the 100 TB layout is pure savings.
+        proj = df.select(*in_cols)
+    else:
         rcols = list(repartition_cols) if repartition_cols else group_cols
         assert rcols == group_cols[: len(rcols)], \
             "repartition_cols must be a prefix of group_cols"
-        proj = proj.repartition(*rcols) \
-            .sortWithinPartitions(*group_cols, order_col)
+        proj = df.select(*in_cols, order_col) \
+            .repartition(*rcols) \
+            .sortWithinPartitions(*group_cols, order_col) \
+            .select(*in_cols)
+    if engine == "arrow":
+        return proj.mapInArrow(run_arrow, schema=schema)
     return proj.mapInPandas(run, schema=schema)
 
 

@@ -48,6 +48,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # one BLAS/OpenMP thread per python worker: each worker owns one
+        # task slot, so library-level threading inside a worker (numpy
+        # eigvals/roots in the lsp/formants kernels) oversubscribes the
+        # executor's cores — slots x BLAS-threads threads competing for
+        # slots cores. Pinning keeps kernel scaling linear in slots, on
+        # this sandbox and on a real executor alike.
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
