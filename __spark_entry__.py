@@ -188,6 +188,31 @@ def q_functionals_sql(spark, sf_dir):
     return out.select(*sel)
 
 
+def q_functionals_derive(spark, sf_dir):
+    """Fused derived-lane functionals (bank.py derive= + engine='arrow'):
+    cVectorOperation contours (x^2, safe-log — vectorOperation.cpp op
+    table) are computed INSIDE the kernel worker and the functional
+    families run over base + derived lanes in one pass — the
+    reference-preset pattern of functionals over derived LLDs (e.g.
+    log-energy, /root/reference/src/lldcore/energy.cpp). The gate pins
+    the fused in-worker derivation and the Arrow-native engine against a
+    DuckDB twin that derives the same lanes in SQL."""
+    from opensmile_spark.functionals import functionals_kernel
+    from opensmile_spark.util import round_sig
+
+    out = functionals_kernel(
+        _lld(spark, sf_dir), ["char_len"], ("conv_id",),
+        families=["means", "moments", "extremes"],
+        derive=["sq", "log"], engine="arrow")
+    cols = ["amean", "absmean", "qmean", "variance", "stddev",
+            "max", "min", "range"]
+    sel = [F.col("conv_id"), F.col("n_turns")]
+    for lane in ("char_len", "char_len__sq", "char_len__log"):
+        sel += [round_sig(F.col(f"`{lane}_{c}`")).alias(f"{lane}_{c}")
+                for c in cols]
+    return out.select(*sel)
+
+
 def q_functionals_session(spark, sf_dir):
     """Per-(conv, session) functional vector via the kernel path — the
     flagship grouping; oracle covers the SQL-expressible outputs. Also
@@ -1951,6 +1976,41 @@ def _sql_functional_aggs(x: str, prefix: str, central: bool = True) -> str:
     return ",\n".join(
         f'{_rsig(e)} AS "{prefix}_{name}"' for name, e in exprs.items()
     )
+
+
+def _derive_lane_aggs(x: str, prefix: str) -> str:
+    """means/moments/extremes subset twin for q_functionals_derive: raw-
+    moment variance (exact for the integer-valued char_len and sq lanes;
+    6-sig-digit rounding absorbs float cancellation on the log lane)."""
+    var = f"(AVG({x}*{x}) - AVG({x})*AVG({x}))"
+    exprs = {
+        "amean": f"AVG({x})",
+        "absmean": f"AVG(ABS({x}))",
+        "qmean": f"AVG({x}*{x})",
+        "variance": var,
+        "stddev": f"(CASE WHEN {var} > 0 THEN SQRT({var}) ELSE 0.0 END)",
+        "max": f"MAX({x})",
+        "min": f"MIN({x})",
+        "range": f"MAX({x}) - MIN({x})",
+    }
+    return ",\n".join(
+        f'{_rsig(e)} AS "{prefix}_{name}"' for name, e in exprs.items())
+
+
+_ORACLES["functionals_derive"] = SQL_PREFIX + """
+, lanes AS (
+  SELECT conv_id,
+         char_len,
+         char_len * char_len AS sq,
+         CASE WHEN char_len > 0 THEN LN(char_len) ELSE 0.0 END AS lg
+  FROM lld
+)
+SELECT conv_id, COUNT(*) AS n_turns,
+""" + _derive_lane_aggs("char_len", "char_len") + ",\n" \
+    + _derive_lane_aggs("sq", "char_len__sq") + ",\n" \
+    + _derive_lane_aggs("lg", "char_len__log") + """
+FROM lanes GROUP BY conv_id
+"""
 
 
 _ORACLES["functionals_sql"] = SQL_PREFIX + """
@@ -5472,6 +5532,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frame_vector": q_framer_bank,   # + overlap_add (round-4 bank)
     # functionals
     "functionals_sql": q_functionals_sql,
+    "functionals_derive": q_functionals_derive,  # fused derive= + arrow
     "functionals_session": q_functionals_session,
     "functionals_extras": q_functionals_extras,
     "functionals_qreg": q_regression_bank,
