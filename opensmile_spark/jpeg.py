@@ -10,9 +10,11 @@ inverse-zigzags, IDCTs and converts YCbCr back to RGB, with 4:4:4 / 4:2:2
 / 4:2:0 chroma upsampling. All tables are read FROM THE FILE, so the
 decoder is not tied to this encoder's choices.
 
-Scope (honestly): baseline sequential 8-bit Huffman JPEGs — the format
-the overwhelming majority of training-corpus images use. Progressive,
-arithmetic-coded, 12-bit and lossless variants raise ValueError.
+Scope: baseline sequential 8-bit Huffman JPEGs here, plus progressive
+(SOF2) streams via jpeg_progressive.py (spectral selection, successive
+approximation, EOB runs — `decode_jpeg` dispatches automatically).
+Arithmetic-coded, 12-bit, lossless and hierarchical variants raise
+ValueError (quarantined per-row by multimodal's on_error='column').
 
 Everything here is per-payload kernel work invoked from the Arrow-batched
 decode UDF in multimodal.py; no Spark objects in this module.
@@ -413,10 +415,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:                    # SOF2 progressive Huffman
+            from .jpeg_progressive import decode_jpeg_progressive
+            return decode_jpeg_progressive(data)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline sequential Huffman JPEG is supported")
+                "unsupported JPEG variant (arithmetic/lossless/"
+                "hierarchical); baseline sequential and progressive "
+                "Huffman are supported")
         elif marker == 0xDD:                    # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:                    # SOS

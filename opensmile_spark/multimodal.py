@@ -11,10 +11,12 @@ module (the cWaveSource analogue — header fields + PCM normalization per
 like cMonoMixdown) and featurized with numpy (RMS/ZCR/spectral moments —
 the cEnergy/cMZcr/cSpectral LLD shapes). IMAGE decode is REAL for
 uncompressed 24-bit BMP (pure-struct header parse + numpy pixel view;
-channel means / luma stats / edge energy / histogram entropy) AND for
-baseline-sequential JPEG (opensmile_spark/jpeg.py: a from-the-spec
-pure-numpy Huffman+DCT codec — round 4 closed the last compressed-image
-stub without PIL). VIDEO decode is REAL for uncompressed AVI
+channel means / luma stats / edge energy / histogram entropy), for
+baseline-sequential AND progressive JPEG (opensmile_spark/jpeg.py +
+jpeg_progressive.py: from-the-spec pure-numpy Huffman+DCT codecs — no
+PIL), and for PNG (opensmile_spark/png.py: stdlib-zlib inflate + numpy
+unfilter/deinterlace; gray/RGB/RGBA/palette, Adam7, 1-16 bit).
+VIDEO decode is REAL for uncompressed AVI
 (pure-struct RIFF walk, '00db' raw-DIB frames; selective frame decode
 honors frame_sample_plan), so all three modalities exercise a genuine
 decode path. H.264 video (needs av) remains the one clearly marked stub
@@ -181,6 +183,31 @@ def synthesize_jpeg_bytes(media_id: int, width: int = 64,
     img[y0:y0 + 8, x0:x0 + 8] = 250.0
     img = np.clip(img + rng.randn(height, width, 3) * 2, 0, 255)
     return encode_jpeg(img.astype(np.uint8), quality=quality)
+
+
+def synthesize_png_bytes(media_id: int, width: int = 64,
+                         height: int = 48) -> bytes:
+    """Deterministic RGB PNG via the from-scratch codec
+    (opensmile_spark/png.py) — the lossless twin of
+    synthesize_jpeg_bytes (same seeded field; cycling row filters)."""
+    import numpy as np
+
+    from opensmile_spark.png import encode_png
+
+    rng = np.random.RandomState(int(media_id) % (2 ** 31))
+    yy, xx = np.mgrid[0:height, 0:width]
+    f1 = 5.0 + (media_id % 7)
+    f2 = 9.0 + (media_id % 5)
+    img = np.stack([
+        128 + 90 * np.sin(xx / f1) * np.cos(yy / f2),
+        128 + 70 * np.cos(xx / f2),
+        128 + 50 * np.sin((xx + yy) / (f1 + f2)),
+    ], axis=-1)
+    x0, y0 = int(media_id) % max(width - 8, 1), int(media_id) % max(
+        height - 8, 1)
+    img[y0:y0 + 8, x0:x0 + 8] = 250.0
+    img = np.clip(img + rng.randn(height, width, 3) * 2, 0, 255)
+    return encode_png(img.astype(np.uint8))
 
 
 def decode_bmp(payload: bytes):
@@ -415,9 +442,10 @@ def synthetic_media(spark, n: int = 64, seed: int = 42,
     if real_images:
         from pyspark.sql.functions import pandas_udf
 
-        codec = "jpeg" if real_images == "jpeg" else "bmp"
-        synth = (synthesize_jpeg_bytes if codec == "jpeg"
-                 else synthesize_bmp_bytes)
+        codec = real_images if real_images in ("jpeg", "png") else "bmp"
+        synth = {"jpeg": synthesize_jpeg_bytes,
+                 "png": synthesize_png_bytes}.get(codec,
+                                                  synthesize_bmp_bytes)
 
         @pandas_udf("binary")
         def _img(mid: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
@@ -464,18 +492,20 @@ def extract_media_features(
 ) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow-batched bytes).
 
-    WAV/PCM audio, uncompressed AVI video, 24-bit BMP and baseline
-    sequential JPEG images are decoded FOR REAL (stdlib/pure-struct/
-    pure-numpy parsers incl. the from-spec JPEG codec in jpeg.py +
-    numpy featurizers). Remaining compressed payloads (H.264 video):
+    WAV/PCM audio, uncompressed AVI video, 24-bit BMP, baseline +
+    progressive JPEG and PNG images are decoded FOR REAL (stdlib/
+    pure-struct/pure-numpy parsers incl. the from-spec JPEG and PNG
+    codecs in jpeg.py / jpeg_progressive.py / png.py + numpy
+    featurizers). Remaining compressed payloads (H.264 video):
     fake=True substitutes a deterministic md5-seeded featurizer so the
     distributed plumbing — binary Arrow transfer, per-batch iteration,
     output schema — is fully exercised; fake=False raises
     NotImplementedError for them (av is not in this image).
 
     on_error="column" adds a `decode_error` string column and converts
-    per-row decode failures (e.g. jpeg.py's ValueError on progressive/
-    arithmetic/12-bit streams, truncated payloads, unknown codecs with
+    per-row decode failures (e.g. jpeg.py's ValueError on arithmetic/
+    12-bit/lossless streams — progressive decodes for real via
+    jpeg_progressive.py — truncated payloads, unknown codecs with
     fake=False) into NaN features + the error message on THAT row
     instead of killing the whole task — at corpus scale one corrupt
     payload must not fail a 100k-row partition. on_error="raise" (the
@@ -512,6 +542,16 @@ def extract_media_features(
             if img.ndim == 2:          # grayscale stream
                 img = np.stack([img] * 3, axis=-1)
             feats[r] = image_features(img, n_features)
+        elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+            from opensmile_spark.png import decode_png
+
+            img = decode_png(bytes(payload))
+            if img.ndim == 2:          # grayscale
+                img = np.stack([img] * 3, axis=-1)
+            elif img.shape[2] == 4:    # composite alpha over white
+                a = img[..., 3:4].astype(np.float64) / 255.0
+                img = (img[..., :3] * a + 255.0 * (1 - a)).astype(np.uint8)
+            feats[r] = image_features(img, n_features)
         elif fake:
             h = hashlib.md5(payload).digest()
             feats[r] = [h[i % 16] / 255.0 for i in range(n_features)]
@@ -519,9 +559,9 @@ def extract_media_features(
             raise NotImplementedError(
                 "this codec needs PIL/av — not available in this "
                 "image; pass fake=True for the deterministic "
-                "plumbing path (WAV audio, BMP + baseline-JPEG "
-                "images and uncompressed AVI video decode for "
-                "real either way)")
+                "plumbing path (WAV audio, BMP/JPEG/PNG images "
+                "and uncompressed AVI video decode for real "
+                "either way)")
 
     def run(batches):
         for pdf in batches:

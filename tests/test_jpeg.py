@@ -116,10 +116,12 @@ def test_fill_bytes_before_marker():
     np.testing.assert_array_equal(got, want)
 
 
-def _progressive_payload(media_id=0, w=16, h=16):
-    """A progressive-JPEG stand-in: a real baseline stream with its SOF0
-    marker flipped to SOF2 — parses as progressive, which jpeg.py
-    documents as out of scope (raises ValueError)."""
+def _invalid_progressive_payload(media_id=0, w=16, h=16):
+    """A malformed stream: a baseline encoding with its SOF0 marker
+    flipped to SOF2. Real progressive decode exists (jpeg_progressive),
+    but a full-band Ss=0,Se=63 scan is ILLEGAL under SOF2 (T.81 G.1):
+    the decoder must reject it rather than misinterpret the entropy
+    data."""
     from opensmile_spark.multimodal import synthesize_jpeg_bytes
 
     payload = synthesize_jpeg_bytes(media_id, w, h)
@@ -127,16 +129,16 @@ def _progressive_payload(media_id=0, w=16, h=16):
     return payload[:i] + b"\xff\xc2" + payload[i + 2:]
 
 
-def test_progressive_stream_raises():
+def test_sequential_scan_under_sof2_raises():
     from opensmile_spark.jpeg import decode_jpeg
 
-    with pytest.raises(ValueError, match="baseline"):
-        decode_jpeg(_progressive_payload())
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(_invalid_progressive_payload())
 
 
 def test_mixed_corpus_decode_error_column(spark):
-    """A corpus mixing baseline and progressive JPEGs (plus a BMP) must
-    not fail the task: on_error='column' quarantines the per-row
+    """A corpus mixing valid JPEGs with a malformed stream (plus a BMP)
+    must not fail the task: on_error='column' quarantines the per-row
     ValueError into `decode_error` and decodes everything else."""
     from opensmile_spark.multimodal import (
         extract_media_features, synthesize_bmp_bytes, synthesize_jpeg_bytes,
@@ -144,7 +146,7 @@ def test_mixed_corpus_decode_error_column(spark):
 
     rows = [
         (0, "image", bytearray(synthesize_jpeg_bytes(0, 16, 16))),
-        (1, "image", bytearray(_progressive_payload(1))),
+        (1, "image", bytearray(_invalid_progressive_payload(1))),
         (2, "image", bytearray(synthesize_bmp_bytes(2, 16, 16))),
         (3, "video", bytearray(b"\x00\x00\x00\x01h264-ish")),  # unknown codec
     ]
@@ -156,11 +158,11 @@ def test_mixed_corpus_decode_error_column(spark):
     assert "decode_error" in out.columns
     assert out.loc[0, "decode_error"] is None
     assert out.loc[2, "decode_error"] is None
-    assert "baseline" in out.loc[1, "decode_error"]
+    assert "SOF2" in out.loc[1, "decode_error"]
     assert "NotImplementedError" in out.loc[3, "decode_error"]
     feat_cols = [f"feat_{i}" for i in range(4)]
     assert out.loc[[0, 2], feat_cols].notna().all().all()
     assert out.loc[[1, 3], feat_cols].isna().all().all()
     # strict mode still fails fast on the same corpus
-    with pytest.raises(Exception, match="baseline|NotImplementedError"):
+    with pytest.raises(Exception, match="SOF2|NotImplementedError"):
         extract_media_features(media, n_features=4, fake=False).collect()
