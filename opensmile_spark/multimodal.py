@@ -14,8 +14,10 @@ uncompressed 24-bit BMP (pure-struct header parse + numpy pixel view;
 channel means / luma stats / edge energy / histogram entropy), for
 baseline-sequential AND progressive JPEG (opensmile_spark/jpeg.py +
 jpeg_progressive.py: from-the-spec pure-numpy Huffman+DCT codecs — no
-PIL), and for PNG (opensmile_spark/png.py: stdlib-zlib inflate + numpy
-unfilter/deinterlace; gray/RGB/RGBA/palette, Adam7, 1-16 bit).
+PIL), for PNG (opensmile_spark/png.py: stdlib-zlib inflate + numpy
+unfilter/deinterlace; gray/RGB/RGBA/palette, Adam7, 1-16 bit), and for
+GIF (opensmile_spark/gif.py: from-spec LZW, interlace, animation
+compositing — animated GIFs route to the video featurizer).
 VIDEO decode is REAL for uncompressed AVI
 (pure-struct RIFF walk, '00db' raw-DIB frames; selective frame decode
 honors frame_sample_plan), so all three modalities exercise a genuine
@@ -493,10 +495,11 @@ def extract_media_features(
     """Decode + feature-extract via mapInPandas (Arrow-batched bytes).
 
     WAV/PCM audio, uncompressed AVI video, 24-bit BMP, baseline +
-    progressive JPEG and PNG images are decoded FOR REAL (stdlib/
-    pure-struct/pure-numpy parsers incl. the from-spec JPEG and PNG
-    codecs in jpeg.py / jpeg_progressive.py / png.py + numpy
-    featurizers). Remaining compressed payloads (H.264 video):
+    progressive JPEG, PNG and GIF (still + animated) payloads are
+    decoded FOR REAL (stdlib/pure-struct/pure-numpy parsers incl. the
+    from-spec codecs in jpeg.py / jpeg_progressive.py / png.py /
+    gif.py + numpy featurizers). Remaining compressed payloads
+    (H.264 video):
     fake=True substitutes a deterministic md5-seeded featurizer so the
     distributed plumbing — binary Arrow transfer, per-batch iteration,
     output schema — is fully exercised; fake=False raises
@@ -542,6 +545,17 @@ def extract_media_features(
             if img.ndim == 2:          # grayscale stream
                 img = np.stack([img] * 3, axis=-1)
             feats[r] = image_features(img, n_features)
+        elif payload[:4] == b"GIF8":
+            from opensmile_spark.gif import decode_gif
+
+            gframes, gdelays = decode_gif(bytes(payload))
+            if len(gframes) == 1:
+                feats[r] = image_features(gframes[0], n_features)
+            else:
+                pos_d = [d for d in gdelays if d > 0]
+                mean_cs = float(np.mean(pos_d)) if pos_d else 10.0
+                feats[r] = video_features(np.stack(gframes),
+                                          100.0 / mean_cs, n_features)
         elif payload[:8] == b"\x89PNG\r\n\x1a\n":
             from opensmile_spark.png import decode_png
 
