@@ -127,6 +127,9 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
 
 _INTERLACE_PASSES = [(0, 8), (4, 8), (2, 4), (1, 2)]
 
+# Corrupt-header guard — see png.py MAX_DECODE_PIXELS rationale.
+MAX_DECODE_PIXELS = 1 << 26
+
 
 def _deinterlace_rows(h: int) -> np.ndarray:
     order = []
@@ -146,6 +149,8 @@ def decode_gif(payload: bytes):
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
     w, h, flags, bg_idx, _ar = struct.unpack("<HHBBB", data[6:13])
+    if w == 0 or h == 0 or w * h > MAX_DECODE_PIXELS:
+        raise ValueError(f"unreasonable GIF dimensions {w}x{h}")
     pos = 13
     gct = None
     if flags & 0x80:
@@ -188,6 +193,9 @@ def decode_gif(payload: bytes):
         elif block == 0x2C:                   # image descriptor
             fx, fy, fw, fh, iflags = struct.unpack(
                 "<HHHHB", data[pos:pos + 9])
+            if fw == 0 or fh == 0 or fw * fh > MAX_DECODE_PIXELS:
+                raise ValueError(
+                    f"unreasonable GIF frame dimensions {fw}x{fh}")
             pos += 9
             ct = gct
             if iflags & 0x80:                 # local color table

@@ -412,6 +412,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
+            if h == 0 or w == 0 or h * w > (1 << 26):
+                # corrupt-header guard: raise before any allocation so
+                # on_error='column' quarantines instead of OOMing a task
+                raise ValueError(f"unreasonable JPEG dimensions {w}x{h}")
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))

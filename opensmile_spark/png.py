@@ -25,6 +25,11 @@ import numpy as np
 
 _MAGIC = b"\x89PNG\r\n\x1a\n"
 
+# Corrupt-header guard: a forged IHDR claiming absurd dimensions must
+# raise BEFORE any allocation — at corpus scale one bad payload must not
+# OOM an executor (on_error='column' can only quarantine exceptions).
+MAX_DECODE_PIXELS = 1 << 26
+
 # Adam7: (x_off, y_off, x_step, y_step) per pass
 _ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
@@ -139,7 +144,13 @@ def decode_png(payload: bytes) -> np.ndarray:
             (depth < 8 and ctype_n not in (0, 3)):
         raise ValueError(f"unsupported PNG bit depth {depth}")
     channels = _CHANNELS[ctype_n]
-    raw = zlib.decompress(bytes(idat))
+    if w == 0 or h == 0 or w * h > MAX_DECODE_PIXELS:
+        raise ValueError(f"unreasonable PNG dimensions {w}x{h}")
+    # cap inflate output at the geometry-implied size (zip-bomb guard):
+    # every pass needs h*(stride+1) bytes; Adam7 never exceeds 2x that
+    stride = (w * channels * depth + 7) // 8
+    max_raw = 2 * h * (stride + 1) + 4096
+    raw = zlib.decompressobj().decompress(bytes(idat), max_raw)
     bpp = max(1, channels * depth // 8)
 
     def pass_decode(raw_part, pw, ph):
