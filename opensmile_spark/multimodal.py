@@ -8,8 +8,11 @@ the codec work happens in a vectorized kernel.
 AUDIO decode is REAL: WAV/PCM payloads are parsed with the stdlib `wave`
 module (the cWaveSource analogue — header fields + PCM normalization per
 /root/reference/src/iocore/waveSource.cpp:298-361, multi-channel collapsed
-like cMonoMixdown) and featurized with numpy (RMS/ZCR/spectral moments —
-the cEnergy/cMZcr/cSpectral LLD shapes). IMAGE decode is REAL for
+like cMonoMixdown) and FLAC via a from-spec pure-python decoder
+(opensmile_spark/flac.py: FIXED/LPC subframes, Rice residuals, stereo
+decorrelation — the compressed format speech corpora actually ship),
+both featurized with numpy (RMS/ZCR/spectral moments — the
+cEnergy/cMZcr/cSpectral LLD shapes). IMAGE decode is REAL for
 uncompressed 24-bit BMP (pure-struct header parse + numpy pixel view;
 channel means / luma stats / edge energy / histogram entropy), for
 baseline-sequential AND progressive JPEG (opensmile_spark/jpeg.py +
@@ -494,12 +497,12 @@ def extract_media_features(
 ) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow-batched bytes).
 
-    WAV/PCM audio, uncompressed AVI video, 24-bit BMP, baseline +
-    progressive JPEG, PNG and GIF (still + animated) payloads are
+    WAV/PCM + FLAC audio, uncompressed AVI video, 24-bit BMP, baseline
+    + progressive JPEG, PNG and GIF (still + animated) payloads are
     decoded FOR REAL (stdlib/pure-struct/pure-numpy parsers incl. the
     from-spec codecs in jpeg.py / jpeg_progressive.py / png.py /
-    gif.py + numpy featurizers). Remaining compressed payloads
-    (H.264 video):
+    gif.py / flac.py + numpy featurizers). Remaining compressed
+    payloads (H.264 video):
     fake=True substitutes a deterministic md5-seeded featurizer so the
     distributed plumbing — binary Arrow transfer, per-batch iteration,
     output schema — is fully exercised; fake=False raises
@@ -532,6 +535,11 @@ def extract_media_features(
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             x, sr = decode_wav(bytes(payload))
             feats[r] = wav_features(x, sr, n_features)
+        elif payload[:4] == b"fLaC":
+            from opensmile_spark.flac import decode_flac
+
+            x, sr = decode_flac(bytes(payload))
+            feats[r] = wav_features(x.mean(axis=1), sr, n_features)
         elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
             frames, fps = decode_avi(bytes(payload))
             feats[r] = video_features(frames, fps, n_features)
