@@ -18,9 +18,11 @@ channel means / luma stats / edge energy / histogram entropy), for
 baseline-sequential AND progressive JPEG (opensmile_spark/jpeg.py +
 jpeg_progressive.py: from-the-spec pure-numpy Huffman+DCT codecs — no
 PIL), for PNG (opensmile_spark/png.py: stdlib-zlib inflate + numpy
-unfilter/deinterlace; gray/RGB/RGBA/palette, Adam7, 1-16 bit), and for
+unfilter/deinterlace; gray/RGB/RGBA/palette, Adam7, 1-16 bit), for
 GIF (opensmile_spark/gif.py: from-spec LZW, interlace, animation
-compositing — animated GIFs route to the video featurizer).
+compositing — animated GIFs route to the video featurizer), and for
+TIFF (opensmile_spark/tiff.py: none/LZW/PackBits strips, predictor,
+palette/WhiteIsZero — the scanned-document-corpus format).
 VIDEO decode is REAL for uncompressed AVI
 (pure-struct RIFF walk, '00db' raw-DIB frames; selective frame decode
 honors frame_sample_plan), so all three modalities exercise a genuine
@@ -498,11 +500,11 @@ def extract_media_features(
     """Decode + feature-extract via mapInPandas (Arrow-batched bytes).
 
     WAV/PCM + FLAC audio, uncompressed AVI video, 24-bit BMP, baseline
-    + progressive JPEG, PNG and GIF (still + animated) payloads are
-    decoded FOR REAL (stdlib/pure-struct/pure-numpy parsers incl. the
-    from-spec codecs in jpeg.py / jpeg_progressive.py / png.py /
-    gif.py / flac.py + numpy featurizers). Remaining compressed
-    payloads (H.264 video):
+    + progressive JPEG, PNG, GIF (still + animated) and TIFF payloads
+    are decoded FOR REAL (stdlib/pure-struct/pure-numpy parsers incl.
+    the from-spec codecs in jpeg.py / jpeg_progressive.py / png.py /
+    gif.py / tiff.py / flac.py + numpy featurizers). Remaining
+    compressed payloads (H.264 video):
     fake=True substitutes a deterministic md5-seeded featurizer so the
     distributed plumbing — binary Arrow transfer, per-batch iteration,
     output schema — is fully exercised; fake=False raises
@@ -552,6 +554,16 @@ def extract_media_features(
             img = decode_jpeg(bytes(payload))
             if img.ndim == 2:          # grayscale stream
                 img = np.stack([img] * 3, axis=-1)
+            feats[r] = image_features(img, n_features)
+        elif payload[:4] in (b"II*\x00", b"MM\x00*"):
+            from opensmile_spark.tiff import decode_tiff
+
+            img = decode_tiff(bytes(payload))
+            if img.ndim == 2:
+                img = np.stack([img] * 3, axis=-1)
+            elif img.shape[2] == 4:    # composite alpha over white
+                a = img[..., 3:4].astype(np.float64) / 255.0
+                img = (img[..., :3] * a + 255.0 * (1 - a)).astype(np.uint8)
             feats[r] = image_features(img, n_features)
         elif payload[:4] == b"GIF8":
             from opensmile_spark.gif import decode_gif
