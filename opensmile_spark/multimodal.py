@@ -76,21 +76,94 @@ def synthesize_wav_bytes(media_id: int, sr: int = 16000,
     return buf.getvalue()
 
 
+def _g711_ulaw_table():
+    """G.711 mu-law expansion to 16-bit linear (the audioop/ITU table:
+    y = ((2m + 33) << e) - 33 on the complemented byte, scaled x4)."""
+    import numpy as np
+
+    u = np.arange(256, dtype=np.uint8) ^ 0xFF
+    sign = (u & 0x80) != 0
+    e = (u >> 4) & 0x7
+    m = u & 0xF
+    y = (((2 * m.astype(np.int32) + 33) << e) - 33) * 4
+    return np.where(sign, -y, y).astype(np.int16)
+
+
+def _g711_alaw_table():
+    """G.711 A-law expansion to 16-bit linear (even-bit inversion 0x55;
+    segment 0 is linear, segments 1-7 scale — scaled x8)."""
+    import numpy as np
+
+    a = np.arange(256, dtype=np.uint8) ^ 0x55
+    sign = (a & 0x80) != 0
+    e = (a >> 4) & 0x7
+    m = (a & 0xF).astype(np.int32)
+    y = np.where(e == 0, 2 * m + 1, (2 * m + 33) << (e - 1)) * 8
+    # A-law sign bit set = POSITIVE (opposite of mu-law)
+    return np.where(sign, y, -y).astype(np.int16)
+
+
+def _decode_wav_nonpcm(payload: bytes):
+    """Manual RIFF walk for fmt tags the stdlib wave module rejects:
+    3 (IEEE float), 6 (A-law) and 7 (mu-law) — the G.711 encodings
+    telephony speech corpora ship. Returns (float64 samples, nch, sr)."""
+    import struct as _s
+
+    import numpy as np
+
+    data = payload
+    pos = 12
+    fmt = raw = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (ln,) = _s.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            raw = body
+    if fmt is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, nch, sr = _s.unpack("<HHI", fmt[:8])
+    (bits,) = _s.unpack("<H", fmt[14:16])
+    if tag == 3 and bits == 32:
+        x = np.frombuffer(raw, "<f4").astype(np.float64)
+    elif tag == 3 and bits == 64:
+        x = np.frombuffer(raw, "<f8").astype(np.float64)
+    elif tag == 7:
+        x = _g711_ulaw_table()[np.frombuffer(raw, np.uint8)] \
+            .astype(np.float64) / 32768.0
+    elif tag == 6:
+        x = _g711_alaw_table()[np.frombuffer(raw, np.uint8)] \
+            .astype(np.float64) / 32768.0
+    else:
+        raise ValueError(f"unsupported WAV format tag {tag}/{bits}-bit")
+    return x, nch, sr
+
+
 def decode_wav(payload: bytes):
     """stdlib WAV/PCM decode — the cWaveSource read path (header fields +
     sample normalization, waveSource.cpp:298-361): returns (mono float64
     array in [-1, 1], sample_rate). Multi-channel input is averaged
-    (cMonoMixdown policy)."""
+    (cMonoMixdown policy). Non-PCM fmt tags (IEEE float, G.711
+    A-law/mu-law) take a manual RIFF path the wave module rejects."""
     import io
     import wave
 
     import numpy as np
 
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        sr = w.getframerate()
-        nch = w.getnchannels()
-        sw = w.getsampwidth()
-        raw = w.readframes(w.getnframes())
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            sr = w.getframerate()
+            nch = w.getnchannels()
+            sw = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except wave.Error:
+        x, nch, sr = _decode_wav_nonpcm(payload)
+        if nch > 1:
+            x = x.reshape(-1, nch).mean(axis=1)
+        return x, sr
     if sw == 1:                        # unsigned 8-bit PCM
         x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
         x = (x - 128.0) / 128.0
