@@ -667,6 +667,26 @@ def main():
     def tokenize_pack():
         _noop(packed_plan)
 
+    # ---- media decode stage: the corpus-decode layer (JPEG + PNG +
+    # GIF + FLAC from-spec codecs) running distributed through the
+    # Arrow-batched UDF — evidence the codec work IS a Spark stage, not
+    # driver-side python. Payloads are synthesized once (untimed).
+    from opensmile_spark.multimodal import (
+        extract_media_features, synthetic_media,
+    )
+
+    n_media = int(os.environ.get("SPARK_GRAFT_MEDIA_N", "600"))
+    media_df = synthetic_media(spark, n=n_media, real_audio=True,
+                               real_images="jpeg", real_video=True
+                               ).cache()
+    media_df.count()
+    media_plan = extract_media_features(media_df, n_features=6,
+                                        fake=False, on_error="column")
+    t0 = time.time()
+    _noop(media_plan)                    # timed ONCE (pure-python codecs
+    media_sec = time.time() - t0         # dominate; one shot suffices)
+    media_df.unpersist()
+
     extra_stages = [("skew_unsalted", skew_unsalted),
                     ("skew_salted", skew_salted),
                     ("wide_vector", wide_vector),
@@ -722,6 +742,11 @@ def main():
             "sec": round(min(samples["tokenize_pack"]), 3),
             "tokens_per_sec": round(
                 n_bpe_tokens / max(min(samples["tokenize_pack"]), 1e-9), 1),
+        },
+        "media_decode": {
+            "payloads": n_media,
+            "sec": round(media_sec, 3),
+            "payloads_per_sec": round(n_media / max(media_sec, 1e-9), 1),
         },
     }
     if scaling is not None:

@@ -220,6 +220,127 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+# ---- fast entropy decoding -------------------------------------------------
+# The scalar _BitReader/_huff_decode pair above costs ~30 Python ops per
+# coefficient (a bit-read call per code bit). The fast path below brings
+# that to ~6: the entropy segment is unstuffed ONCE into plain bytes
+# (0xFF00 -> 0xFF, RSTn recorded as segment boundaries), and Huffman
+# codes resolve with a single peek into a flat prefix table.
+
+
+def _unstuff_entropy(data: bytes, start: int):
+    """Unstuff the entropy-coded segment starting at `start`.
+
+    Returns (buf, boundaries, end): `buf` = entropy bytes with 0xFF00
+    collapsed and RSTn markers removed; `boundaries` = byte offsets in
+    buf where each RSTn cut a new restart segment; `end` = absolute
+    offset of the terminating marker (EOI / next header)."""
+    arr = np.frombuffer(data, np.uint8)
+    ff = np.nonzero(arr[start:] == 0xFF)[0] + start
+    parts = []
+    boundaries = []
+    size = 0
+    prev = start
+    end = len(data)
+    n = len(data)
+    terminated = False
+    for p in ff:
+        if p < prev:
+            continue
+        nxt = data[p + 1] if p + 1 < n else 0xD9
+        if nxt == 0x00:                       # stuffed data byte
+            parts.append(arr[prev:p + 1])
+            size += p + 1 - prev
+            prev = p + 2
+        elif nxt == 0xFF:                     # fill byte, re-examined next
+            parts.append(arr[prev:p])
+            size += p - prev
+            prev = p + 1
+        elif 0xD0 <= nxt <= 0xD7:             # restart marker
+            parts.append(arr[prev:p])
+            size += p - prev
+            boundaries.append(size)
+            prev = p + 2
+        else:                                 # real marker: segment end
+            parts.append(arr[prev:p])
+            size += p - prev
+            end = p
+            terminated = True
+            break
+    if not terminated:
+        parts.append(arr[prev:n])
+    buf = np.concatenate(parts).tobytes() if parts else b""
+    return buf, boundaries, end
+
+
+def _peek_table(bits, vals):
+    """(flat lookup list, L): entry = (length << 8) | symbol for every
+    L-bit prefix; 0 = invalid prefix. L = longest code length used."""
+    L = max((i + 1 for i in range(16) if bits[i]), default=1)
+    tbl = np.zeros(1 << L, dtype=np.uint32)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            start = code << (L - length)
+            tbl[start:start + (1 << (L - length))] = \
+                (length << 8) | vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return tbl.tolist(), L
+
+
+class _FastBitReader:
+    """MSB-first reader over pre-unstuffed entropy bytes (reads past the
+    end pad with zero bits, matching the scalar reader's behavior)."""
+
+    __slots__ = ("buf", "nbytes", "acc", "nbits", "pos")
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.nbytes = len(buf)
+        self.acc = 0
+        self.nbits = 0
+        self.pos = pos
+
+    def get(self, n: int) -> int:
+        nbits = self.nbits
+        while nbits < n:
+            b = self.buf[self.pos] if self.pos < self.nbytes else 0
+            self.pos += 1
+            self.acc = ((self.acc << 8) | b) & 0xFFFFFFFFFF
+            nbits += 8
+        self.nbits = nbits - n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
+
+    def peek(self, n: int) -> int:
+        nbits = self.nbits
+        while nbits < n:
+            b = self.buf[self.pos] if self.pos < self.nbytes else 0
+            self.pos += 1
+            self.acc = ((self.acc << 8) | b) & 0xFFFFFFFFFF
+            nbits += 8
+        self.nbits = nbits
+        return (self.acc >> (nbits - n)) & ((1 << n) - 1)
+
+    def skip(self, n: int):
+        self.nbits -= n
+
+    def restart_at(self, byteoff: int):
+        self.pos = byteoff
+        self.acc = 0
+        self.nbits = 0
+
+
+def _huff_decode_fast(r: _FastBitReader, tbl, L: int) -> int:
+    e = tbl[r.peek(L)]
+    if e == 0:
+        raise ValueError("invalid Huffman code in entropy stream")
+    r.skip(e >> 8)
+    return e & 0xFF
+
+
 def _huff_decode(reader: _BitReader, table) -> int:
     code = 0
     for length in range(1, 17):
@@ -406,7 +527,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 bits = list(seg[p + 1:p + 17])
                 n = sum(bits)
                 vals = list(seg[p + 17:p + 17 + n])
-                htabs[(tc, th)] = _decode_table(bits, vals)
+                htabs[(tc, th)] = _peek_table(bits, vals)
                 p += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
@@ -455,58 +576,119 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                       htabs[(0, td)], htabs[(1, ta)]))
         planes.append(np.zeros((mcus_y * vs * 8, mcus_x * hs * 8)))
 
-    reader = _BitReader(data, pos)
+    buf, boundaries, _end = _unstuff_entropy(data, pos)
     preds = [0] * len(order)
-    inv_zz = np.empty(64, dtype=np.float64)
+    # zigzag coefficients per scan component over the padded block grid;
+    # dequant + IDCT run vectorized once per component after entropy.
+    # The bit reader is INLINED as locals (acc/nbits/bpos) — method-call
+    # overhead dominates a pure-python entropy loop otherwise.
+    coefs = [np.zeros((mcus_y * vs, mcus_x * hs, 64))
+             for (_ci, hs, vs, _q, _d, _a) in order]
+    flat = [c.reshape(-1, 64) for c in coefs]
+    rowmul = [mcus_x * hs for (_ci, hs, _vs, _q, _d, _a) in order]
+    blen = len(buf)
+    acc = 0
+    nbits = 0
+    bpos = 0
+    next_b = 0
     mcu_count = 0
+    blkvals = [0.0] * 64
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_count \
                     and mcu_count % restart_interval == 0:
-                reader.byte_align()
-                # skip the RSTn marker bytes
-                while reader.pos + 1 < len(data) \
-                        and not (data[reader.pos] == 0xFF
-                                 and 0xD0 <= data[reader.pos + 1] <= 0xD7):
-                    reader.pos += 1
-                reader.pos += 2
+                if next_b < len(boundaries):
+                    bpos = boundaries[next_b]
+                    acc = 0
+                    nbits = 0
+                    next_b += 1
                 preds = [0] * len(order)
-            try:
-                for k, (ci, hs, vs, q, dct_t, act_t) in enumerate(order):
-                    for by in range(vs):
-                        for bx in range(hs):
-                            inv_zz[:] = 0.0
-                            size = _huff_decode(reader, dct_t)
-                            diff = _extend(reader.read_bits(size), size)
-                            preds[k] += diff
-                            inv_zz[0] = preds[k]
-                            i = 1
-                            while i < 64:
-                                rs = _huff_decode(reader, act_t)
-                                r, s = rs >> 4, rs & 0xF
-                                if rs == 0x00:
-                                    break
-                                if rs == 0xF0:
-                                    i += 16
-                                    continue
-                                i += r
-                                if i > 63:
-                                    break
-                                inv_zz[i] = _extend(
-                                    reader.read_bits(s), s)
-                                i += 1
-                            blk = np.zeros(64)
-                            blk[ZIGZAG] = inv_zz
-                            spatial = _C.T @ (blk.reshape(8, 8) * q) @ _C
-                            y0 = (my * vs + by) * 8
-                            x0 = (mx * hs + bx) * 8
-                            planes[k][y0:y0 + 8, x0:x0 + 8] = spatial + 128
-            except _RestartMarker:
-                # tolerant restart resync (encoders emit RSTn exactly at
-                # interval boundaries; handled above in the normal case)
-                reader.byte_align()
-                preds = [0] * len(order)
+            for k, (ci, hs, vs, q, dct_t, act_t) in enumerate(order):
+                dtbl, dL = dct_t
+                atbl, aL = act_t
+                dmask = (1 << dL) - 1
+                amask = (1 << aL) - 1
+                for by in range(vs):
+                    for bx in range(hs):
+                        blkvals = [0.0] * 64
+                        # DC
+                        while nbits < dL:
+                            acc = ((acc << 8) | (buf[bpos]
+                                                 if bpos < blen else 0)) \
+                                & 0xFFFFFFFFFF
+                            bpos += 1
+                            nbits += 8
+                        e = dtbl[(acc >> (nbits - dL)) & dmask]
+                        if e == 0:
+                            raise ValueError(
+                                "invalid Huffman code in entropy stream")
+                        nbits -= e >> 8
+                        size = e & 0xFF
+                        if size:
+                            while nbits < size:
+                                acc = ((acc << 8)
+                                       | (buf[bpos]
+                                          if bpos < blen else 0)) \
+                                    & 0xFFFFFFFFFF
+                                bpos += 1
+                                nbits += 8
+                            nbits -= size
+                            v = (acc >> nbits) & ((1 << size) - 1)
+                            preds[k] += v if v >= (1 << (size - 1)) \
+                                else v - (1 << size) + 1
+                        blkvals[0] = preds[k]
+                        # AC
+                        i = 1
+                        while i < 64:
+                            while nbits < aL:
+                                acc = ((acc << 8)
+                                       | (buf[bpos]
+                                          if bpos < blen else 0)) \
+                                    & 0xFFFFFFFFFF
+                                bpos += 1
+                                nbits += 8
+                            e = atbl[(acc >> (nbits - aL)) & amask]
+                            if e == 0:
+                                raise ValueError(
+                                    "invalid Huffman code in entropy "
+                                    "stream")
+                            nbits -= e >> 8
+                            rs = e & 0xFF
+                            if rs == 0x00:
+                                break
+                            if rs == 0xF0:
+                                i += 16
+                                continue
+                            i += rs >> 4
+                            if i > 63:
+                                break
+                            s = rs & 0xF
+                            while nbits < s:
+                                acc = ((acc << 8)
+                                       | (buf[bpos]
+                                          if bpos < blen else 0)) \
+                                    & 0xFFFFFFFFFF
+                                bpos += 1
+                                nbits += 8
+                            nbits -= s
+                            v = (acc >> nbits) & ((1 << s) - 1)
+                            blkvals[i] = v if v >= (1 << (s - 1)) \
+                                else v - (1 << s) + 1
+                            i += 1
+                        flat[k][(my * vs + by) * rowmul[k]
+                                + mx * hs + bx] = blkvals
             mcu_count += 1
+
+    for k, (ci, hs, vs, q, _d, _a) in enumerate(order):
+        pby, pbx = mcus_y * vs, mcus_x * hs
+        zzc = coefs[k].reshape(-1, 64)
+        nat = np.zeros_like(zzc)
+        nat[:, ZIGZAG] = zzc
+        nat *= q.reshape(-1)
+        blocks = nat.reshape(pby, pbx, 8, 8)
+        spatial = (_C.T @ blocks) @ _C        # batched BLAS, not einsum
+        planes[k][:] = spatial.transpose(0, 2, 1, 3).reshape(
+            pby * 8, pbx * 8) + 128.0
 
     # upsample chroma to full resolution and crop
     full = []

@@ -362,7 +362,8 @@ def decode_jpeg_progressive(data: bytes) -> np.ndarray:
         nat[:, ZIGZAG] = zz
         nat *= qtabs[tq].astype(np.float64)
         blocks = nat.reshape(pad_by, pad_bx, 8, 8)
-        spatial = np.einsum("xu,ijuv,yv->ijxy", _C.T, blocks, _C.T)
+        spatial = (_C.T @ blocks) @ _C        # same formulation as jpeg.py
+        # (keeps baseline-vs-progressive decode bitwise identical)
         plane = spatial.transpose(0, 2, 1, 3).reshape(
             pad_by * 8, pad_bx * 8) + 128.0
         if hs != hmax or vs != vmax:
