@@ -34,15 +34,15 @@ import numpy as np
 
 from .jpeg import (
     ZIGZAG,
-    _BitReader,
     _BitWriter,
     _C,
     _canonical_codes,
-    _decode_table,
     _extend,
-    _huff_decode,
+    _FastBitReader,
+    _huff_decode_fast,
+    _peek_table,
     _quality_scale,
-    _RestartMarker,
+    _unstuff_entropy,
     Q_CHROM,
     Q_LUM,
     rgb_to_ycbcr,
@@ -68,132 +68,122 @@ def _next_marker(data: bytes, pos: int) -> int:
     return n
 
 
+def _restart(reader, boundaries, bidx):
+    if bidx[0] < len(boundaries):
+        reader.restart_at(boundaries[bidx[0]])
+        bidx[0] += 1
+
+
 def _decode_dc_scan(reader, units, dc_tabs, coefs, Al, first,
-                    restart_interval, data):
+                    restart_interval, boundaries):
     """DC scan (Ss=Se=0). `units` is the MCU-interleaved (or single-
     component raster) unit list: each unit is [(ci, by, bx), ...]."""
     preds: dict[int, int] = {}
+    bidx = [0]
     count = 0
     for unit in units:
         if restart_interval and count and count % restart_interval == 0:
-            _consume_rst(reader, data)
+            _restart(reader, boundaries, bidx)
             preds = {}
-        try:
-            for ci, by, bx in unit:
-                blk = coefs[ci][by][bx]
-                if first:
-                    size = _huff_decode(reader, dc_tabs[ci])
-                    diff = _extend(reader.read_bits(size), size)
-                    pred = preds.get(ci, 0) + diff
-                    preds[ci] = pred
-                    blk[0] = pred << Al
-                else:
-                    if reader.read_bit():
-                        blk[0] |= 1 << Al
-        except _RestartMarker:
-            reader.byte_align()
-            preds = {}
+        for ci, by, bx in unit:
+            blk = coefs[ci][by][bx]
+            if first:
+                tbl, L = dc_tabs[ci]
+                size = _huff_decode_fast(reader, tbl, L)
+                diff = _extend(reader.get(size), size)
+                pred = preds.get(ci, 0) + diff
+                preds[ci] = pred
+                blk[0] = pred << Al
+            else:
+                if reader.get(1):
+                    blk[0] |= 1 << Al
         count += 1
 
 
 def _decode_ac_first(reader, blocks, tab, Ss, Se, Al,
-                     restart_interval, data):
+                     restart_interval, boundaries):
     """AC initial scan (Ah=0) for one component — T.81 G.1.2.2 with
     EOBn run-length codes."""
+    tbl, L = tab
     eobrun = 0
+    bidx = [0]
     for count, blk in enumerate(blocks):
         if restart_interval and count and count % restart_interval == 0:
-            _consume_rst(reader, data)
+            _restart(reader, boundaries, bidx)
             eobrun = 0
-        try:
-            if eobrun > 0:
-                eobrun -= 1
-                continue
-            k = Ss
-            while k <= Se:
-                rs = _huff_decode(reader, tab)
-                r, s = rs >> 4, rs & 0xF
-                if s == 0:
-                    if r == 15:          # ZRL: 16 zero coefficients
-                        k += 16
-                        continue
-                    eobrun = (1 << r) - 1
-                    if r:
-                        eobrun += reader.read_bits(r)
-                    break
-                k += r
-                if k > Se:
-                    raise ValueError("AC run past band end")
-                blk[k] = _extend(reader.read_bits(s), s) << Al
-                k += 1
-        except _RestartMarker:
-            reader.byte_align()
-            eobrun = 0
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        k = Ss
+        while k <= Se:
+            rs = _huff_decode_fast(reader, tbl, L)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:          # ZRL: 16 zero coefficients
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.get(r)
+                break
+            k += r
+            if k > Se:
+                raise ValueError("AC run past band end")
+            blk[k] = _extend(reader.get(s), s) << Al
+            k += 1
 
 
 def _refine_nonzero(reader, blk, k, p1):
     """Correction bit for an already-nonzero coefficient (G.1.2.3)."""
-    if reader.read_bit() and (int(blk[k]) & p1) == 0:
+    if reader.get(1) and (int(blk[k]) & p1) == 0:
         blk[k] += p1 if blk[k] >= 0 else -p1
 
 
 def _decode_ac_refine(reader, blocks, tab, Ss, Se, Al,
-                      restart_interval, data):
+                      restart_interval, boundaries):
     """AC refinement scan (Ah>0) for one component — the correction-bit
     automaton of T.81 G.1.2.3 (structured after the spec's flow chart;
     run lengths count zero-HISTORY coefficients only)."""
+    tbl, L = tab
     p1 = 1 << Al
     eobrun = 0
+    bidx = [0]
     for count, blk in enumerate(blocks):
         if restart_interval and count and count % restart_interval == 0:
-            _consume_rst(reader, data)
+            _restart(reader, boundaries, bidx)
             eobrun = 0
-        try:
-            k = Ss
-            if eobrun == 0:
-                while k <= Se:
-                    rs = _huff_decode(reader, tab)
-                    r, s = rs >> 4, rs & 0xF
-                    newval = 0
-                    if s == 0:
-                        if r != 15:
-                            eobrun = 1 << r
-                            if r:
-                                eobrun += reader.read_bits(r)
-                            break
-                        # ZRL: pass over 16 zero-history coefficients
-                    else:
-                        newval = p1 if reader.read_bit() else -p1
-                    while k <= Se:
-                        if blk[k] != 0:
-                            _refine_nonzero(reader, blk, k, p1)
-                        else:
-                            r -= 1
-                            if r < 0:
-                                break
-                        k += 1
-                    if newval and k <= Se:
-                        blk[k] = newval
-                    k += 1
-            if eobrun > 0:
+        k = Ss
+        if eobrun == 0:
+            while k <= Se:
+                rs = _huff_decode_fast(reader, tbl, L)
+                r, s = rs >> 4, rs & 0xF
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.get(r)
+                        break
+                    # ZRL: pass over 16 zero-history coefficients
+                else:
+                    newval = p1 if reader.get(1) else -p1
                 while k <= Se:
                     if blk[k] != 0:
                         _refine_nonzero(reader, blk, k, p1)
+                    else:
+                        r -= 1
+                        if r < 0:
+                            break
                     k += 1
-                eobrun -= 1
-        except _RestartMarker:
-            reader.byte_align()
-            eobrun = 0
-
-
-def _consume_rst(reader, data):
-    """Byte-align and step over the RSTn marker at a restart boundary."""
-    reader.byte_align()
-    while reader.pos + 1 < len(data) \
-            and not (data[reader.pos] == 0xFF
-                     and 0xD0 <= data[reader.pos + 1] <= 0xD7):
-        reader.pos += 1
-    reader.pos += 2
+                if newval and k <= Se:
+                    blk[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= Se:
+                if blk[k] != 0:
+                    _refine_nonzero(reader, blk, k, p1)
+                k += 1
+            eobrun -= 1
 
 
 def decode_jpeg_progressive(data: bytes) -> np.ndarray:
@@ -251,7 +241,7 @@ def decode_jpeg_progressive(data: bytes) -> np.ndarray:
                 bits = list(seg[p + 1:p + 17])
                 n = sum(bits)
                 vals = list(seg[p + 17:p + 17 + n])
-                htabs[(tc, th)] = _decode_table(bits, vals)
+                htabs[(tc, th)] = _peek_table(bits, vals)
                 p += 17 + n
         elif marker == 0xC2:                    # SOF2 progressive Huffman
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
@@ -296,7 +286,8 @@ def decode_jpeg_progressive(data: bytes) -> np.ndarray:
             Ah, Al = ahal >> 4, ahal & 0xF
             n_scans += 1
             pos += seglen
-            reader = _BitReader(data, pos)
+            buf, boundaries, scan_end = _unstuff_entropy(data, pos)
+            reader = _FastBitReader(buf)
             by_id = {c[0]: i for i, c in enumerate(comps)}
             idxs = [by_id[cs] for cs, _, _ in scan]
             if Ss == 0:
@@ -327,7 +318,7 @@ def decode_jpeg_progressive(data: bytes) -> np.ndarray:
                     for (cs, td, _ta), ci in zip(scan, idxs):
                         dc_tabs[ci] = htabs[(0, td)]
                 _decode_dc_scan(reader, units, dc_tabs, coefs, Al,
-                                Ah == 0, restart_interval, data)
+                                Ah == 0, restart_interval, boundaries)
             else:
                 if ns != 1:
                     raise ValueError(
@@ -339,11 +330,11 @@ def decode_jpeg_progressive(data: bytes) -> np.ndarray:
                 tab = htabs[(1, scan[0][2])]
                 if Ah == 0:
                     _decode_ac_first(reader, blocks, tab, Ss, Se, Al,
-                                     restart_interval, data)
+                                     restart_interval, boundaries)
                 else:
                     _decode_ac_refine(reader, blocks, tab, Ss, Se, Al,
-                                      restart_interval, data)
-            pos = _next_marker(data, reader.pos)
+                                      restart_interval, boundaries)
+            pos = scan_end
             continue
         pos += seglen
 
