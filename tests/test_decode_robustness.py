@@ -13,20 +13,26 @@ import pytest
 
 
 def _codecs():
+    from opensmile_spark.flac import decode_flac, encode_flac
     from opensmile_spark.gif import decode_gif, encode_gif
     from opensmile_spark.jpeg import decode_jpeg, encode_jpeg
     from opensmile_spark.jpeg_progressive import encode_jpeg_progressive
     from opensmile_spark.png import decode_png, encode_png
+    from opensmile_spark.tiff import decode_tiff, encode_tiff
 
     rng = np.random.default_rng(0)
     img = rng.integers(0, 256, (24, 18, 3)).astype(np.uint8)
     pal = rng.integers(0, 256, (8, 3)).astype(np.uint8)
     idx = rng.integers(0, 8, (24, 18)).astype(np.uint8)
+    audio = rng.integers(-20000, 20000, 2500).astype(np.int64)
     return [
         ("jpeg", decode_jpeg, encode_jpeg(img, 80)),
         ("jpeg_prog", decode_jpeg, encode_jpeg_progressive(img, 80)),
         ("png", decode_png, encode_png(img)),
         ("gif", decode_gif, encode_gif(idx, pal)),
+        ("tiff", decode_tiff, encode_tiff(img, compression=5,
+                                          predictor=2)),
+        ("flac", decode_flac, encode_flac(audio, 16000)),
     ]
 
 
