@@ -231,6 +231,8 @@ def decode_flac(payload: bytes):
             bits.read(8)
         elif sr_code in (13, 14):
             bits.read(16)
+        if ss_code == 3:                        # reserved per the spec
+            raise ValueError("reserved FLAC sample-size code 3")
         fbps = _SAMPLE_SIZE_CODES.get(ss_code, bps)
         bits.read(8)                            # CRC-8 (unverified)
 

@@ -220,8 +220,13 @@ def decode_gif(payload: bytes):
             prior = canvas.copy()
             patch = ct[np.minimum(idx, len(ct) - 1)]
             region = canvas[fy:fy + fh, fx:fx + fw]
+            # malformed frames may overhang the logical screen;
+            # mainstream decoders clip rather than fail
+            ch, cw = region.shape[:2]
+            patch = patch[:ch, :cw]
+            idx_c = idx[:ch, :cw]
             if transparent is not None:
-                mask = (idx != transparent)[..., None]
+                mask = (idx_c != transparent)[..., None]
                 region[:] = np.where(mask, patch, region)
             else:
                 region[:] = patch

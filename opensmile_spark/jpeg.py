@@ -132,21 +132,6 @@ def _canonical_codes(bits, vals):
     return codes
 
 
-def _decode_table(bits, vals):
-    """length -> {code: symbol} lookup for the decoder."""
-    table: dict[int, dict[int, int]] = {}
-    code = 0
-    k = 0
-    for length in range(1, 17):
-        table[length] = {}
-        for _ in range(bits[length - 1]):
-            table[length][code] = vals[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return table
-
-
 class _BitWriter:
     def __init__(self):
         self.out = bytearray()
@@ -167,50 +152,6 @@ class _BitWriter:
         if self.nbits:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)   # pad with 1s
-
-
-class _BitReader:
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self):
-        b = self.data[self.pos]
-        self.pos += 1
-        if b == 0xFF:
-            nxt = self.data[self.pos]
-            if nxt == 0x00:
-                self.pos += 1             # stuffed byte
-            elif 0xD0 <= nxt <= 0xD7:
-                raise _RestartMarker(nxt)  # surfaced to the MCU loop
-            else:
-                b = 0                      # segment end: pad
-                self.pos -= 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-    def byte_align(self):
-        self.nbits = 0
-        self.acc = 0
-
-
-class _RestartMarker(Exception):
-    def __init__(self, marker):
-        self.marker = marker
 
 
 def _extend(v: int, size: int) -> int:
@@ -236,37 +177,43 @@ def _unstuff_entropy(data: bytes, start: int):
     buf where each RSTn cut a new restart segment; `end` = absolute
     offset of the terminating marker (EOI / next header)."""
     arr = np.frombuffer(data, np.uint8)
-    ff = np.nonzero(arr[start:] == 0xFF)[0] + start
+    n = len(data)
     parts = []
     boundaries = []
     size = 0
     prev = start
-    end = len(data)
-    n = len(data)
+    end = n
     terminated = False
-    for p in ff:
-        if p < prev:
-            continue
-        nxt = data[p + 1] if p + 1 < n else 0xD9
-        if nxt == 0x00:                       # stuffed data byte
-            parts.append(arr[prev:p + 1])
-            size += p + 1 - prev
-            prev = p + 2
-        elif nxt == 0xFF:                     # fill byte, re-examined next
-            parts.append(arr[prev:p])
-            size += p - prev
-            prev = p + 1
-        elif 0xD0 <= nxt <= 0xD7:             # restart marker
-            parts.append(arr[prev:p])
-            size += p - prev
-            boundaries.append(size)
-            prev = p + 2
-        else:                                 # real marker: segment end
-            parts.append(arr[prev:p])
-            size += p - prev
-            end = p
-            terminated = True
-            break
+    # scan in bounded windows: progressive files call this once per SOS,
+    # so a full-file 0xFF sweep per scan would be O(scans * filesize)
+    win = start
+    WINDOW = 1 << 16
+    while win < n and not terminated:
+        hi = min(n, win + WINDOW)
+        for p in (np.nonzero(arr[win:hi] == 0xFF)[0] + win):
+            if p < prev:
+                continue
+            nxt = data[p + 1] if p + 1 < n else 0xD9
+            if nxt == 0x00:                   # stuffed data byte
+                parts.append(arr[prev:p + 1])
+                size += p + 1 - prev
+                prev = p + 2
+            elif nxt == 0xFF:                 # fill byte, re-examined next
+                parts.append(arr[prev:p])
+                size += p - prev
+                prev = p + 1
+            elif 0xD0 <= nxt <= 0xD7:         # restart marker
+                parts.append(arr[prev:p])
+                size += p - prev
+                boundaries.append(size)
+                prev = p + 2
+            else:                             # real marker: segment end
+                parts.append(arr[prev:p])
+                size += p - prev
+                end = p
+                terminated = True
+                break
+        win = hi
     if not terminated:
         parts.append(arr[prev:n])
     buf = np.concatenate(parts).tobytes() if parts else b""
@@ -339,16 +286,6 @@ def _huff_decode_fast(r: _FastBitReader, tbl, L: int) -> int:
         raise ValueError("invalid Huffman code in entropy stream")
     r.skip(e >> 8)
     return e & 0xFF
-
-
-def _huff_decode(reader: _BitReader, table) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        sym = table[length].get(code)
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in entropy stream")
 
 
 # ---- color -----------------------------------------------------------------
@@ -582,7 +519,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     # dequant + IDCT run vectorized once per component after entropy.
     # The bit reader is INLINED as locals (acc/nbits/bpos) — method-call
     # overhead dominates a pure-python entropy loop otherwise.
-    coefs = [np.zeros((mcus_y * vs, mcus_x * hs, 64))
+    coefs = [np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int32)
              for (_ci, hs, vs, _q, _d, _a) in order]
     flat = [c.reshape(-1, 64) for c in coefs]
     rowmul = [mcus_x * hs for (_ci, hs, _vs, _q, _d, _a) in order]
@@ -592,7 +529,6 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     bpos = 0
     next_b = 0
     mcu_count = 0
-    blkvals = [0.0] * 64
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_count \
@@ -610,7 +546,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 amask = (1 << aL) - 1
                 for by in range(vs):
                     for bx in range(hs):
-                        blkvals = [0.0] * 64
+                        blkvals = [0] * 64
                         # DC
                         while nbits < dL:
                             acc = ((acc << 8) | (buf[bpos]
@@ -681,14 +617,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
     for k, (ci, hs, vs, q, _d, _a) in enumerate(order):
         pby, pbx = mcus_y * vs, mcus_x * hs
-        zzc = coefs[k].reshape(-1, 64)
-        nat = np.zeros_like(zzc)
-        nat[:, ZIGZAG] = zzc
-        nat *= q.reshape(-1)
-        blocks = nat.reshape(pby, pbx, 8, 8)
-        spatial = (_C.T @ blocks) @ _C        # batched BLAS, not einsum
-        planes[k][:] = spatial.transpose(0, 2, 1, 3).reshape(
-            pby * 8, pbx * 8) + 128.0
+        qflat = q.reshape(-1)
+        # slab over block rows: bounds peak float64 working set on
+        # guard-limit-sized images without changing per-block math
+        slab = max(1, (1 << 21) // max(pbx, 1))
+        for r0 in range(0, pby, slab):
+            r1 = min(pby, r0 + slab)
+            zzc = coefs[k][r0:r1].reshape(-1, 64).astype(np.float64)
+            nat = np.zeros_like(zzc)
+            nat[:, ZIGZAG] = zzc
+            nat *= qflat
+            blocks = nat.reshape(r1 - r0, pbx, 8, 8)
+            spatial = (_C.T @ blocks) @ _C    # batched BLAS, not einsum
+            planes[k][r0 * 8:r1 * 8] = spatial.transpose(
+                0, 2, 1, 3).reshape((r1 - r0) * 8, pbx * 8) + 128.0
 
     # upsample chroma to full resolution and crop
     full = []

@@ -52,22 +52,6 @@ from .jpeg import (
 # ---- decoder ---------------------------------------------------------------
 
 
-def _next_marker(data: bytes, pos: int) -> int:
-    """Position of the 0xFF of the next real marker at/after pos
-    (skipping entropy bytes, stuffed 0xFF00 and RSTn)."""
-    n = len(data)
-    while pos + 1 < n:
-        if data[pos] != 0xFF:
-            pos += 1
-            continue
-        nxt = data[pos + 1]
-        if nxt == 0x00 or nxt == 0xFF or 0xD0 <= nxt <= 0xD7:
-            pos += 2 if nxt != 0xFF else 1
-            continue
-        return pos
-    return n
-
-
 def _restart(reader, boundaries, bidx):
     if bidx[0] < len(boundaries):
         reader.restart_at(boundaries[bidx[0]])
@@ -266,7 +250,7 @@ def decode_jpeg_progressive(data: bytes) -> np.ndarray:
                 bx_ = (-(-h * vs // vmax) + 7) // 8
                 grid.append((pad_by, pad_bx, bx_, by))
                 coefs.append(
-                    np.zeros((pad_by, pad_bx, 64), dtype=np.int64))
+                    np.zeros((pad_by, pad_bx, 64), dtype=np.int32))
         elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
@@ -348,15 +332,20 @@ def decode_jpeg_progressive(data: bytes) -> np.ndarray:
     planes = []
     for ci, (_, hs, vs, tq) in enumerate(comps):
         pad_by, pad_bx = grid[ci][0], grid[ci][1]
-        zz = coefs[ci].reshape(pad_by * pad_bx, 64).astype(np.float64)
-        nat = np.zeros_like(zz)
-        nat[:, ZIGZAG] = zz
-        nat *= qtabs[tq].astype(np.float64)
-        blocks = nat.reshape(pad_by, pad_bx, 8, 8)
-        spatial = (_C.T @ blocks) @ _C        # same formulation as jpeg.py
-        # (keeps baseline-vs-progressive decode bitwise identical)
-        plane = spatial.transpose(0, 2, 1, 3).reshape(
-            pad_by * 8, pad_bx * 8) + 128.0
+        qflat = qtabs[tq].astype(np.float64)
+        plane = np.empty((pad_by * 8, pad_bx * 8))
+        slab = max(1, (1 << 21) // max(pad_bx, 1))
+        for r0 in range(0, pad_by, slab):
+            r1 = min(pad_by, r0 + slab)
+            zz = coefs[ci][r0:r1].reshape(-1, 64).astype(np.float64)
+            nat = np.zeros_like(zz)
+            nat[:, ZIGZAG] = zz
+            nat *= qflat
+            blocks = nat.reshape(r1 - r0, pad_bx, 8, 8)
+            spatial = (_C.T @ blocks) @ _C    # same formulation as jpeg.py
+            # (keeps baseline-vs-progressive decode bitwise identical)
+            plane[r0 * 8:r1 * 8] = spatial.transpose(
+                0, 2, 1, 3).reshape((r1 - r0) * 8, pad_bx * 8) + 128.0
         if hs != hmax or vs != vmax:
             plane = np.repeat(np.repeat(plane, vmax // vs, axis=0),
                               hmax // hs, axis=1)

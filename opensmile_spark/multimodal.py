@@ -606,6 +606,16 @@ def extract_media_features(
     if on_error == "column":
         schema += ", decode_error string"
 
+    def _to_rgb(img):
+        """Normalize a decoded image to (h, w, 3): grayscale stacks,
+        RGBA composites alpha over white (shared by JPEG/PNG/TIFF)."""
+        if img.ndim == 2:
+            return np.stack([img] * 3, axis=-1)
+        if img.shape[2] == 4:
+            a = img[..., 3:4].astype(np.float64) / 255.0
+            return (img[..., :3] * a + 255.0 * (1 - a)).astype(np.uint8)
+        return img
+
     def decode_one(payload, feats, r):
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             x, sr = decode_wav(bytes(payload))
@@ -624,20 +634,13 @@ def extract_media_features(
         elif payload[:2] == b"\xff\xd8":
             from opensmile_spark.jpeg import decode_jpeg
 
-            img = decode_jpeg(bytes(payload))
-            if img.ndim == 2:          # grayscale stream
-                img = np.stack([img] * 3, axis=-1)
-            feats[r] = image_features(img, n_features)
+            feats[r] = image_features(_to_rgb(decode_jpeg(bytes(payload))),
+                                      n_features)
         elif payload[:4] in (b"II*\x00", b"MM\x00*"):
             from opensmile_spark.tiff import decode_tiff
 
-            img = decode_tiff(bytes(payload))
-            if img.ndim == 2:
-                img = np.stack([img] * 3, axis=-1)
-            elif img.shape[2] == 4:    # composite alpha over white
-                a = img[..., 3:4].astype(np.float64) / 255.0
-                img = (img[..., :3] * a + 255.0 * (1 - a)).astype(np.uint8)
-            feats[r] = image_features(img, n_features)
+            feats[r] = image_features(_to_rgb(decode_tiff(bytes(payload))),
+                                      n_features)
         elif payload[:4] == b"GIF8":
             from opensmile_spark.gif import decode_gif
 
@@ -652,13 +655,8 @@ def extract_media_features(
         elif payload[:8] == b"\x89PNG\r\n\x1a\n":
             from opensmile_spark.png import decode_png
 
-            img = decode_png(bytes(payload))
-            if img.ndim == 2:          # grayscale
-                img = np.stack([img] * 3, axis=-1)
-            elif img.shape[2] == 4:    # composite alpha over white
-                a = img[..., 3:4].astype(np.float64) / 255.0
-                img = (img[..., :3] * a + 255.0 * (1 - a)).astype(np.uint8)
-            feats[r] = image_features(img, n_features)
+            feats[r] = image_features(_to_rgb(decode_png(bytes(payload))),
+                                      n_features)
         elif fake:
             h = hashlib.md5(payload).digest()
             feats[r] = [h[i % 16] / 255.0 for i in range(n_features)]

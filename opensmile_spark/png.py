@@ -178,7 +178,9 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ctype_n == 3:                                  # palette
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
-        idx = img[..., 0]
+        # clamp out-of-range indices (short palettes exist in the wild;
+        # gif.py/tiff.py recover the same way)
+        idx = np.minimum(img[..., 0], len(plte) - 1)
         rgb = plte[idx]
         if trns is not None:
             alpha = np.full(256, 255, dtype=np.uint8)

@@ -209,6 +209,14 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raise ValueError("only 8-bit TIFF samples supported")
     comp = one(259, 1)
     photo = one(262, 1)
+    if photo not in (0, 1, 2, 3):
+        # CMYK(5)/YCbCr(6)/CIELab(8)... would silently decode as RGB
+        raise ValueError(f"unsupported TIFF photometric {photo}")
+    if one(284, 1) != 1:                         # PlanarConfiguration
+        # planar (RRR...GGG...BBB) data reinterpreted as interleaved
+        # RGB is silent corruption — refuse instead
+        raise ValueError("planar TIFF (PlanarConfiguration=2) "
+                         "not supported")
     pred = one(317, 1)
     rows_per_strip = one(278, h)
     offsets = tags.get(273)

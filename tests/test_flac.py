@@ -184,3 +184,18 @@ def test_flac_through_multimodal(spark):
     want = wav_features(x.astype(np.float64) / 32768.0, 16000, 5)
     np.testing.assert_allclose(
         [out.loc[0, f"feat_{i}"] for i in range(5)], want, rtol=1e-9)
+
+
+def test_reserved_sample_size_code_raises():
+    """Frame header ss_code=3 is reserved: fail fast like the other
+    reserved codes instead of silently decoding at STREAMINFO bps."""
+    from opensmile_spark.flac import decode_flac, encode_flac
+
+    payload = bytearray(encode_flac(_sig(500, seed=8), 16000))
+    # frame header starts right after the 4+4+34 byte STREAMINFO block;
+    # byte 3 of the header holds (chan_code<<4)|(ss_code<<1)|reserved
+    fh = 4 + 4 + 34
+    assert payload[fh] == 0xFF and (payload[fh + 1] & 0xFC) == 0xF8
+    payload[fh + 3] = (payload[fh + 3] & 0xF1) | (3 << 1)
+    with pytest.raises(ValueError, match="sample-size"):
+        decode_flac(bytes(payload))

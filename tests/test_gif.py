@@ -125,3 +125,18 @@ def test_gif_through_multimodal(spark):
     np.testing.assert_allclose(
         [out.loc[1, f"feat_{i}"] for i in range(5)], want_anim,
         rtol=1e-9)
+
+
+def test_overhanging_frame_clipped():
+    """Malformed frames that overhang the logical screen are clipped
+    (mainstream-decoder behavior), not a broadcast crash."""
+    from opensmile_spark.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(9)
+    pal = _pal(4)
+    full = rng.integers(0, 4, (4, 4)).astype(np.uint8)
+    patch = rng.integers(0, 4, (3, 3)).astype(np.uint8)
+    frames, _ = decode_gif(encode_gif(
+        [(full, (0, 0)), (patch, (3, 3))], pal))
+    assert len(frames) == 2
+    np.testing.assert_array_equal(frames[1][3, 3], pal[patch[0, 0]])

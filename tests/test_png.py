@@ -174,3 +174,19 @@ def test_rgba_composites_over_white(spark):
     want = image_features(flat, 4)
     np.testing.assert_allclose(
         [out.loc[0, f"feat_{i}"] for i in range(4)], want, rtol=1e-9)
+
+
+def test_short_palette_clamps():
+    """Out-of-range palette indices clamp to the last entry (same
+    recovery as gif.py/tiff.py) instead of IndexError."""
+    from opensmile_spark.png import decode_png
+
+    idx = np.array([[0, 1, 200]], dtype=np.uint8)
+    plte = bytes([10, 20, 30, 40, 50, 60])           # 2 entries
+    raw = b"\x00" + idx.tobytes()
+    png = (b"\x89PNG\r\n\x1a\n"
+           + _chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 1, 8, 3, 0, 0, 0))
+           + _chunk(b"PLTE", plte)
+           + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    got = decode_png(png)
+    np.testing.assert_array_equal(got[0, 2], [40, 50, 60])

@@ -156,3 +156,19 @@ def test_tiff_through_multimodal(spark):
     want = image_features(img, 4)
     np.testing.assert_allclose(
         [out.loc[0, f"feat_{i}"] for i in range(4)], want, rtol=1e-9)
+
+
+def test_planar_and_exotic_photometric_raise():
+    """PlanarConfiguration=2 and CMYK/YCbCr photometrics must raise
+    (silent channel scrambling otherwise), not decode as RGB."""
+    from opensmile_spark.tiff import decode_tiff
+
+    base = [(256, 3, [4]), (257, 3, [4]), (258, 3, [8, 8, 8]),
+            (259, 3, [1]), (277, 3, [3]), (278, 3, [4]),
+            (279, 4, [48]), (273, 4, [8])]
+    head, _ = _ifd(base + [(284, 3, [2]), (262, 3, [2])])
+    with pytest.raises(ValueError, match="planar"):
+        decode_tiff(head + b"\x00" * 48)
+    head, _ = _ifd(base + [(262, 3, [5])])           # CMYK
+    with pytest.raises(ValueError, match="photometric"):
+        decode_tiff(head + b"\x00" * 48)
