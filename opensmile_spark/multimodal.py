@@ -25,8 +25,10 @@ TIFF (opensmile_spark/tiff.py: none/LZW/PackBits strips, predictor,
 palette/WhiteIsZero — the scanned-document-corpus format).
 VIDEO decode is REAL for uncompressed AVI
 (pure-struct RIFF walk, '00db' raw-DIB frames; selective frame decode
-honors frame_sample_plan), so all three modalities exercise a genuine
-decode path. H.264 video (needs av) remains the one clearly marked stub
+honors frame_sample_plan) and for motion-JPEG AVI ('MJPG' streams,
+'00dc' chunks — every frame an independent JPEG through the from-spec
+codec, so selective decode stays exact), so all three modalities
+exercise a genuine decode path. H.264 video (needs av) remains the one clearly marked stub
 with a deterministic fake behind `fake=True`: batch shapes, schemas and
 partitioning are real and tested; only that codec call is replaced.
 """
@@ -338,15 +340,11 @@ def image_features(img, n_features: int = 8):
     return feats + [0.0] * (n_features - len(feats))
 
 
-def synthesize_avi_bytes(media_id: int, width: int = 32, height: int = 24,
-                         n_frames: int = 8, fps: int = 4) -> bytes:
-    """Deterministic uncompressed AVI (pure struct): RIFF/'AVI ' container,
-    one 'vids'/'DIB ' stream, one '00db' raw bottom-up BGR24 chunk per
-    frame. Frame f shows the seeded BMP-style gradient with a rectangle
-    marching one pixel per frame, so motion energy is nonzero and every
-    pixel is reproducible."""
-    import struct
-
+def _avi_rgb_frames(media_id: int, width: int, height: int, n_frames: int):
+    """Deterministic clip content shared by every AVI synthesizer: the
+    seeded BMP-style gradient with a rectangle marching one pixel per
+    frame, so motion energy is nonzero and every pixel is reproducible.
+    Returns a list of (h, w, 3) uint8 RGB frames."""
     import numpy as np
 
     rng = np.random.RandomState(int(media_id) % (2 ** 31))
@@ -359,19 +357,25 @@ def synthesize_avi_bytes(media_id: int, width: int = 32, height: int = 24,
     base[..., 1] = (yy * 255 // max(height - 1, 1)).astype(np.uint8)
     base[..., 2] = blue
 
-    stride = (width * 3 + 3) // 4 * 4
-    row_pad = stride - width * 3
     frames = []
     for f in range(n_frames):
         img = base.copy()
         fx = (x0 + f) % max(width - width // 4, 1)
         fy = (y0 + f) % max(height - height // 4, 1)
         img[fy:fy + height // 4, fx:fx + width // 4] = 255
-        rows = b"".join(
-            img[r, :, ::-1].tobytes() + b"\x00" * row_pad
-            for r in range(height - 1, -1, -1))
-        frames.append(rows)
-    frame_size = stride * height
+        frames.append(img)
+    return frames
+
+
+def _avi_container(frame_chunks, handler: bytes, compression: int,
+                   bpp: int, width: int, height: int, fps: int,
+                   chunk_id: bytes) -> bytes:
+    """Assemble a one-video-stream RIFF/'AVI ' container around
+    pre-encoded per-frame payloads (raw DIB rows or JPEG streams)."""
+    import struct
+
+    n_frames = len(frame_chunks)
+    frame_size = max((len(c) for c in frame_chunks), default=0)
 
     def chunk(fourcc: bytes, data: bytes) -> bytes:
         pad = b"\x00" if len(data) % 2 else b""
@@ -384,23 +388,63 @@ def synthesize_avi_bytes(media_id: int, width: int = 32, height: int = 24,
         "<10I4I", 1_000_000 // fps, frame_size * fps, 0, 0,
         n_frames, 0, 1, frame_size, width, height, 0, 0, 0, 0)
     strh = struct.pack(
-        "<4s4sI2H8I4h", b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0,
+        "<4s4sI2H8I4h", b"vids", handler, 0, 0, 0, 0, 1, fps, 0,
         n_frames, frame_size, 0, 0, 0, 0, width, height)
-    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
-                       frame_size, 2835, 2835, 0, 0)
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, bpp,
+                       compression, frame_size, 2835, 2835, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih)
                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi = lst(b"movi", b"".join(chunk(b"00db", fr) for fr in frames))
+    movi = lst(b"movi", b"".join(chunk(chunk_id, fr)
+                                 for fr in frame_chunks))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def synthesize_avi_bytes(media_id: int, width: int = 32, height: int = 24,
+                         n_frames: int = 8, fps: int = 4) -> bytes:
+    """Deterministic uncompressed AVI (pure struct): RIFF/'AVI ' container,
+    one 'vids'/'DIB ' stream, one '00db' raw bottom-up BGR24 chunk per
+    frame of the shared marching-rectangle clip."""
+    stride = (width * 3 + 3) // 4 * 4
+    row_pad = stride - width * 3
+    chunks = []
+    for img in _avi_rgb_frames(media_id, width, height, n_frames):
+        chunks.append(b"".join(
+            img[r, :, ::-1].tobytes() + b"\x00" * row_pad
+            for r in range(height - 1, -1, -1)))
+    return _avi_container(chunks, b"DIB ", 0, 24, width, height, fps,
+                          b"00db")
+
+
+#: BITMAPINFOHEADER.biCompression value for motion-JPEG ('MJPG' LE).
+_MJPG_FOURCC = 0x47504A4D
+
+
+def synthesize_mjpeg_avi_bytes(media_id: int, width: int = 32,
+                               height: int = 24, n_frames: int = 8,
+                               fps: int = 4, quality: int = 90) -> bytes:
+    """Deterministic motion-JPEG AVI: the same marching-rectangle clip,
+    each frame an independent baseline-JPEG stream (encode_jpeg) in a
+    '00dc' compressed chunk, strh handler / strf biCompression 'MJPG' —
+    the dominant intra-only AVI codec in the wild."""
+    from opensmile_spark.jpeg import encode_jpeg
+
+    chunks = [encode_jpeg(img, quality=quality)
+              for img in _avi_rgb_frames(media_id, width, height, n_frames)]
+    return _avi_container(chunks, b"MJPG", _MJPG_FOURCC, 24, width, height,
+                          fps, b"00dc")
+
+
 def decode_avi(payload: bytes, frame_indices=None):
-    """Pure-struct decode of an uncompressed AVI: walks the RIFF chunk
-    tree for the 'strf' BITMAPINFOHEADER (geometry), 'strh' (fps =
-    rate/scale) and the 'movi' list, then parses each '00db' raw-DIB
-    chunk exactly like the BMP pixel path (bottom-up BGR24, 4-byte row
-    stride). `frame_indices` decodes ONLY those frames (the
+    """Pure-struct decode of an AVI clip: walks the RIFF chunk tree for
+    the 'strf' BITMAPINFOHEADER (geometry + codec), 'strh' (fps =
+    rate/scale) and the 'movi' list. Uncompressed streams parse each
+    '00db' raw-DIB chunk exactly like the BMP pixel path (bottom-up
+    BGR24, 4-byte row stride); 'MJPG' streams decode each '00dc' chunk
+    as an independent baseline/progressive JPEG via the from-spec codec
+    in jpeg.py (motion-JPEG is intra-only — every frame is a complete
+    JFIF stream, so selective decode costs exactly the frames asked
+    for). `frame_indices` decodes ONLY those frames (the
     frame_sample_plan contract: a task touches just the frames it owns —
     chunk headers are skipped over, pixels of unselected frames are
     never materialized). Returns (frames (n,h,w,3) uint8 RGB, fps)."""
@@ -432,21 +476,31 @@ def decode_avi(payload: bytes, frame_indices=None):
             elif fourcc == b"strf" and "width" not in geom:
                 _sz, w, h, _pl, bpp, comp = struct.unpack_from(
                     "<IiiHHI", payload, data0)
-                if bpp != 24 or comp != 0:
+                if comp == _MJPG_FOURCC:
+                    geom["mjpg"] = True
+                elif bpp != 24 or comp != 0:
                     raise ValueError(
                         f"unsupported AVI stream: bpp={bpp} compression={comp}")
                 geom["width"], geom["height"] = w, h
-            elif fourcc[2:4] == b"db":
+            elif fourcc[2:4] in (b"db", b"dc"):
                 if want is None or frame_no in want:
-                    w, h = geom["width"], abs(geom["height"])
-                    stride = (w * 3 + 3) // 4 * 4
-                    rows = np.frombuffer(
-                        payload, dtype=np.uint8, count=stride * h,
-                        offset=data0).reshape(h, stride)[:, : w * 3] \
-                        .reshape(h, w, 3)
-                    if geom["height"] > 0:
-                        rows = rows[::-1]
-                    frames.append((frame_no, rows[..., ::-1].copy()))
+                    if geom.get("mjpg"):
+                        from opensmile_spark.jpeg import decode_jpeg
+
+                        img = decode_jpeg(payload[data0:data0 + size])
+                        if img.ndim == 2:
+                            img = np.stack([img] * 3, axis=-1)
+                        frames.append((frame_no, img))
+                    else:
+                        w, h = geom["width"], abs(geom["height"])
+                        stride = (w * 3 + 3) // 4 * 4
+                        rows = np.frombuffer(
+                            payload, dtype=np.uint8, count=stride * h,
+                            offset=data0).reshape(h, stride)[:, : w * 3] \
+                            .reshape(h, w, 3)
+                        if geom["height"] > 0:
+                            rows = rows[::-1]
+                        frames.append((frame_no, rows[..., ::-1].copy()))
                 frame_no += 1
             off = data0 + size + (size & 1)
 
@@ -549,9 +603,12 @@ def synthetic_media(spark, n: int = 64, seed: int = 42,
     if real_video:
         from pyspark.sql.functions import pandas_udf
 
+        vsynth = synthesize_mjpeg_avi_bytes if real_video == "mjpeg" \
+            else synthesize_avi_bytes
+
         @pandas_udf("binary")
         def _avi(mid: pd.Series) -> pd.Series:
-            return mid.map(lambda i: synthesize_avi_bytes(int(i)))
+            return mid.map(lambda i: vsynth(int(i)))
 
         is_vid = F.col("kind") == "video"
         out = out.withColumn(
@@ -572,7 +629,8 @@ def extract_media_features(
 ) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow-batched bytes).
 
-    WAV/PCM + FLAC audio, uncompressed AVI video, 24-bit BMP, baseline
+    WAV/PCM + FLAC audio, uncompressed + motion-JPEG AVI video, 24-bit
+    BMP, baseline
     + progressive JPEG, PNG, GIF (still + animated) and TIFF payloads
     are decoded FOR REAL (stdlib/pure-struct/pure-numpy parsers incl.
     the from-spec codecs in jpeg.py / jpeg_progressive.py / png.py /

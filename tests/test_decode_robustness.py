@@ -17,6 +17,8 @@ def _codecs():
     from opensmile_spark.gif import decode_gif, encode_gif
     from opensmile_spark.jpeg import decode_jpeg, encode_jpeg
     from opensmile_spark.jpeg_progressive import encode_jpeg_progressive
+    from opensmile_spark.multimodal import (
+        decode_avi, synthesize_avi_bytes, synthesize_mjpeg_avi_bytes)
     from opensmile_spark.png import decode_png, encode_png
     from opensmile_spark.tiff import decode_tiff, encode_tiff
 
@@ -33,6 +35,10 @@ def _codecs():
         ("tiff", decode_tiff, encode_tiff(img, compression=5,
                                           predictor=2)),
         ("flac", decode_flac, encode_flac(audio, 16000)),
+        ("avi_raw", decode_avi,
+         synthesize_avi_bytes(3, width=18, height=12, n_frames=3)),
+        ("avi_mjpg", decode_avi,
+         synthesize_mjpeg_avi_bytes(3, width=18, height=12, n_frames=3)),
     ]
 
 
