@@ -118,10 +118,16 @@ def generate_transcripts(
     )
 
     # strictly increasing ts per conv: cumulative gap sum (one bounded shuffle,
-    # partitioned by conv — scales linearly with data)
+    # partitioned by conv — scales linearly with data).  The per-conv day
+    # offset wraps at 73 000 days (~year 2224) so ts stays inside pandas'
+    # datetime64[ns] range (max ~2262) at ANY corpus size — beyond the wrap,
+    # conversations share calendar days, which no operator assumes away
+    # (all windowing is per conv_id).  Identical output below 73k convs.
     w = Window.partitionBy("conv_n").orderBy("turn_idx") \
         .rowsBetween(Window.unboundedPreceding, 0)
-    epoch = F.lit(1_704_067_200.0) + F.col("conv_n") * 86400.0 + F.sum(gap).over(w)
+    epoch = (F.lit(1_704_067_200.0)
+             + F.pmod(F.col("conv_n"), F.lit(73_000)) * 86400.0
+             + F.sum(gap).over(w))
 
     return df.select(
         F.concat(F.lit("c"), F.col("conv_n")).alias("conv_id"),
