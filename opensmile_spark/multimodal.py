@@ -792,3 +792,133 @@ def audio_chunk_plan(df: DataFrame, chunk_s: float = 5.0,
             "chunk_end_s",
             F.least(F.col("chunk_start_s") + chunk_s, F.col("duration_s")))
     )
+
+
+AUDIO_LLD_COLS = [
+    "energy", "log_energy", "zcr", "centroid", "rolloff", "flatness",
+]
+
+
+def audio_lld_frames(
+    df: DataFrame,
+    frame_s: float = 0.025,
+    hop_s: float = 0.010,
+    window: str = "hamming",
+    rolloff_pct: float = 0.90,
+    on_error: str = "raise",
+) -> DataFrame:
+    """The reference's NATIVE signal chain — cFramer -> cWindower ->
+    cEnergy/cMZcr/cSpectral — over decoded audio payloads, distributed:
+    one output row per (media_id, frame_idx) with per-frame LLDs
+    (AUDIO_LLD_COLS), keyed/ordered exactly like the transcript LLD
+    table so the SAME downstream operators apply unchanged:
+
+        lld = audio_lld_frames(media)
+        sma(lld, ["energy"], 3, partition_cols=("media_id",))
+        functionals_kernel(lld, AUDIO_LLD_COLS, ("media_id",),
+                           order_col="frame_idx")
+
+    Framing follows cFramer (/root/reference/src/dspcore/framer.cpp:24-38):
+    frameSize=frame_s, frameStep=hop_s, only COMPLETE frames are emitted.
+    Spectral LLDs apply the named cWindower window
+    (windower.cpp — window_weights is the shared implementation) before
+    ONE batched rfft over the whole frame matrix per clip; energy/zcr
+    read the unwindowed frames (cEnergy sits before cWindower in the
+    reference chains: energy.cpp:36-44, mzcr.cpp:33-37, spectral.cpp).
+
+    Decode covers WAV (PCM 8/16/32, IEEE float, G.711 mu/A-law) and FLAC
+    via the from-spec codecs. on_error='column' quarantines per-clip
+    decode failures into a `decode_error` row (frame_idx=-1, NaN LLDs)
+    instead of failing the task — one corrupt payload must not kill a
+    100k-row partition at corpus scale. Scale shape: mapInPandas over
+    (media_id, payload) — map-only, zero shuffle; parallelism is the
+    input's payload-row partitioning (each clip's frame matrix lives
+    only inside its task).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from opensmile_spark.operators.windower import window_weights
+
+    if on_error not in ("raise", "column"):
+        raise ValueError(f"on_error must be 'raise' or 'column', "
+                         f"got {on_error!r}")
+    window_weights(window, 8)          # validate the name at plan time
+    lld_schema = ("media_id long, frame_idx int, frame_ts double, "
+                  + ", ".join(f"{c} double" for c in AUDIO_LLD_COLS))
+    if on_error == "column":
+        lld_schema += ", decode_error string"
+
+    def _decode(payload: bytes):
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return decode_wav(payload)
+        if payload[:4] == b"fLaC":
+            from opensmile_spark.flac import decode_flac
+
+            x, sr = decode_flac(payload)
+            return x.mean(axis=1), sr
+        raise ValueError("audio_lld_frames expects WAV or FLAC payloads")
+
+    def _frame_llds(x: "np.ndarray", sr: int):
+        flen = max(int(round(frame_s * sr)), 2)
+        hop = max(int(round(hop_s * sr)), 1)
+        if x.size < flen:
+            return None
+        frames = np.lib.stride_tricks.sliding_window_view(x, flen)[::hop]
+        n = frames.shape[0]
+        msq = np.maximum(np.mean(frames * frames, axis=1), 0.0)
+        energy = np.sqrt(msq)
+        log_energy = 10.0 * np.log10(np.maximum(msq, 1e-12))
+        zcr = np.mean(frames[:, 1:] * frames[:, :-1] < 0, axis=1)
+        win = window_weights(window, flen)
+        mag = np.abs(np.fft.rfft(frames * win, axis=1))
+        freqs = np.fft.rfftfreq(flen, d=1.0 / sr)
+        tot = mag.sum(axis=1)
+        safe = np.maximum(tot, 1e-30)
+        centroid = np.where(tot > 0, (mag * freqs).sum(axis=1) / safe, 0.0)
+        cum = np.cumsum(mag, axis=1)
+        ridx = (cum >= rolloff_pct * safe[:, None]).argmax(axis=1)
+        rolloff = np.where(tot > 0, freqs[ridx], 0.0)
+        # geometric/arithmetic mean ratio; eps floor keeps zero bins finite
+        gmean = np.exp(np.mean(np.log(np.maximum(mag, 1e-30)), axis=1))
+        amean = np.mean(mag, axis=1)
+        flatness = np.where(amean > 0, gmean / np.maximum(amean, 1e-30), 0.0)
+        return {
+            "frame_idx": np.arange(n, dtype=np.int32),
+            "frame_ts": np.arange(n, dtype=np.float64) * hop / sr,
+            "energy": energy, "log_energy": log_energy, "zcr": zcr,
+            "centroid": centroid, "rolloff": rolloff, "flatness": flatness,
+        }
+
+    def run(batches):
+        for pdf in batches:
+            parts = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                err = None
+                cols = None
+                try:
+                    x, sr = _decode(bytes(payload or b""))
+                    cols = _frame_llds(np.asarray(x, dtype=np.float64), sr)
+                except Exception as e:      # noqa: BLE001 — quarantined
+                    if on_error == "raise":
+                        raise
+                    err = f"{type(e).__name__}: {e}"
+                if cols is None and err is None:
+                    continue                # clip shorter than one frame
+                if err is not None:
+                    out = pd.DataFrame({
+                        "frame_idx": np.array([-1], dtype=np.int32),
+                        "frame_ts": [float("nan")],
+                        **{c: [float("nan")] for c in AUDIO_LLD_COLS},
+                    })
+                else:
+                    out = pd.DataFrame(cols)
+                out.insert(0, "media_id", int(mid))
+                if on_error == "column":
+                    out["decode_error"] = err
+                parts.append(out)
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    proj = df.select("media_id", "payload")
+    return proj.mapInPandas(run, schema=lld_schema)
