@@ -1572,6 +1572,29 @@ def q_datagen(spark, sf_dir):
                     _epoch("ts").alias("ts_epoch"))
 
 
+def q_audio_lld(spark, sf_dir):
+    """Native audio chain end-to-end — cFramer -> cWindower ->
+    cEnergy/cMZcr/cSpectral over executor-synthesized WAV payloads, then
+    the SAME functionals_kernel that serves the transcript path (one
+    functional vector per clip). Rows-only by construction: WAV decode +
+    rfft have no DuckDB twin; per-frame values are pinned against a
+    numpy-loop oracle in tests/test_audio_lld.py.
+    Reference: framer.cpp:24-38, energy.cpp:36-44, mzcr.cpp:33-37,
+    spectral.cpp:31-63."""
+    from opensmile_spark.functionals import functionals_kernel
+    from opensmile_spark.multimodal import (
+        AUDIO_LLD_COLS, audio_lld_frames, synthetic_media,
+    )
+
+    media = (synthetic_media(spark, n=24, real_audio=True)
+             .filter(F.col("kind") == "audio"))
+    lld = audio_lld_frames(media)
+    return functionals_kernel(
+        lld, AUDIO_LLD_COLS, ("media_id",), order_col="frame_idx",
+        families=["means", "moments", "extremes"],
+    ).orderBy("media_id")
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL twins (DuckDB dialect)
 # ---------------------------------------------------------------------------
@@ -5598,6 +5621,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "formants": q_formants,               # rows-only (sextic roots: no closed form)
     "emo_large": q_emo_large,             # rows-only (named preset bundle)
     "bpe_tokens": q_bpe_tokens,           # rows-only (iterative merge loop)
+    "audio_lld": q_audio_lld,             # rows-only (WAV decode + rfft)
 }
 
 
