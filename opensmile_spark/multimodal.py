@@ -844,7 +844,10 @@ def audio_lld_frames(
         raise ValueError(f"on_error must be 'raise' or 'column', "
                          f"got {on_error!r}")
     window_weights(window, 8)          # validate the name at plan time
-    lld_schema = ("media_id long, frame_idx int, frame_ts double, "
+    # carry the caller's id type (string media ids are a common corpus
+    # layout) instead of assuming long — same convention as similarity._id_ddl
+    id_ddl = df.schema["media_id"].dataType.simpleString()
+    lld_schema = (f"media_id {id_ddl}, frame_idx int, frame_ts double, "
                   + ", ".join(f"{c} double" for c in AUDIO_LLD_COLS))
     if on_error == "column":
         lld_schema += ", decode_error string"
@@ -913,7 +916,7 @@ def audio_lld_frames(
                     })
                 else:
                     out = pd.DataFrame(cols)
-                out.insert(0, "media_id", int(mid))
+                out.insert(0, "media_id", mid)
                 if on_error == "column":
                     out["decode_error"] = err
                 parts.append(out)

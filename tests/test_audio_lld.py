@@ -164,3 +164,18 @@ def test_short_clip_emits_no_frames(spark):
     df = spark.createDataFrame([(1, bytearray(buf.getvalue()))],
                                "media_id long, payload binary")
     assert audio_lld_frames(df).count() == 0
+
+
+def test_string_media_ids_carried(spark):
+    """String media ids (the common corpus layout: URI/content-hash keys)
+    flow through unchanged — the output schema derives the id type from
+    the input instead of assuming long (similarity._id_ddl convention)."""
+    df = spark.createDataFrame(
+        [("s3://bucket/a.wav", bytearray(synthesize_wav_bytes(1))),
+         ("s3://bucket/b.wav", bytearray(b"junk"))],
+        "media_id string, payload binary")
+    out = audio_lld_frames(df, on_error="column")
+    assert out.schema["media_id"].dataType.simpleString() == "string"
+    pdf = out.toPandas()
+    assert set(pdf.media_id) == {"s3://bucket/a.wav", "s3://bucket/b.wav"}
+    assert (pdf[pdf.media_id == "s3://bucket/b.wav"].frame_idx == -1).all()
