@@ -508,7 +508,10 @@ def q_salted_sma_equivalence(spark, sf_dir):
     """Skew path: sma3 computed inside overlap-salted buckets (max 20 rows
     per bucket, 1-row boundary overlap) must equal the plain per-conv sma3 —
     the oracle IS the unsalted formula, so this gate proves the
-    salt-and-stitch windows are exact."""
+    salt-and-stitch windows are exact. Round-5 re-pack: the per-conv
+    salted_partial_stats columns (map-side partials merged across salt
+    buckets) join in on conv_id, so both skew-salting disciplines ride
+    one driver-window gate."""
     from opensmile_spark.operators import overlap_salt, sma
 
     lld = _lld(spark, sf_dir)
@@ -519,7 +522,7 @@ def q_salted_sma_equivalence(spark, sf_dir):
         "conv_id", "turn_idx",
         F.round("char_len_sma3", 6).alias("char_len_sma3"),
     )
-    return out
+    return out.join(q_salted_stats(spark, sf_dir), "conv_id")
 
 
 # ---- documents / embeddings: training-data pipeline ----------------------
@@ -580,13 +583,21 @@ def q_doc_signatures(spark, sf_dir):
 
 def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash LSH banding candidate pairs + the n-gram Jaccard verify on
-    each pair — the full candidate->verify near-dup path in one gate."""
+    each pair — the full candidate->verify near-dup path in one gate.
+    Round-5 re-pack: the MOSS winnowing near-dup pairs (shared-fingerprint
+    counting, the positional-overlap complement of banding) ride the same
+    gate under path='winnow' — both are (id_a, id_b) candidate banks."""
     from opensmile_spark.dedup import minhash_lsh_pairs, ngram_jaccard
 
     docs = _docs(spark, sf_dir)
     pairs = minhash_lsh_pairs(docs, n_hashes=8, bands=4)
     out = ngram_jaccard(docs, pairs)
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    mh = out.select(F.lit("minhash").alias("path"), "id_a", "id_b",
+                    F.round("jaccard", 6).alias("score"))
+    wp = q_winnow_pairs(spark, sf_dir).select(
+        F.lit("winnow").alias("path"), "id_a", "id_b",
+        F.col("n_shared_fp").cast("double").alias("score"))
+    return mh.unionByName(wp)
 
 
 def q_simhash_near_dups(spark, sf_dir):
@@ -741,18 +752,28 @@ def q_viterbi_smooth(spark, sf_dir):
 
 
 def q_egemaps_bundle(spark, sf_dir):
-    """eGeMAPS-style named preset (config/egemaps/v02 analogue) — rows-only
-    (includes peaks2 slopes; component formulas oracle-checked elsewhere)."""
+    """Named preset bundles in ONE driver-window gate (round-5 re-pack):
+    the eGeMAPS-style bundle (config/egemaps/v02 analogue, full replica
+    oracle incl. the unrestricted peaks2 slope automaton) joined with the
+    emo_large-style 40-col probe (config/misc/emo_large.conf analogue)
+    at their shared (conv_id, session_id) grain — emo columns carry an
+    emo_ prefix so the two channel banks never collide."""
     from opensmile_spark.presets import egemaps_style
 
     out = egemaps_style(_transcripts(spark, sf_dir),
                         gap_seconds=SESSION_GAP_S)
     cols = [c for c in out.columns]
-    return out.select(*[
+    eg = out.select(*[
         F.round(F.col(f"`{c}`"), 6).alias(c)
         if c not in ("conv_id", "session_id", "n_turns") else F.col(c)
         for c in cols
     ])
+    em = q_emo_large(spark, sf_dir)
+    em = em.select(
+        "conv_id", "session_id",
+        *[F.col(f"`{c}`").alias(f"emo_{c}")
+          for c in em.columns if c not in ("conv_id", "session_id")])
+    return eg.join(em, ["conv_id", "session_id"])
 
 
 def q_peaks2_restricted(spark, sf_dir):
@@ -3541,24 +3562,12 @@ LEFT JOIN st USING (conv_id, session_id)
 _ORACLES["egemaps_bundle"] = _egemaps_bundle_oracle()
 
 
-def _emo_large_oracle() -> str:
-    """Twin of q_emo_large's 40-col probe subset (the means/moments/
-    extremes/percentiles head of the emo_large bank over the char_len_sma3
-    channel at (conv, session) grain). Kernel semantics mirrored exactly:
-    two-pass centered moments with the d3/d4 > 0 guards
-    (functionalMoments.cpp:89-166), nz/pos/neg conditional means and the
-    nzgmean/flatness pair (functionalMeans.cpp), first-occurrence
-    maxPos/minPos at timeNorm=frames (functionalExtremes.cpp:93-137),
-    quantile_cont == interp=1 percentiles. Promotes the emo_large tail
-    gate from rows-only to a full replica oracle (r4 verdict task 2)."""
-    r = _rsig
-    smooth = ("(char_len + COALESCE(lag(char_len) OVER w, "
-              "first_value(char_len) OVER wf) + COALESCE(lead(char_len) "
-              "OVER w, last_value(char_len) OVER wf)) / 3.0")
-    mean1 = "(CASE WHEN mean <> 0 THEN mean ELSE 1.0 END)"
-    amean1 = "(CASE WHEN mean <> 0 THEN ABS(mean) ELSE 1.0 END)"
-    sd = "(CASE WHEN m2 > 0 THEN SQRT(m2) ELSE 0.0 END)"
-    exprs = [
+_EMO_SD = "(CASE WHEN m2 > 0 THEN SQRT(m2) ELSE 0.0 END)"
+_EMO_MEAN1 = "(CASE WHEN mean <> 0 THEN mean ELSE 1.0 END)"
+_EMO_AMEAN1 = "(CASE WHEN mean <> 0 THEN ABS(mean) ELSE 1.0 END)"
+# (functional name, DuckDB expr) for the emo_large 37-col probe head —
+# module-level so the merged egemaps_bundle oracle can emo_-prefix them
+_EMO_EXPRS = [
         ("amean", "mean"),
         ("absmean", "s_abs / nd"),
         ("qmean", "s_q / nd"),
@@ -3582,15 +3591,15 @@ def _emo_large_oracle() -> str:
         ("nzrqmean", "SQRT(CASE WHEN nnz > 0 THEN s_nzq / nnz "
          "ELSE 0.0 END)"),
         ("variance", "m2"),
-        ("stddev", sd),
+        ("stddev", _EMO_SD),
         # 5-sig (see q_emo_large._proj): summed via a placeholder swap below
-        ("skewness", "CASE WHEN nd * m2 * " + sd + " > 0 THEN "
-         "m3 / (nd * m2 * " + sd + ") ELSE 0.0 END"),
+        ("skewness", "CASE WHEN nd * m2 * " + _EMO_SD + " > 0 THEN "
+         "m3 / (nd * m2 * " + _EMO_SD + ") ELSE 0.0 END"),
         ("kurtosis", "CASE WHEN nd * m2 * m2 > 0 THEN "
          "m4 / (nd * m2 * m2) ELSE 0.0 END"),
-        ("stddevNorm", f"CASE WHEN m2 > 0 THEN {sd} / {mean1} "
+        ("stddevNorm", f"CASE WHEN m2 > 0 THEN {_EMO_SD} / {_EMO_MEAN1} "
          "ELSE 0.0 END"),
-        ("coeffOfVariation", f"CASE WHEN m2 > 0 THEN {sd} / {amean1} "
+        ("coeffOfVariation", f"CASE WHEN m2 > 0 THEN {_EMO_SD} / {_EMO_AMEAN1} "
          "ELSE 0.0 END"),
         ("max", "vmax"),
         ("min", "vmin"),
@@ -3606,7 +3615,26 @@ def _emo_large_oracle() -> str:
         ("iqr2-3", "q3 - q2"),
         ("iqr1-3", "q3 - q1"),
         ("percentile20.0", "p20"),
-    ]
+]
+
+
+def _emo_large_oracle() -> str:
+    """Twin of q_emo_large's 40-col probe subset (the means/moments/
+    extremes/percentiles head of the emo_large bank over the char_len_sma3
+    channel at (conv, session) grain). Kernel semantics mirrored exactly:
+    two-pass centered moments with the d3/d4 > 0 guards
+    (functionalMoments.cpp:89-166), nz/pos/neg conditional means and the
+    nzgmean/flatness pair (functionalMeans.cpp), first-occurrence
+    maxPos/minPos at timeNorm=frames (functionalExtremes.cpp:93-137),
+    quantile_cont == interp=1 percentiles. Promotes the emo_large tail
+    gate from rows-only to a full replica oracle (r4 verdict task 2);
+    merged into the egemaps_bundle gate under emo_ prefixes (round 5)."""
+    r = _rsig
+    smooth = ("(char_len + COALESCE(lag(char_len) OVER w, "
+              "first_value(char_len) OVER wf) + COALESCE(lead(char_len) "
+              "OVER w, last_value(char_len) OVER wf)) / 3.0")
+    exprs = _EMO_EXPRS
+
     def _round(f, e):
         out = r(e)
         if f in ("skewness", "kurtosis"):      # 5 sig, matching the gate
@@ -3664,7 +3692,17 @@ FROM mu JOIN ctr USING (conv_id, session_id)
 """
 
 
-_ORACLES["emo_large"] = _emo_large_oracle()
+# Round-5 window re-pack: the emo_large replica twin joins the egemaps
+# bundle twin at the shared (conv, session) grain under emo_ prefixes —
+# one driver-window gate now hash-checks BOTH named preset bundles.
+_ORACLES["egemaps_bundle"] = (
+    "WITH eg AS (\n" + _ORACLES["egemaps_bundle"] + "\n), em AS (\n"
+    + _emo_large_oracle() + "\n)\nSELECT eg.*,\n  "
+    + ",\n  ".join(
+        ["em.n_turns AS emo_n_turns"]
+        + [f'em."char_len_sma3_{f}" AS "emo_char_len_sma3_{f}"'
+           for f, _ in _EMO_EXPRS])
+    + "\nFROM eg JOIN em USING (conv_id, session_id)")
 
 def _qreg_oracle() -> str:
     """Quadratic normal equations over i=0..N-1 (functionalRegression.cpp
@@ -4548,6 +4586,13 @@ _TK = ("conv_id", "turn_idx")
 
 _ORACLES["sma3"] = _join_parts(
     _TK, [_ORACLES["sma3"], _ORACLES["sma5"], _ORACLES["trailing_window"]])
+
+# round-5 window re-pack: per-conv salted_partial_stats columns join the
+# turn-grain salt-and-stitch equivalence rows on conv_id (one gate slot)
+_ORACLES["salted_sma_equivalence"] = _join_parts(
+    ("conv_id",),
+    [_ORACLES["salted_sma_equivalence"], _ORACLES["salted_stats"]])
+del _ORACLES["salted_stats"]
 
 _ORACLES["delta2"] = _join_parts(
     _TK, [_ORACLES["delta2"], _ORACLES["delta0"], _ORACLES["preemphasis"]])
@@ -5498,6 +5543,17 @@ WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 3
 """
 
+# round-5 window re-pack: both (id_a, id_b) near-dup candidate banks ride
+# the minhash gate — banding+Jaccard as path='minhash', MOSS winnowing
+# shared-fp counts as path='winnow'
+_ORACLES["minhash_lsh_pairs"] = (
+    "SELECT 'minhash' AS path, id_a, id_b, jaccard AS score FROM (\n"
+    + _ORACLES["minhash_lsh_pairs"] + "\n)\nUNION ALL\n"
+    + "SELECT 'winnow' AS path, id_a, id_b,\n"
+    + "       CAST(n_shared_fp AS DOUBLE) AS score FROM (\n"
+    + _ORACLES["winnow_pairs"] + "\n)")
+del _ORACLES["winnow_pairs"]
+
 _ORACLES["streaming_expanding"] = SQL_PREFIX + """
 SELECT conv_id, turn_idx, char_len,
   round(avg(char_len) OVER w, 6) AS run_mean,
@@ -5574,11 +5630,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_selector": q_data_selector,
     "vector_ops": q_vector_ops_bank,
     # (vector_ops_ext folded into the token_spectrum bank — round-4b)
-    # skew handling
-    "salted_stats": q_salted_stats,
+    # skew handling (round-5 merge: per-conv salted_partial_stats columns
+    # join the turn-grain salt-and-stitch equivalence rows on conv_id)
     "salted_sma_equivalence": q_salted_sma_equivalence,
-    # presets (eGeMAPS + ComParE cores)
+    # presets (eGeMAPS + ComParE cores, + the full named bundles:
+    # round-5 merge — emo_large joins egemaps_bundle at the shared
+    # (conv, session) grain under emo_-prefixed names, freeing window
+    # slots so every SQL-twinned gate sits inside the driver's 50)
     "egemaps_core": q_presets_core,
+    "egemaps_bundle": q_egemaps_bundle,
     # spectral (full cSpectral/cPlp/cHarmonics/cSpecScale bank)
     "token_spectrum": q_spectral_bank,
     # sources / sinks
@@ -5587,12 +5647,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_metrics": q_docfeat_bank,   # + charlm_ppl/span_dedup/line_dedup
     "exact_dedup": q_exact_dedup,
     "incremental_dedup": q_incremental_dedup,  # cross-snapshot (FULL oracle)
+    # round-5 merge: the MOSS winnow_near_dups pairs ride the same gate
+    # under path='winnow' (both are (id_a, id_b) near-dup candidate banks)
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_near_dups": q_simhash_near_dups,
     "embedding_near_dups": q_embedding_near_dups,
     "dedup_components": q_dedup_components,
     "winnow_fingerprints": q_winnow_fingerprints,
-    "winnow_pairs": q_winnow_pairs,
     "cosine_topk": q_cosine_topk,
     "quantize_embeddings": q_quantize_embeddings,
     # training-data pipeline (decontamination / sampling / stats / scrub)
@@ -5607,11 +5668,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the composed end-to-end corpus build (one oracle-checked gate)
     "corpus_pipeline": q_corpus_pipeline,
     # ---- position 51+: rows-only BY CONSTRUCTION (outside driver window) --
-    # After the round-4b re-pack, EVERY oracle-checked gate sits inside the
-    # 50-entry driver window; this tail is exclusively gates whose driver
-    # check is rows-only because no SQL twin can exist (approximate ANN
-    # recall, xxhash64, sextic roots, preset supersets, iterative BPE).
-    "egemaps_bundle": q_egemaps_bundle,   # rows-only (named preset)
+    # After the round-5 re-pack (salted_stats / winnow_pairs / emo_large
+    # merged into their same-grain sibling gates), EVERY oracle-checked
+    # gate sits inside the 50-entry driver window; this tail is exclusively
+    # gates whose driver check is rows-only because no SQL twin can exist
+    # (approximate ANN recall, xxhash64, sextic roots, iterative BPE,
+    # WAV decode + rfft).
     "ann_lsh_topk": q_ann_lsh_topk,       # rows-only (approximate ANN)
     "ann_ivf_topk": q_ann_ivf_topk,       # rows-only (approximate ANN)
     "ann_pq_topk": q_ann_pq_topk,         # rows-only (approximate ANN)
@@ -5619,7 +5681,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,  # rows-only (ANN)
     "datagen": q_datagen,                 # rows-only (xxhash64 has no twin)
     "formants": q_formants,               # rows-only (sextic roots: no closed form)
-    "emo_large": q_emo_large,             # rows-only (named preset bundle)
     "bpe_tokens": q_bpe_tokens,           # rows-only (iterative merge loop)
     "audio_lld": q_audio_lld,             # rows-only (WAV decode + rfft)
 }

@@ -1,6 +1,7 @@
 """overlap_salt: dense-index fast path and window exactness.
 
-(The driver gates `salted_sma_equivalence` / `salted_stats` pin the
+(The driver gate `salted_sma_equivalence` — which since round 5 also
+carries the per-conv salted_partial_stats columns — pins the
 salt-and-stitch exactness against DuckDB; these tests pin the round-4
 dense_index projection path against the row_number path.)
 """
