@@ -10,11 +10,14 @@ inverse-zigzags, IDCTs and converts YCbCr back to RGB, with 4:4:4 / 4:2:2
 / 4:2:0 chroma upsampling. All tables are read FROM THE FILE, so the
 decoder is not tied to this encoder's choices.
 
-Scope: baseline sequential 8-bit Huffman JPEGs here, plus progressive
-(SOF2) streams via jpeg_progressive.py (spectral selection, successive
-approximation, EOB runs — `decode_jpeg` dispatches automatically).
-Arithmetic-coded, 12-bit, lossless and hierarchical variants raise
-ValueError (quarantined per-row by multimodal's on_error='column').
+Scope: baseline/extended sequential Huffman JPEGs at 8- and 12-bit
+precision here (12-bit output scales to the pipeline's uint8 contract),
+plus progressive (SOF2) streams via jpeg_progressive.py (spectral
+selection, successive approximation, EOB runs) and lossless (SOF3)
+streams via jpeg_lossless.py (Annex H predictive DPCM, exact samples) —
+`decode_jpeg` dispatches all of these automatically. Arithmetic-coded
+and hierarchical variants raise ValueError (quarantined per-row by
+multimodal's on_error='column').
 
 Everything here is per-payload kernel work invoked from the Arrow-batched
 decode UDF in multimodal.py; no Spark objects in this module.
@@ -308,13 +311,14 @@ def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
 
 # ---- encoder ---------------------------------------------------------------
 
-def _encode_blocks(chan: np.ndarray, q: np.ndarray):
+def _encode_blocks(chan: np.ndarray, q: np.ndarray, center: float = 128.0):
     """All 8x8 blocks of one padded channel -> quantized zigzag coeffs:
     vectorized DCT over every block at once (einsum), no per-block loop
-    until entropy coding (which is inherently sequential)."""
+    until entropy coding (which is inherently sequential). `center` is
+    the level shift, 2^(P-1) (T.81 A.3.1)."""
     h, w = chan.shape
     blocks = chan.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
-    d = np.einsum("ux,ijxy,vy->ijuv", _C, blocks - 128.0, _C)
+    d = np.einsum("ux,ijxy,vy->ijuv", _C, blocks - center, _C)
     quant = np.round(d / q).astype(np.int32)
     return quant.reshape(-1, 64)[:, ZIGZAG]
 
@@ -409,6 +413,56 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 85) -> bytes:
     return bytes(out)
 
 
+# generic 12-bit tables (T.81 F.1.2: DC SSSS reaches 15, AC size 14 —
+# past the 8-bit Annex K tables, so extended-precision streams carry
+# their own): 16 DC categories at 5 bits, all 226 AC symbols at 8 bits
+_DC12_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC12_VALS = list(range(16))
+_AC12_BITS = [0, 0, 0, 0, 0, 0, 0, 226, 0, 0, 0, 0, 0, 0, 0, 0]
+_AC12_VALS = [0x00, 0xF0] + [(r << 4) | s
+                             for r in range(16) for s in range(1, 15)]
+
+
+def encode_jpeg12(samples: np.ndarray, quality: int = 85) -> bytes:
+    """12-bit extended sequential JPEG (SOF1), single grayscale component.
+    `samples` is (h, w) integers in 0..4095; quantization is the Annex K
+    luma table at the given quality (legal for any precision — dequant is
+    table-driven either way)."""
+    a = np.asarray(samples)
+    if a.ndim != 2:
+        raise ValueError("encode_jpeg12 expects (h, w) 12-bit samples")
+    h, w = a.shape
+    ql = _quality_scale(Q_LUM, quality)
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.empty((ph, pw))
+    padded[:h, :w] = a
+    padded[h:, :w] = a[h - 1:h, :]
+    padded[:, w:] = padded[:, w - 1:w]
+    zz = _encode_blocks(padded, ql, center=2048.0)
+
+    dc = _canonical_codes(_DC12_BITS, _DC12_VALS)
+    ac = _canonical_codes(_AC12_BITS, _AC12_VALS)
+    bw = _BitWriter()
+    pred = 0
+    for blk in range(zz.shape[0]):
+        pred = _write_block(bw, zz[blk], pred, dc, ac)
+    bw.flush()
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB,
+               bytes([0]) + bytes(ql.flatten()[ZIGZAG].astype(np.uint8)))
+    out += seg(0xFFC1, struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xFFC4, bytes([0x00] + _DC12_BITS) + bytes(_DC12_VALS))
+    out += seg(0xFFC4, bytes([0x10] + _AC12_BITS) + bytes(_AC12_VALS))
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---- decoder ---------------------------------------------------------------
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
@@ -423,6 +477,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     htabs: dict[tuple[int, int], dict] = {}
     comps = []          # (id, h_samp, v_samp, tq)
     h = w = 0
+    precision = 8
     restart_interval = 0
     scan_comps = []
     while pos < len(data):
@@ -468,8 +523,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 p += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
-            if prec != 8:
-                raise ValueError("only 8-bit precision supported")
+            if prec not in (8, 12):
+                raise ValueError("only 8- and 12-bit precision supported")
+            precision = prec
             if h == 0 or w == 0 or h * w > (1 << 26):
                 # corrupt-header guard: raise before any allocation so
                 # on_error='column' quarantines instead of OOMing a task
@@ -480,12 +536,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xC2:                    # SOF2 progressive Huffman
             from .jpeg_progressive import decode_jpeg_progressive
             return decode_jpeg_progressive(data)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC3:                    # SOF3 lossless sequential
+            from .jpeg_lossless import decode_jpeg_lossless
+            raw, prec = decode_jpeg_lossless(data, with_precision=True)
+            if prec <= 8:
+                return raw
+            # >8-bit samples: scale to the pipeline's uint8 contract
+            # (exact samples via jpeg_lossless.decode_jpeg_lossless)
+            return (raw >> (prec - 8)).astype(np.uint8)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "unsupported JPEG variant (arithmetic/lossless/"
-                "hierarchical); baseline sequential and progressive "
-                "Huffman are supported")
+                "unsupported JPEG variant (arithmetic/hierarchical); "
+                "baseline sequential (8/12-bit), progressive Huffman "
+                "and lossless (SOF3) are supported")
         elif marker == 0xDD:                    # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:                    # SOS
@@ -629,8 +693,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             nat *= qflat
             blocks = nat.reshape(r1 - r0, pbx, 8, 8)
             spatial = (_C.T @ blocks) @ _C    # batched BLAS, not einsum
+            # level shift is 2^(P-1) (T.81 A.3.1: 128 at 8-bit, 2048 at 12)
             planes[k][r0 * 8:r1 * 8] = spatial.transpose(
-                0, 2, 1, 3).reshape((r1 - r0) * 8, pbx * 8) + 128.0
+                0, 2, 1, 3).reshape((r1 - r0) * 8, pbx * 8) \
+                + float(1 << (precision - 1))
 
     # upsample chroma to full resolution and crop
     full = []
@@ -639,6 +705,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if hs != hmax or vs != vmax:
             p = np.repeat(np.repeat(p, vmax // vs, axis=0),
                           hmax // hs, axis=1)
+        if precision > 8:
+            # 12-bit samples (0..4095, chroma centered at 2048) scale to
+            # the 8-bit pipeline range before color conversion
+            p = p / float(1 << (precision - 8))
         full.append(p[:h, :w])
     if len(full) == 1:
         return np.clip(full[0], 0, 255).astype(np.uint8)

@@ -643,8 +643,8 @@ def extract_media_features(
 
     on_error="column" adds a `decode_error` string column and converts
     per-row decode failures (e.g. jpeg.py's ValueError on arithmetic/
-    12-bit/lossless streams — progressive decodes for real via
-    jpeg_progressive.py — truncated payloads, unknown codecs with
+    hierarchical streams — progressive, 12-bit sequential and lossless
+    SOF3 all decode for real — truncated payloads, unknown codecs with
     fake=False) into NaN features + the error message on THAT row
     instead of killing the whole task — at corpus scale one corrupt
     payload must not fail a 100k-row partition. on_error="raise" (the
