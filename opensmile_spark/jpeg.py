@@ -150,6 +150,10 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:          # byte stuffing
                 self.out.append(0x00)
+        # drop emitted high bits: an unbounded Python-int accumulator
+        # otherwise grows by `length` bits per call and every shift goes
+        # O(total bits) — quadratic over a whole image
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self):
         if self.nbits:
@@ -162,6 +166,12 @@ def _extend(v: int, size: int) -> int:
     if size == 0:
         return 0
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    """One marker segment: marker, 2-byte length (incl. itself), payload —
+    shared by every encoder here and in jpeg_lossless.py."""
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
 # ---- fast entropy decoding -------------------------------------------------
@@ -388,9 +398,7 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 85) -> bytes:
                                      *tabs[ci])
     bw.flush()
 
-    def seg(marker, payload):
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
-
+    seg = _seg
     out = bytearray(b"\xff\xd8")                              # SOI
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xFFDB,
@@ -448,9 +456,7 @@ def encode_jpeg12(samples: np.ndarray, quality: int = 85) -> bytes:
         pred = _write_block(bw, zz[blk], pred, dc, ac)
     bw.flush()
 
-    def seg(marker, payload):
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
-
+    seg = _seg
     out = bytearray(b"\xff\xd8")
     out += seg(0xFFDB,
                bytes([0]) + bytes(ql.flatten()[ZIGZAG].astype(np.uint8)))

@@ -12,8 +12,10 @@ samples down on encode and back up on decode (H.2.2).
 
 Predictor edge rules (H.1.2.2): the very first sample of the scan — and
 the first sample after every restart marker — is predicted with the
-default 2^(P-Pt-1); the rest of the first line predicts from Ra; the
-first sample of every other line predicts from Rb.
+default 2^(P-Pt-1); the REST OF THAT LINE (the first line of the scan,
+or the remainder of the line a restart landed on) uses the
+one-dimensional Ra predictor; the first sample of every other line
+predicts from Rb; all other samples use the selected predictor.
 
 Both directions are implemented so the decoder can be pinned by an exact
 roundtrip oracle (lossless means bit-identical samples, the strongest
@@ -34,7 +36,8 @@ import struct
 
 import numpy as np
 
-from .jpeg import _BitWriter, _canonical_codes, _peek_table, _unstuff_entropy
+from .jpeg import (_BitWriter, _canonical_codes, _peek_table, _seg,
+                   _unstuff_entropy)
 
 # generic SSSS table: 17 symbols (0..16), all 5-bit codes — canonical per
 # Annex C (codes 0..16 of 5 bits; the all-ones code is never assigned)
@@ -84,47 +87,88 @@ def encode_jpeg_lossless(img: np.ndarray, predictor: int = 4,
     h, w, nc = a.shape
     s = (a.astype(np.int64) >> pt)
 
+    # Vectorized prediction (the decode side is inherently sequential —
+    # each prediction needs reconstructed neighbours — but the ENCODE side
+    # sees all samples up front, so the predictor lattice is pure numpy):
+    # base = selected predictor from shifted views, then the H.1.2.2 edge
+    # overlays — Rb for column 0, Ra for every sample on a line where the
+    # scan/a restart interval began, the default at each reset sample.
+    ra = np.empty_like(s)
+    rb = np.empty_like(s)
+    rc = np.empty_like(s)
+    ra[:, 1:] = s[:, :-1]
+    ra[:, :1] = 0
+    rb[1:] = s[:-1]
+    rb[:1] = 0
+    rc[1:, 1:] = s[:-1, :-1]
+    rc[:1] = 0
+    rc[:, :1] = 0
+    if predictor == 1:
+        pred = ra.copy()
+    elif predictor == 2:
+        pred = rb.copy()
+    elif predictor == 3:
+        pred = rc.copy()
+    elif predictor == 4:
+        pred = ra + rb - rc
+    elif predictor == 5:
+        pred = ra + ((rb - rc) >> 1)
+    elif predictor == 6:
+        pred = rb + ((ra - rc) >> 1)
+    elif predictor == 7:
+        pred = (ra + rb) >> 1
+    else:
+        raise ValueError(f"invalid lossless predictor selector {predictor}")
+    pred[1:, 0] = s[:-1, 0]                    # column 0: Rb
+    default = 1 << (precision - pt - 1)
+    resets = [0]                               # flat MCU indices that reset
+    if restart_interval:
+        resets += list(range(restart_interval, h * w, restart_interval))
+    line1 = np.zeros((h, w), dtype=bool)       # Ra-rule region (H.1.2.2)
+    for m in resets:
+        y0, x0 = divmod(m, w)
+        line1[y0, x0 + 1:] = True
+    pred[line1] = ra[line1]
+    for m in resets:
+        y0, x0 = divmod(m, w)
+        pred[y0, x0] = default
+    # modulo-65536 differences mapped to [-32768, 32767], flat (y, x, c)
+    diffs = ((s - pred + 32768) % 65536 - 32768).ravel().tolist()
+
     codes = _canonical_codes(_LL_BITS, _LL_VALS)
     bw = _BitWriter()
-    default = 1 << (precision - pt - 1)
-    mcu = 0
-    reset = True
-    for y in range(h):
-        for x in range(w):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                bw.flush()                 # byte-align (pad with 1s)
+    write = bw.write
+    if restart_interval:
+        per_rst = restart_interval * nc
+        for k in range(0, len(diffs), per_rst):
+            if k:
+                bw.flush()                     # byte-align (pad with 1s)
                 bw.out += bytes([0xFF, 0xD0
-                                 + (mcu // restart_interval - 1) % 8])
-                reset = True
-            for c in range(nc):
-                if reset:
-                    pred = default
-                elif y == 0:
-                    pred = int(s[0, x - 1, c])
-                elif x == 0:
-                    pred = int(s[y - 1, 0, c])
-                else:
-                    pred = _predict(int(s[y, x - 1, c]),
-                                    int(s[y - 1, x, c]),
-                                    int(s[y - 1, x - 1, c]), predictor)
-                # modulo-65536 difference mapped to [-32768, 32767]
-                d = (int(s[y, x, c]) - pred + 32768) % 65536 - 32768
-                if d == -32768:            # H.2.3: SSSS=16, no extra bits
+                                 + (k // per_rst - 1) % 8])
+            for d in diffs[k:k + per_rst]:
+                if d == -32768:        # H.2.3: SSSS=16, no extra bits
                     code, ln = codes[16]
-                    bw.write(code, ln)
+                    write(code, ln)
                     continue
                 ssss = abs(d).bit_length()
                 code, ln = codes[ssss]
-                bw.write(code, ln)
+                write(code, ln)
                 if ssss:
-                    bw.write(d if d > 0 else d + (1 << ssss) - 1, ssss)
-            reset = False
-            mcu += 1
+                    write(d if d > 0 else d + (1 << ssss) - 1, ssss)
+    else:
+        for d in diffs:
+            if d == -32768:
+                code, ln = codes[16]
+                write(code, ln)
+                continue
+            ssss = abs(d).bit_length()
+            code, ln = codes[ssss]
+            write(code, ln)
+            if ssss:
+                write(d if d > 0 else d + (1 << ssss) - 1, ssss)
     bw.flush()
 
-    def seg(marker, payload):
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
-
+    seg = _seg
     out = bytearray(b"\xff\xd8")
     sof = struct.pack(">BHHB", precision, h, w, nc)
     for c in range(nc):
@@ -214,6 +258,12 @@ def decode_jpeg_lossless(payload: bytes,
         pos += seglen
     if not comps or not scan_comps:
         raise ValueError("truncated JPEG: missing SOF3/SOS")
+    if len(scan_comps) < len(comps):
+        # T.81 allows coding each component as its own scan; decoding
+        # only the first would silently return one channel of a
+        # multi-channel image — raise so on_error='column' quarantines
+        raise ValueError(
+            "multi-scan (non-interleaved) lossless JPEG not supported")
     if len(scan_comps) > 1:
         by_id = {c[0]: c for c in comps}
         for cs, _td in scan_comps:
@@ -234,20 +284,28 @@ def decode_jpeg_lossless(payload: bytes,
     nbits = 0
     bpos = 0
     next_b = 0
-    samples = 0
+    mcus = 0
     reset = True                # scan start: default prediction (H.2.1.3)
+    line1_y = 0                 # row where the current interval began —
+    #                             that whole line predicts from Ra (H.1.2.2)
+    prev: list | None = None
+    # rows are plain Python lists in the per-sample loop (the same
+    # discipline as jpeg.py's inlined entropy loop — numpy scalar
+    # indexing costs ~6x here); one bulk assign per row into `out`
     for y in range(h):
-        row = out[y]
-        prev = out[y - 1] if y else None
+        row = [[0] * nc for _ in range(w)]
         for x in range(w):
-            if restart_interval and samples \
-                    and samples % (restart_interval * nc) == 0:
+            if restart_interval and mcus and mcus % restart_interval == 0:
                 if next_b < len(boundaries):
                     bpos = boundaries[next_b]
                     acc = 0
                     nbits = 0
                     next_b += 1
                 reset = True
+                line1_y = y
+            rx = row[x]
+            ra = row[x - 1] if x else None
+            rb = prev[x] if prev is not None else None
             for c in range(nc):
                 tbl, L = tables[c]
                 while nbits < L:
@@ -276,16 +334,17 @@ def decode_jpeg_lossless(payload: bytes,
                     d = 0
                 if reset:
                     pred = default
-                elif y == 0:
-                    pred = int(row[x - 1, c])
+                elif y == line1_y:             # first line of interval: Ra
+                    pred = ra[c]
                 elif x == 0:
-                    pred = int(prev[0, c])
+                    pred = rb[c]
                 else:
-                    pred = _predict(int(row[x - 1, c]), int(prev[x, c]),
-                                    int(prev[x - 1, c]), sel)
-                row[x, c] = (pred + d) & 0xFFFF    # H.1.2.3 modulo 2^16
+                    pred = _predict(ra[c], rb[c], prev[x - 1][c], sel)
+                rx[c] = (pred + d) & 0xFFFF    # H.1.2.3 modulo 2^16
             reset = False
-            samples += nc
+            mcus += 1
+        out[y] = row
+        prev = row
 
     out <<= pt                                  # H.2.2 inverse point xform
     dtype = np.uint8 if precision <= 8 else np.uint16
