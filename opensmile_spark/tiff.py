@@ -49,7 +49,10 @@ def _lzw_decode_tiff(data: bytes, max_out: int) -> bytes:
         while nbits < width:
             if pos >= len(data):
                 return bytes(out)
-            acc = (acc << 8) | data[pos]
+            # 32-bit mask: nbits never exceeds width-1+8 <= 19, and an
+            # unmasked Python-int accumulator grows by 8 bits per input
+            # byte — quadratic over a whole strip
+            acc = ((acc << 8) | data[pos]) & 0xFFFFFFFF
             nbits += 8
             pos += 1
         code = (acc >> (nbits - width)) & ((1 << width) - 1)
