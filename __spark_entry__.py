@@ -5204,6 +5204,33 @@ def q_streaming_expanding(spark, sf_dir):
     )
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML -> text extraction + crawl-structure signals
+    (opensmile_spark/htmlops.py): a deterministic HTML page is synthesized
+    per document row (synth_html — nav/footer anchors, script+style
+    subtrees, a comment, entities, paragraph splits), then the map-only
+    codegen'd regexp chain extracts visible text and html_signals emits
+    the quality-filter metrics (link density, markup ratio, title). The
+    DuckDB twin rebuilds the identical page and runs the same chain, so
+    the gate doubles as a Java-regex / RE2 dialect parity check."""
+    from opensmile_spark.htmlops import html_signals, html_to_text, synth_html
+
+    out = html_signals(html_to_text(
+        synth_html(_docs(spark, sf_dir)), html_col="html",
+        out_col="html_text", method="expr"))
+    return out.select(
+        "doc_id", "html_text",
+        F.col("n_tags").alias("html_n_tags"),
+        F.col("n_links").alias("html_n_links"),
+        F.col("link_text_chars").alias("html_link_chars"),
+        F.col("text_chars").alias("html_text_chars"),
+        F.round("link_density", 6).alias("html_link_density"),
+        F.col("script_style_chars").alias("html_script_chars"),
+        F.col("markup_ratio").alias("html_markup_ratio"),
+        F.col("title").alias("html_title"),
+    )
+
+
 def q_docfeat_bank(spark, sf_dir):
     """Per-doc text analysis + dedup signatures + C4 structural quality
     signals in one doc_id-grain bank (constituents: `text_metrics`,
@@ -5237,7 +5264,8 @@ def q_docfeat_bank(spark, sf_dir):
                   q_redact(spark, sf_dir),
                   q_charlm_ppl(spark, sf_dir),
                   span, line,
-                  q_nb_quality(spark, sf_dir))
+                  q_nb_quality(spark, sf_dir),
+                  q_html_extract(spark, sf_dir))
 
 
 def q_nb_quality(spark, sf_dir):
@@ -5429,6 +5457,83 @@ SELECT doc_id, n_tokens_nb, n_seen_nb,
        ROUND(raw, 6) AS nb_score,
        CAST(raw > 0 AS INT) AS nb_score_pred
 FROM scored
+""", r"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), sp AS (
+  SELECT doc_id, ws,
+    greatest(CAST(floor(len(ws) / 2.0) AS BIGINT), 1) AS half
+  FROM w
+), pg AS (
+  SELECT doc_id,
+    '<!DOCTYPE html><html><head><title>Doc &amp; page '
+    || CAST(doc_id AS VARCHAR)
+    || '</title><style>body { color: #000; }</style>'
+    || '<script>var x = 1 < 2;</script></head><body>'
+    || '<!-- crawler: ignore -->'
+    || '<nav><a href="/home">Home</a> <a href="/about">About</a></nav><h1>Doc '
+    || CAST(doc_id AS VARCHAR)
+    || '</h1><p>' || array_to_string(ws[1:half], ' ')
+    || '</p><p>' || array_to_string(ws[half+1:len(ws)], ' ')
+    || '</p><div>score &lt; 1 &amp; done</div>'
+    || '<footer><a href="/terms">Terms</a></footer></body></html>' AS html
+  FROM sp
+), ex AS (
+  SELECT doc_id, html,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+      '(?s)<!--.*?-->', '', 'g'),
+      '(?is)<(script|style|noscript)\b[^>]*>.*?</(script|style|noscript)\s*>',
+      '', 'g'),
+      '(?i)</(?:p|div|li|ul|ol|table|tr|h1|h2|h3|h4|h5|h6|section|article|header|footer|nav|blockquote|pre|title|head)\s*>|<(?:br|hr)\s*/?>',
+      chr(10), 'g'),
+      '(?s)<[^>]*>', '', 'g') AS t0
+  FROM pg
+), ex2 AS (
+  SELECT doc_id, html,
+    replace(replace(replace(replace(replace(replace(t0,
+      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      '&#39;', chr(39)), '&amp;', '&') AS t1
+  FROM ex
+), ex3 AS (
+  SELECT doc_id, html,
+    regexp_replace(regexp_replace(regexp_replace(t1,
+      '[^\S\n]*\n\s*', chr(10), 'g'),
+      '[ \t\r\f]+', ' ', 'g'),
+      '^\s+|\s+$', '', 'g') AS html_text
+  FROM ex2
+), ttl AS (
+  SELECT doc_id,
+    trim(replace(replace(replace(replace(replace(replace(
+      regexp_extract(html, '(?is)<title\b[^>]*>(.*?)</title\s*>', 1),
+      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      '&#39;', chr(39)), '&amp;', '&')) AS html_title
+  FROM pg
+)
+SELECT e.doc_id, e.html_text,
+  CAST(len(regexp_extract_all(e.html, '(?s)<[^>]+>')) AS BIGINT)
+    AS html_n_tags,
+  CAST(len(regexp_extract_all(e.html, '(?i)<a\b')) AS BIGINT)
+    AS html_n_links,
+  CAST(coalesce(list_sum(list_transform(
+      regexp_extract_all(e.html, '(?is)<a\b[^>]*>(.*?)</a\s*>', 1),
+      x -> len(trim(regexp_replace(x, '(?s)<[^>]*>', '', 'g'))))), 0)
+    AS BIGINT) AS html_link_chars,
+  CAST(len(e.html_text) AS BIGINT) AS html_text_chars,
+  CASE WHEN len(e.html_text) > 0 THEN
+    round(CAST(coalesce(list_sum(list_transform(
+      regexp_extract_all(e.html, '(?is)<a\b[^>]*>(.*?)</a\s*>', 1),
+      x -> len(trim(regexp_replace(x, '(?s)<[^>]*>', '', 'g'))))), 0)
+      AS DOUBLE) / len(e.html_text), 6)
+  ELSE 0.0 END AS html_link_density,
+  CAST(coalesce(list_sum(list_transform(
+      regexp_extract_all(e.html,
+        '(?is)<(?:script|style)\b[^>]*>(.*?)</(?:script|style)\s*>', 1),
+      x -> len(x))), 0) AS BIGINT) AS html_script_chars,
+  round(1.0 - CAST(len(e.html_text) AS DOUBLE)
+        / greatest(CAST(len(e.html) AS DOUBLE), 1.0), 6)
+    AS html_markup_ratio,
+  t.html_title
+FROM ex3 e JOIN ttl t USING (doc_id)
 """)
 
 _ORACLES["lpc_modulation"] = _join_sql(

@@ -345,6 +345,18 @@ def main():
                     p) == 0,
           f"(broadcast joins={n_op('BroadcastHashJoin', p)})")
 
+    # html extract (round 5): the crawl-normalization chain must be ONE
+    # map-only codegen'd project over the scan — zero Python, zero
+    # exchanges, zero joins (the plan a 100 TB HTML scan wants).
+    from opensmile_spark.htmlops import html_signals, html_to_text, synth_html
+
+    p = plan_str(html_signals(html_to_text(synth_html(docs))))
+    check("html_to_text+signals map-only, zero Python, zero shuffle",
+          n_op("Exchange", p) == 0
+          and count(r"(?i)pythonudf|ArrowEval|BatchEval|MapInPandas", p) == 0
+          and count(r"\) \w*Join", p) == 0,
+          f"(exchanges={n_op('Exchange', p)})")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
