@@ -5231,6 +5231,27 @@ def q_html_extract(spark, sf_dir):
     )
 
 
+def q_url_extract(spark, sf_dir):
+    """URL parsing + canonicalization + crawl signals
+    (opensmile_spark/urlops.py): a deterministic URL is synthesized per
+    document row (synth_urls — mixed-case scheme/host, userinfo, default
+    and non-default ports, doubled slashes, trailing slash, tracking
+    params, a fragment), then RFC 3986 Appendix B component extraction,
+    url_signals, and normalize_url (the canonical exact-dedup key) run as
+    one map-only codegen'd chain. The DuckDB twin rebuilds the identical
+    URL and applies the same rules (Java-regex / RE2 parity, like
+    htmlops)."""
+    from opensmile_spark.urlops import (
+        normalize_url, parse_urls, synth_urls, url_signals)
+
+    out = normalize_url(url_signals(parse_urls(synth_urls(
+        _docs(spark, sf_dir)))))
+    return out.select(
+        "doc_id", "url", "url_scheme", "url_host", "url_port", "url_path",
+        "url_query", "url_depth", "url_n_params", "url_n_tracking",
+        "url_is_https", "url_tld", "url_reg_domain", "url_norm")
+
+
 def q_docfeat_bank(spark, sf_dir):
     """Per-doc text analysis + dedup signatures + C4 structural quality
     signals in one doc_id-grain bank (constituents: `text_metrics`,
@@ -5265,7 +5286,8 @@ def q_docfeat_bank(spark, sf_dir):
                   q_charlm_ppl(spark, sf_dir),
                   span, line,
                   q_nb_quality(spark, sf_dir),
-                  q_html_extract(spark, sf_dir))
+                  q_html_extract(spark, sf_dir),
+                  q_url_extract(spark, sf_dir))
 
 
 def q_nb_quality(spark, sf_dir):
@@ -5534,7 +5556,82 @@ SELECT e.doc_id, e.html_text,
     AS html_markup_ratio,
   t.html_title
 FROM ex3 e JOIN ttl t USING (doc_id)
-""")
+""", r"""
+WITH synth AS (
+  SELECT doc_id,
+    (CASE doc_id % 3 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'http'
+     ELSE 'https' END)
+    || '://'
+    || (CASE WHEN doc_id % 3 = 0 THEN 'crawler@' ELSE '' END)
+    || (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE 'cdn.' END)
+    || lower(source)
+    || (CASE WHEN doc_id % 4 = 1 THEN '.co.uk' ELSE '.org' END)
+    || (CASE WHEN doc_id % 4 = 2 THEN ':443'
+             WHEN doc_id % 4 = 3 THEN ':8080' ELSE '' END)
+    || '/a//b/doc-' || CAST(doc_id AS VARCHAR)
+    || (CASE WHEN doc_id % 3 = 2 THEN '/' ELSE '' END)
+    || '?z=' || CAST(doc_id AS VARCHAR) || '&utm_source=feed&a=1'
+    || (CASE WHEN doc_id % 4 = 0 THEN '&gclid=xyz' ELSE '' END)
+    || '#frag-' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '__URI__', 2)) AS url_scheme,
+    regexp_extract(url, '__URI__', 4) AS auth,
+    regexp_extract(url, '__URI__', 5) AS raw_path,
+    regexp_extract(url, '__URI__', 7) AS url_query
+  FROM synth
+), hp AS (
+  SELECT *, regexp_replace(auth, '^.*@', '') AS hostport FROM parts
+), comp AS (
+  SELECT doc_id, url, url_scheme, raw_path AS url_path, url_query,
+    lower(regexp_replace(hostport, ':\d*$', '')) AS url_host,
+    regexp_extract(hostport, ':(\d+)$', 1) AS url_port
+  FROM hp
+), canon AS (
+  SELECT *,
+    CASE WHEN url_port = '' THEN ''
+         WHEN (url_scheme = 'http' AND url_port = '80')
+           OR (url_scheme = 'https' AND url_port = '443')
+           OR (url_scheme = 'ftp' AND url_port = '21') THEN ''
+         ELSE ':' || url_port END AS keep_port,
+    CASE WHEN regexp_replace(url_path, '/{2,}', '/', 'g') = '' THEN '/'
+         ELSE regexp_replace(url_path, '/{2,}', '/', 'g') END AS p1,
+    array_to_string(list_sort(list_filter(string_split(url_query, '&'),
+      x -> len(x) > 0 AND NOT regexp_matches(x, '__TRK__'))), '&') AS cq,
+    list_filter(string_split(url_path, '/'), x -> len(x) > 0) AS segs,
+    list_filter(string_split(url_query, '&'), x -> len(x) > 0) AS qparts,
+    string_split(url_host, '.') AS labels
+  FROM comp
+), canon2 AS (
+  SELECT *,
+    CASE WHEN len(p1) > 1 AND p1 LIKE '%/'
+         THEN substr(p1, 1, len(p1) - 1) ELSE p1 END AS p2,
+    len(labels) AS nlab,
+    labels[-1] AS tld0,
+    CASE WHEN len(labels) > 1 THEN labels[-2] ELSE '' END AS sld
+  FROM canon
+)
+SELECT doc_id, url, url_scheme, url_host, url_port, url_path, url_query,
+  CAST(len(segs) AS BIGINT) AS url_depth,
+  CAST(len(qparts) AS BIGINT) AS url_n_params,
+  CAST(len(list_filter(qparts, x -> regexp_matches(x, '__TRK__')))
+    AS BIGINT) AS url_n_tracking,
+  CAST(url_scheme = 'https' AS INT) AS url_is_https,
+  CASE WHEN nlab > 0 THEN tld0 ELSE '' END AS url_tld,
+  CASE WHEN nlab >= 3 AND sld IN ('co','com','net','org','ac','gov','edu')
+       THEN labels[-3] || '.' || sld || '.' || tld0
+       WHEN nlab >= 2 THEN sld || '.' || tld0
+       ELSE url_host END AS url_reg_domain,
+  url_scheme || '://' || url_host || keep_port || p2
+    || (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS url_norm
+FROM canon2
+""".replace(
+    "__URI__", r"^(([^:/?#]+):)?(//([^/?#]*))?([^?#]*)(\?([^#]*))?(#(.*))?"
+).replace(
+    "__TRK__",
+    r"^(utm_[a-z]+|fbclid|gclid|dclid|msclkid|mc_eid|igshid|ref|ref_src|_ga)="
+))
 
 _ORACLES["lpc_modulation"] = _join_sql(
     ("conv_id", "n_turns"), _ORACLES["lpc_modulation"],

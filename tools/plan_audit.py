@@ -357,6 +357,19 @@ def main():
           and count(r"\) \w*Join", p) == 0,
           f"(exchanges={n_op('Exchange', p)})")
 
+    # url canonicalization (round 5): parse + signals + normalize must
+    # likewise be one map-only project — the canonical-URL dedup key is
+    # computed inline with the scan at 100 TB, never via a shuffle.
+    from opensmile_spark.urlops import (
+        normalize_url, parse_urls, synth_urls, url_signals)
+
+    p = plan_str(normalize_url(url_signals(parse_urls(synth_urls(docs)))))
+    check("url parse+signals+normalize map-only, zero Python, zero shuffle",
+          n_op("Exchange", p) == 0
+          and count(r"(?i)pythonudf|ArrowEval|BatchEval|MapInPandas", p) == 0
+          and count(r"\) \w*Join", p) == 0,
+          f"(exchanges={n_op('Exchange', p)})")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
