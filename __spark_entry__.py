@@ -5252,6 +5252,49 @@ def q_url_extract(spark, sf_dir):
         "url_is_https", "url_tld", "url_reg_domain", "url_norm")
 
 
+def q_warc_ingest(spark, sf_dir):
+    """Crawl-container ingest chain (opensmile_spark/warc.py): a spec-
+    valid per-record-gzip WARC archive is built from the documents
+    table's synthesized HTML pages, scanned back through the binaryFile
+    -> record-split -> warc_to_documents path, and pushed through URL
+    canonicalization + HTML text extraction. Rows-only by construction
+    (ISO 28500 binary container — no SQL twin); the full roundtrip,
+    chunked-transfer, charset and truncation semantics are pinned by
+    tests/test_warc.py."""
+    import shutil
+    import tempfile
+
+    from opensmile_spark.htmlops import html_to_text, synth_html
+    from opensmile_spark.urlops import normalize_url
+    from opensmile_spark.warc import read_warc, warc_to_documents, write_warc
+
+    pages = synth_html(_docs(spark, sf_dir)).select("doc_id", "html") \
+        .orderBy("doc_id").collect()  # bounded gate fixture (sf<=0.01)
+    d = tempfile.mkdtemp(prefix="warc_gate_")
+    try:
+        shard = len(pages) // 4 + 1
+        for s in range(0, len(pages), shard):
+            with open(f"{d}/part-{s}.warc.gz", "wb") as fh:
+                fh.write(write_warc(
+                    [{"warc_type": "response",
+                      "target_uri": f"https://Crawl.EX.org//d/{r['doc_id']}"
+                                    f"?utm_source=gate&id={r['doc_id']}",
+                      "body": r["html"]} for r in pages[s:s + shard]]))
+        docs = warc_to_documents(read_warc(spark, f"{d}/*.warc.gz"))
+        out = normalize_url(
+            html_to_text(docs, html_col="html", out_col="text"))
+        result = out.select(
+            F.regexp_extract("url_norm", r"id=(\d+)$", 1).cast("long")
+            .alias("doc_id"),
+            "url_norm", "text")
+        # materialize before the tempdir vanishes
+        rows = result.collect()
+        return spark.createDataFrame(
+            rows, "doc_id long, url_norm string, text string")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_docfeat_bank(spark, sf_dir):
     """Per-doc text analysis + dedup signatures + C4 structural quality
     signals in one doc_id-grain bank (constituents: `text_metrics`,
@@ -5885,6 +5928,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "formants": q_formants,               # rows-only (sextic roots: no closed form)
     "bpe_tokens": q_bpe_tokens,           # rows-only (iterative merge loop)
     "audio_lld": q_audio_lld,             # rows-only (WAV decode + rfft)
+    "warc_ingest": q_warc_ingest,         # rows-only (binary container)
 }
 
 
