@@ -5295,6 +5295,28 @@ def q_warc_ingest(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_dsir(spark, sf_dir):
+    """DSIR importance resampling (opensmile_spark/dsir.py — Xie'23
+    hashed-ngram importance weights): target = docs with doc_id % 7 == 0
+    (the deterministic seed-set convention the NB gate uses), raw = all
+    docs; per-bucket Laplace-smoothed log ratios over 512 md5 buckets,
+    per-doc log importance weight via broadcast-join + sum, and the
+    Gumbel top-k sampling key from the portable md5 uniform. The DuckDB
+    twin replays fit, score and key exactly."""
+    from opensmile_spark.dsir import dsir_fit, dsir_score, gumbel_key
+
+    docs = _docs(spark, sf_dir)
+    tgt = docs.filter(F.col("doc_id") % 7 == 0)
+    ratios = dsir_fit(tgt, docs, n_buckets=512, alpha=1.0, seed=0)
+    scored = dsir_score(docs, ratios, n_buckets=512, seed=0)
+    return scored.select(
+        "doc_id",
+        F.round("dsir_logw", 6).alias("dsir_logw"),
+        "dsir_n_tokens",
+        F.round(gumbel_key(F.col("dsir_logw"), "doc_id", seed=1), 6)
+        .alias("dsir_key"))
+
+
 def q_docfeat_bank(spark, sf_dir):
     """Per-doc text analysis + dedup signatures + C4 structural quality
     signals in one doc_id-grain bank (constituents: `text_metrics`,
@@ -5330,7 +5352,8 @@ def q_docfeat_bank(spark, sf_dir):
                   span, line,
                   q_nb_quality(spark, sf_dir),
                   q_html_extract(spark, sf_dir),
-                  q_url_extract(spark, sf_dir))
+                  q_url_extract(spark, sf_dir),
+                  q_dsir(spark, sf_dir))
 
 
 def q_nb_quality(spark, sf_dir):
@@ -5674,7 +5697,53 @@ FROM canon2
 ).replace(
     "__TRK__",
     r"^(utm_[a-z]+|fbclid|gclid|dclid|msclkid|mc_eid|igshid|ref|ref_src|_ga)="
-))
+), r"""
+WITH tl AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                x -> len(x) > 0) AS ws
+  FROM documents
+), grams AS (
+  SELECT doc_id, unnest(ws) AS tok FROM tl
+  UNION ALL
+  SELECT tl.doc_id, ws[i] || '_' || ws[i + 1] AS tok
+  FROM tl, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+), bk AS (
+  SELECT doc_id,
+    CAST('0x' || substr(md5(tok || ':0'), 1, 8) AS BIGINT) % 512 AS bucket
+  FROM grams
+), grid AS (
+  SELECT unnest(generate_series(0, 511)) AS bucket
+), tc AS (
+  SELECT bucket, count(*) AS ct FROM bk WHERE doc_id % 7 = 0 GROUP BY 1
+), rc AS (
+  SELECT bucket, count(*) AS cr FROM bk GROUP BY 1
+), j AS (
+  SELECT g.bucket, coalesce(tc.ct, 0) AS ct, coalesce(rc.cr, 0) AS cr
+  FROM grid g LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+), tot AS (
+  SELECT CAST(sum(ct) AS DOUBLE) AS t, CAST(sum(cr) AS DOUBLE) AS r FROM j
+), ratio AS (
+  SELECT bucket,
+    ln(ct + 1.0) - ln(t + 512.0) - ln(cr + 1.0) + ln(r + 512.0) AS log_ratio
+  FROM j CROSS JOIN tot
+), per AS (
+  SELECT bk.doc_id, sum(ratio.log_ratio) AS logw,
+         CAST(count(*) AS BIGINT) AS ntok
+  FROM bk JOIN ratio USING (bucket) GROUP BY 1
+), dsc AS (
+  SELECT d.doc_id, coalesce(per.logw, 0.0) AS logw,
+         coalesce(per.ntok, 0) AS ntok
+  FROM documents d LEFT JOIN per USING (doc_id)
+)
+SELECT doc_id,
+  round(logw, 6) AS dsir_logw,
+  ntok AS dsir_n_tokens,
+  round(logw + (-ln(-ln(
+    (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':1'), 1, 8)
+          AS BIGINT) + 1.0) / 4294967297.0))), 6) AS dsir_key
+FROM dsc
+""")
 
 _ORACLES["lpc_modulation"] = _join_sql(
     ("conv_id", "n_turns"), _ORACLES["lpc_modulation"],
