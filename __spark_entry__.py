@@ -5317,6 +5317,35 @@ def q_dsir(spark, sf_dir):
         .alias("dsir_key"))
 
 
+def q_robots(spark, sf_dir):
+    """robots.txt crawl-permission matching (opensmile_spark/robots.py,
+    RFC 9309): deterministic robots bodies per synthesized host (.org
+    hosts carry a corpusbot group with a wildcard disallow + longer
+    anchored allow; .co.uk hosts only a '*' group, exercising the
+    agent-specificity fallback), parsed with the window-function group
+    model and matched longest-match against every document URL's path.
+    The DuckDB twin replays parse, group assignment, pattern->regex
+    translation and the (plen, is_allow, path) argmax exactly."""
+    from opensmile_spark.robots import match_robots, parse_robots
+    from opensmile_spark.urlops import parse_urls, synth_urls
+
+    urls = parse_urls(synth_urls(_docs(spark, sf_dir))).select(
+        "doc_id", F.col("url_host").alias("host"),
+        F.col("url_path").alias("path"))
+    hosts = urls.select("host").distinct()
+    org = ("# synthetic robots\nUser-agent: corpusbot\n"
+           "Disallow: /a//b/doc-1*\nAllow: /a//b/doc-12$\n\n"
+           "User-agent: *\nDisallow: /\n")
+    uk = ("User-agent: *\nDisallow: /a//b/doc-3\n"
+          "Disallow: /a//b/doc-4*\n")
+    rb = hosts.withColumn(
+        "robots_txt",
+        F.when(F.col("host").endswith(".co.uk"), F.lit(uk))
+        .otherwise(F.lit(org)))
+    return match_robots(urls, parse_robots(rb), "CorpusBot").select(
+        "doc_id", "robots_allowed", "robots_rule")
+
+
 def q_docfeat_bank(spark, sf_dir):
     """Per-doc text analysis + dedup signatures + C4 structural quality
     signals in one doc_id-grain bank (constituents: `text_metrics`,
@@ -5353,7 +5382,8 @@ def q_docfeat_bank(spark, sf_dir):
                   q_nb_quality(spark, sf_dir),
                   q_html_extract(spark, sf_dir),
                   q_url_extract(spark, sf_dir),
-                  q_dsir(spark, sf_dir))
+                  q_dsir(spark, sf_dir),
+                  q_robots(spark, sf_dir))
 
 
 def q_nb_quality(spark, sf_dir):
@@ -5743,6 +5773,92 @@ SELECT doc_id,
     (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':1'), 1, 8)
           AS BIGINT) + 1.0) / 4294967297.0))), 6) AS dsir_key
 FROM dsc
+""", r"""
+WITH u AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE 'cdn.' END)
+    || lower(source)
+    || (CASE WHEN doc_id % 4 = 1 THEN '.co.uk' ELSE '.org' END) AS host,
+    '/a//b/doc-' || CAST(doc_id AS VARCHAR)
+    || (CASE WHEN doc_id % 3 = 2 THEN '/' ELSE '' END) AS path
+  FROM documents
+), hosts AS (
+  SELECT DISTINCT host FROM u
+), rb AS (
+  SELECT host, CASE WHEN host LIKE '%.co.uk' THEN
+    'User-agent: *' || chr(10) || 'Disallow: /a//b/doc-3' || chr(10)
+    || 'Disallow: /a//b/doc-4*' || chr(10)
+  ELSE
+    '# synthetic robots' || chr(10) || 'User-agent: corpusbot' || chr(10)
+    || 'Disallow: /a//b/doc-1*' || chr(10) || 'Allow: /a//b/doc-12$'
+    || chr(10) || chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /'
+    || chr(10)
+  END AS txt FROM hosts
+), lx AS (
+  SELECT host, string_split_regex(txt, '\r?\n') AS ls FROM rb
+), lines AS (
+  SELECT host, i AS line_idx,
+    trim(regexp_replace(ls[i], '#.*$', '')) AS line
+  FROM lx, unnest(generate_series(1, len(ls))) t(i)
+), kv0 AS (
+  SELECT host, line_idx,
+    lower(trim(regexp_extract(line, '^([^:]+):', 1))) AS key,
+    trim(regexp_extract(line, '^[^:]+:(.*)$', 1)) AS value
+  FROM lines WHERE line <> ''
+), kv AS (
+  SELECT * FROM kv0
+  WHERE key IN ('user-agent', 'allow', 'disallow', 'sitemap')
+), kg AS (
+  SELECT *,
+    CAST(key = 'user-agent'
+         AND coalesce(lag(key) OVER (PARTITION BY host ORDER BY line_idx),
+                      '') <> 'user-agent' AS INT) AS starts_group
+  FROM kv
+), kgg AS (
+  SELECT *, sum(starts_group) OVER (
+    PARTITION BY host ORDER BY line_idx
+    ROWS UNBOUNDED PRECEDING) AS group_id
+  FROM kg
+), agents AS (
+  SELECT host, group_id, lower(value) AS agent
+  FROM kgg WHERE key = 'user-agent'
+), rl AS (
+  SELECT host, group_id, key AS rule, value AS rule_path
+  FROM kgg WHERE key IN ('allow', 'disallow') AND value <> ''
+), grouped AS (
+  SELECT a.host, a.agent, r.rule, r.rule_path
+  FROM agents a JOIN rl r USING (host, group_id)
+), cand AS (
+  SELECT host, rule, rule_path,
+    CAST(agent = 'corpusbot' AS INT) AS exact
+  FROM grouped WHERE agent IN ('corpusbot', '*')
+), lvl AS (
+  SELECT host, max(exact) AS best FROM cand GROUP BY 1
+), r2 AS (
+  SELECT c.host, c.rule, c.rule_path,
+    len(c.rule_path) AS plen,
+    '^' || (CASE WHEN c.rule_path LIKE '%$'
+            THEN replace(regexp_replace(c.rule_path,
+                 '([.^+?(){}\[\]\\|])', '\\\1', 'g'), '*', '.*')
+            ELSE replace(regexp_replace(c.rule_path,
+                 '([.^+?(){}\[\]\\|])', '\\\1', 'g'), '*', '.*') || '.*'
+            END) AS rx
+  FROM cand c JOIN lvl USING (host) WHERE c.exact = lvl.best
+), hits AS (
+  SELECT u.doc_id, r2.rule_path, r2.plen,
+    CAST(r2.rule = 'allow' AS INT) AS is_allow,
+    row_number() OVER (PARTITION BY u.doc_id
+      ORDER BY r2.plen DESC, CAST(r2.rule = 'allow' AS INT) DESC,
+               r2.rule_path DESC) AS rn
+  FROM u JOIN r2 USING (host)
+  WHERE regexp_matches(u.path, r2.rx)
+), win AS (
+  SELECT doc_id, is_allow, rule_path FROM hits WHERE rn = 1
+)
+SELECT u.doc_id,
+  coalesce(win.is_allow, 1) AS robots_allowed,
+  coalesce(win.rule_path, '') AS robots_rule
+FROM u LEFT JOIN win USING (doc_id)
 """)
 
 _ORACLES["lpc_modulation"] = _join_sql(
