@@ -5346,6 +5346,30 @@ def q_robots(spark, sf_dir):
         "doc_id", "robots_allowed", "robots_rule")
 
 
+def q_pagerank(spark, sf_dir):
+    """Host-graph PageRank (opensmile_spark/linkgraph.py — the
+    CommonCrawl-style domain-centrality quality prior): deterministic
+    cross-host edges derived from the documents table (each doc's host
+    links to the host of doc (id*31+7) mod N), 3 damped iterations with
+    uniform dangling-mass redistribution, mapped back to doc grain. The
+    DuckDB twin unrolls the 3 iterations as CTEs, pinning the iterative
+    join loop numerically (round 1e-9)."""
+    from opensmile_spark.linkgraph import host_graph, pagerank
+    from opensmile_spark.urlops import parse_urls, synth_urls
+
+    urls = parse_urls(synth_urls(_docs(spark, sf_dir))).select(
+        "doc_id", F.col("url_host").alias("host"))
+    n = _docs(spark, sf_dir).count()
+    partner = urls.select(F.col("doc_id").alias("pid"),
+                          F.col("host").alias("dst_host"))
+    raw = urls.join(partner,
+                    partner["pid"] == (F.col("doc_id") * 31 + 7) % n) \
+        .select("host", "dst_host")
+    pr = pagerank(host_graph(raw), iterations=3)
+    return urls.join(pr, "host").select(
+        "doc_id", F.round("rank", 9).alias("host_rank"))
+
+
 def q_docfeat_bank(spark, sf_dir):
     """Per-doc text analysis + dedup signatures + C4 structural quality
     signals in one doc_id-grain bank (constituents: `text_metrics`,
@@ -5383,7 +5407,8 @@ def q_docfeat_bank(spark, sf_dir):
                   q_html_extract(spark, sf_dir),
                   q_url_extract(spark, sf_dir),
                   q_dsir(spark, sf_dir),
-                  q_robots(spark, sf_dir))
+                  q_robots(spark, sf_dir),
+                  q_pagerank(spark, sf_dir))
 
 
 def q_nb_quality(spark, sf_dir):
@@ -5859,6 +5884,60 @@ SELECT u.doc_id,
   coalesce(win.is_allow, 1) AS robots_allowed,
   coalesce(win.rule_path, '') AS robots_rule
 FROM u LEFT JOIN win USING (doc_id)
+""", r"""
+WITH u AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE 'cdn.' END)
+    || lower(source)
+    || (CASE WHEN doc_id % 4 = 1 THEN '.co.uk' ELSE '.org' END) AS host
+  FROM documents
+), nn0 AS (
+  SELECT count(*) AS nd FROM documents
+), raw AS (
+  SELECT a.host AS src, b.host AS dst
+  FROM u a JOIN nn0 ON TRUE
+  JOIN u b ON b.doc_id = (a.doc_id * 31 + 7) % nn0.nd
+  WHERE a.host <> b.host
+), e AS (
+  SELECT src, dst FROM raw GROUP BY 1, 2
+), nodes AS (
+  SELECT src AS host FROM e UNION SELECT dst FROM e
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+), deg AS (
+  SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY 1
+), r0 AS (
+  SELECT host, 1.0 / nn.n AS rank FROM nodes, nn
+),
+d0 AS (SELECT coalesce(sum(rank), 0.0) AS dm
+       FROM r0 LEFT JOIN deg ON r0.host = deg.src WHERE outdeg IS NULL),
+i0 AS (SELECT e.dst AS host, sum(r0.rank / deg.outdeg) AS inflow
+       FROM e JOIN r0 ON e.src = r0.host JOIN deg ON e.src = deg.src
+       GROUP BY 1),
+r1 AS (SELECT nodes.host,
+         (1.0 - 0.85) / nn.n
+         + 0.85 * (coalesce(i0.inflow, 0.0) + d0.dm / nn.n) AS rank
+       FROM nodes LEFT JOIN i0 USING (host), nn, d0),
+d1 AS (SELECT coalesce(sum(rank), 0.0) AS dm
+       FROM r1 LEFT JOIN deg ON r1.host = deg.src WHERE outdeg IS NULL),
+i1 AS (SELECT e.dst AS host, sum(r1.rank / deg.outdeg) AS inflow
+       FROM e JOIN r1 ON e.src = r1.host JOIN deg ON e.src = deg.src
+       GROUP BY 1),
+r2 AS (SELECT nodes.host,
+         (1.0 - 0.85) / nn.n
+         + 0.85 * (coalesce(i1.inflow, 0.0) + d1.dm / nn.n) AS rank
+       FROM nodes LEFT JOIN i1 USING (host), nn, d1),
+d2 AS (SELECT coalesce(sum(rank), 0.0) AS dm
+       FROM r2 LEFT JOIN deg ON r2.host = deg.src WHERE outdeg IS NULL),
+i2 AS (SELECT e.dst AS host, sum(r2.rank / deg.outdeg) AS inflow
+       FROM e JOIN r2 ON e.src = r2.host JOIN deg ON e.src = deg.src
+       GROUP BY 1),
+r3 AS (SELECT nodes.host,
+         (1.0 - 0.85) / nn.n
+         + 0.85 * (coalesce(i2.inflow, 0.0) + d2.dm / nn.n) AS rank
+       FROM nodes LEFT JOIN i2 USING (host), nn, d2)
+SELECT u.doc_id, round(r3.rank, 9) AS host_rank
+FROM u JOIN r3 ON u.host = r3.host
 """)
 
 _ORACLES["lpc_modulation"] = _join_sql(
