@@ -502,6 +502,28 @@ def cmd_smileconf(spark, args):
                       "report": cfg["report"]}))
 
 
+def cmd_crawl(spark, args):
+    """WARC archives -> extracted-document parquet: record split, 2xx
+    text/html filter, HTML text extraction (expr or arrow path),
+    canonical-URL dedup key + crawl signals."""
+    from opensmile_spark.htmlops import html_signals, html_to_text
+    from opensmile_spark.urlops import normalize_url, url_signals
+    from opensmile_spark.warc import read_warc, warc_to_documents
+
+    docs = warc_to_documents(read_warc(spark, args.input))
+    out = html_signals(
+        html_to_text(docs, html_col="html", out_col="text",
+                     method=args.method),
+        html_col="html")
+    out = normalize_url(url_signals(out, url_col="url"), url_col="url")
+    out = out.select(
+        "warc_file", "record_idx", "url", "url_norm", "url_reg_domain",
+        "text", "text_chars", "link_density", "markup_ratio", "title")
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"output": args.output, "n_pages": n}))
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="opensmile_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -708,6 +730,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--cm", action="append", default=[],
                     help="command-line substitution for \\cm[name] refs, "
                          "as name=value (repeatable)")
+    sp = sub.add_parser("crawl",
+                        help="WARC archives -> extracted-document parquet")
+    sp.add_argument("--input", required=True,
+                    help="WARC path/glob (.warc or .warc.gz)")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--method", default="expr", choices=["expr", "arrow"],
+                    help="HTML text extraction path (expr = codegen'd "
+                         "regex chain; arrow = streaming parser)")
+
     return p
 
 
@@ -736,7 +767,8 @@ def main(argv=None):
      "linededup": cmd_linededup,
      "pack": cmd_pack,
      "runconfig": cmd_runconfig,
-     "smileconf": cmd_smileconf}[args.cmd](spark, args)
+     "smileconf": cmd_smileconf,
+     "crawl": cmd_crawl}[args.cmd](spark, args)
 
 
 if __name__ == "__main__":

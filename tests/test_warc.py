@@ -184,3 +184,31 @@ def test_stream_warc_ingest(spark, tmp_path):
     assert len(urls) == 6  # 2 + 3 + 1, each archive read exactly once
     assert urls[0] == "https://ex.org/0/p0"
     assert sum(1 for u in urls if u.startswith("https://ex.org/1/")) == 3
+
+
+def test_cli_crawl_inprocess(spark, tmp_path, capsys):
+    """The `crawl` CLI subcommand end-to-end: WARC archives in,
+    extracted-document parquet out (text + canonical URL + signals)."""
+    from opensmile_spark.cli import main
+
+    p = tmp_path / "c.warc.gz"
+    p.write_bytes(write_warc(
+        [{"warc_type": "response",
+          "target_uri": f"https://EX.org/p{i}?utm_source=x&i={i}",
+          "body": f"<h1>T{i}</h1><p>body {i}</p>"
+                  f'<a href="/next">next</a>'}
+         for i in range(4)]))
+    out = str(tmp_path / "pages")
+    main(["crawl", "--input", str(tmp_path / "*.warc.gz"),
+          "--output", out])
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 4
+    by = {r["url"]: r for r in rows}
+    r = by["https://EX.org/p1?utm_source=x&i=1"]
+    assert r["url_norm"] == "https://ex.org/p1?i=1"
+    assert r["text"] == "T1\nbody 1\nnext"
+    assert r["url_reg_domain"] == "ex.org"
+    assert r["link_density"] > 0
+    import json as _json
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_pages"] == 4
