@@ -5370,6 +5370,27 @@ def q_pagerank(spark, sf_dir):
         "doc_id", F.round("rank", 9).alias("host_rank"))
 
 
+def q_textnorm(spark, sf_dir):
+    """Unicode text normalization (opensmile_spark/textnorm.py): the doc
+    text is dirtied deterministically (every 'e' decomposed to
+    e+COMBINING ACUTE, an NBSP/ZWSP/control tail appended), then the
+    map-only cleanup chain (CRLF fold, control + zero-width strip,
+    Unicode-space fold) and the Arrow NFC kernel run. The DuckDB twin
+    replays the dirtying + cleanup with the same RE2 classes and
+    nfc_normalize — a cross-engine pin of Python unicodedata NFC vs
+    DuckDB utf8proc NFC."""
+    from opensmile_spark.textnorm import clean_text, unicode_normalize
+
+    dirty = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.regexp_replace("text", "e", "é"),
+                 F.lit(" tail​\x01")).alias("t2"))
+    out = unicode_normalize(clean_text(dirty, "t2"), "t2", form="NFC")
+    return out.select(
+        "doc_id", F.col("t2").alias("norm_text"),
+        F.length("t2").cast("long").alias("norm_chars"))
+
+
 def q_docfeat_bank(spark, sf_dir):
     """Per-doc text analysis + dedup signatures + C4 structural quality
     signals in one doc_id-grain bank (constituents: `text_metrics`,
@@ -5408,7 +5429,8 @@ def q_docfeat_bank(spark, sf_dir):
                   q_url_extract(spark, sf_dir),
                   q_dsir(spark, sf_dir),
                   q_robots(spark, sf_dir),
-                  q_pagerank(spark, sf_dir))
+                  q_pagerank(spark, sf_dir),
+                  q_textnorm(spark, sf_dir))
 
 
 def q_nb_quality(spark, sf_dir):
@@ -5938,6 +5960,25 @@ r3 AS (SELECT nodes.host,
        FROM nodes LEFT JOIN i2 USING (host), nn, d2)
 SELECT u.doc_id, round(r3.rank, 9) AS host_rank
 FROM u JOIN r3 ON u.host = r3.host
+""", r"""
+WITH dirty AS (
+  SELECT doc_id,
+    regexp_replace(text, 'e', 'e' || chr(769), 'g')
+    || chr(160) || 'tail' || chr(8203) || chr(1) AS t2
+  FROM documents
+), cleaned AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(t2,
+      '\r\n?', chr(10), 'g'),
+      '[\x{200B}\x{200C}\x{200D}\x{2060}\x{FEFF}]', '', 'g'),
+      '[\x00-\x08\x0B-\x1F\x7F\x{0080}-\x{009F}]', '', 'g'),
+      '[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]', ' ',
+      'g') AS t2
+  FROM dirty
+)
+SELECT doc_id, nfc_normalize(t2) AS norm_text,
+  CAST(len(nfc_normalize(t2)) AS BIGINT) AS norm_chars
+FROM cleaned
 """)
 
 _ORACLES["lpc_modulation"] = _join_sql(
