@@ -906,12 +906,27 @@ def q_lpc_modulation(spark, sf_dir):
 
 def q_turn_detector(spark, sf_dir):
     """cTurnDetector hysteresis on the token_cnt 'energy': n_pre=2 to
-    open, n_post=2 to close; per-row turn labels."""
+    open, n_post=2 to close; per-row turn labels. Round-5 merge: the
+    per-conversation agent-trajectory metrics (trajectory.py — tool-call
+    volume/diversity, same-tool loop runs, role-protocol health, reply
+    latency) join the turn-grain rows on conv_id, the same same-grain
+    merge pattern as salted_stats. The base table's tool name is
+    constant ('checkout'), so the gate derives a varied tool key
+    tool || turn_idx % 3 identically on both sides to exercise the
+    distinct-tool and run-length paths."""
     from opensmile_spark.operators import turn_detector
+    from opensmile_spark.trajectory import trajectory_metrics
 
     out = turn_detector(_lld(spark, sf_dir), "token_cnt", threshold=6.0,
                         n_pre=2, n_post=2)
-    return out.select("conv_id", "turn_idx", "turn_id")
+    t = _transcripts(spark, sf_dir).withColumn(
+        "tool",
+        F.concat(F.col("tool"), (F.col("turn_idx") % 3).cast("string")))
+    traj = trajectory_metrics(t, loop_min=3)
+    traj = traj.withColumn(
+        "mean_reply_latency_s", F.round("mean_reply_latency_s", 6))
+    return out.select("conv_id", "turn_idx", "turn_id").join(
+        traj, "conv_id")
 
 
 def q_median_smooth(spark, sf_dir):
@@ -3864,11 +3879,56 @@ _ORACLES["turn_detector"] = SQL_PREFIX + """
     CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY g) - 1
          AS INTEGER) AS turn_id
   FROM grp GROUP BY conv_id, g HAVING COUNT(*) >= 2
+), traj_base AS (
+  SELECT conv_id, turn_idx, role,
+    CASE WHEN role = 'tool'
+         THEN tool || CAST(turn_idx % 3 AS VARCHAR) END AS tool_k,
+    lag(role) OVER w AS prev_role,
+    1e-6*epoch_us(ts) - 1e-6*epoch_us(lag(ts) OVER w) AS gap_s
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), traj_per_turn AS (
+  SELECT conv_id,
+    COUNT(*) AS n_turns,
+    COUNT(CASE WHEN role = 'tool' THEN 1 END) AS n_tool_calls,
+    COUNT(DISTINCT CASE WHEN role = 'tool' THEN tool_k END)
+        AS n_distinct_tools,
+    COUNT(CASE WHEN role = prev_role THEN 1 END) AS n_role_repeats,
+    COUNT(CASE WHEN role = 'user' THEN 1 END) AS n_user_turns,
+    COUNT(CASE WHEN role = 'assistant' THEN 1 END) AS n_assistant_turns,
+    ROUND(AVG(CASE WHEN role = 'assistant' THEN gap_s END), 6)
+        AS mean_reply_latency_s
+  FROM traj_base GROUP BY conv_id
+), traj_runs AS (
+  SELECT conv_id, MAX(len) AS max_tool_run,
+    COUNT(CASE WHEN len >= 3 THEN 1 END) AS n_tool_loops
+  FROM (
+    SELECT conv_id, run_id, COUNT(*) AS len FROM (
+      SELECT conv_id,
+        SUM(CASE WHEN prev_tool IS NULL OR prev_tool <> tool_k
+                 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY conv_id ORDER BY turn_idx
+                  ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM (
+        SELECT conv_id, turn_idx, tool_k,
+          lag(tool_k) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+              AS prev_tool
+        FROM traj_base WHERE role = 'tool'
+      )
+    ) GROUP BY conv_id, run_id
+  ) GROUP BY conv_id
 )
-SELECT a.conv_id, a.turn_idx, v.turn_id
+SELECT a.conv_id, a.turn_idx, v.turn_id,
+  p.n_turns, p.n_tool_calls, p.n_distinct_tools,
+  COALESCE(r.max_tool_run, 0) AS max_tool_run,
+  COALESCE(r.n_tool_loops, 0) AS n_tool_loops,
+  p.n_role_repeats, p.n_user_turns, p.n_assistant_turns,
+  p.mean_reply_latency_s
 FROM act a
 LEFT JOIN grp gr ON gr.conv_id = a.conv_id AND gr.i = a.i
 LEFT JOIN valid v ON v.conv_id = a.conv_id AND v.g = gr.g
+JOIN traj_per_turn p ON p.conv_id = a.conv_id
+LEFT JOIN traj_runs r ON r.conv_id = a.conv_id
 """
 
 _ORACLES["median_smooth"] = SQL_PREFIX + """

@@ -1,0 +1,76 @@
+"""Agent-trajectory metrics (trajectory.py): hand-computed oracle on a
+tiny scripted conversation, plus edge cases (no tool calls, single turn).
+
+Reference analogue: per-segment fixed statistics as in
+/root/reference/src/functionals/functionals.cpp:61-118 — here the
+"signal" is the tool-call sequence of an agent transcript.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opensmile_spark.trajectory import trajectory_metrics
+
+
+def _conv(spark, conv_id, turns, ts0=1_704_067_200.0, gap=10.0):
+    """turns: list of (role, tool_or_None)."""
+    rows = []
+    for i, (role, tool) in enumerate(turns):
+        rows.append((conv_id, i, role, tool, ts0 + i * gap))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string, "
+              "epoch double")
+    return df.withColumn("ts", F.timestamp_seconds("epoch")).drop("epoch")
+
+
+def test_trajectory_hand_oracle(spark):
+    # scripted agent run: user -> assistant -> 3x same tool (a loop) ->
+    # assistant -> 2x different tools -> assistant -> assistant (repeat!)
+    turns = [
+        ("user", None),          # 0
+        ("assistant", None),     # 1   latency 10
+        ("tool", "search"),      # 2
+        ("tool", "search"),      # 3
+        ("tool", "search"),      # 4   <- run of 3 (loop)
+        ("assistant", None),     # 5   latency 10
+        ("tool", "fetch"),       # 6
+        ("tool", "calc"),        # 7
+        ("assistant", None),     # 8   latency 10
+        ("assistant", None),     # 9   latency 10, role repeat
+    ]
+    out = trajectory_metrics(_conv(spark, "c1", turns)).collect()[0]
+    assert out["n_turns"] == 10
+    assert out["n_tool_calls"] == 5
+    assert out["n_distinct_tools"] == 3
+    assert out["max_tool_run"] == 3          # search,search,search
+    assert out["n_tool_loops"] == 1          # only the search run >= 3
+    # adjacent same-role pairs: (2,3),(3,4),(6,7) tools, (8,9) = 4
+    assert out["n_role_repeats"] == 4
+    assert out["n_user_turns"] == 1
+    assert out["n_assistant_turns"] == 4
+    assert abs(out["mean_reply_latency_s"] - 10.0) < 1e-9
+
+
+def test_trajectory_no_tools_and_single_turn(spark):
+    df = _conv(spark, "a", [("user", None), ("assistant", None)]).unionAll(
+        _conv(spark, "b", [("user", None)]))
+    rows = {r["conv_id"]: r for r in trajectory_metrics(df).collect()}
+    a, b = rows["a"], rows["b"]
+    assert a["n_tool_calls"] == 0 and a["max_tool_run"] == 0
+    assert a["n_tool_loops"] == 0 and a["n_distinct_tools"] == 0
+    assert b["n_turns"] == 1 and b["n_role_repeats"] == 0
+    assert b["mean_reply_latency_s"] is None  # no assistant turn
+
+
+def test_trajectory_interleaved_tool_runs(spark):
+    # same tool NOT consecutive in the tool subsequence -> separate runs
+    turns = [
+        ("tool", "x"), ("assistant", None), ("tool", "x"),
+        ("tool", "y"), ("tool", "x"),
+    ]
+    out = trajectory_metrics(_conv(spark, "c", turns)).collect()[0]
+    # tool subsequence: x, x, y, x -> runs: [x,x], [y], [x]
+    assert out["max_tool_run"] == 2
+    assert out["n_tool_loops"] == 0
+    assert out["n_distinct_tools"] == 2
