@@ -17,12 +17,13 @@ statistics per segment; here the "signal" is the tool-call sequence):
   * reply latency: mean seconds between an assistant turn and the turn
     before it.
 
-Everything is built from ONE lag() window pass over the conversation's
-turn order plus per-conversation aggregation, so the whole operator
-rides the same hash exchange as the LLD chain (partition by conv_id) —
-no Python, no extra shuffle beyond the groupBy. At 10^12 turns this is
-a single map-side-combinable aggregation per conversation; the run
-(gaps-and-islands) stage reuses the conv_id partitioning.
+Single-lineage plan: ONE scan, ONE hash exchange on the group key, the
+window pass (lag/last/cumsum all share the conv_id+turn_idx sort), then
+a two-level aggregation (group, run) -> (group). The second aggregation
+needs no reshuffle — hash partitioning on the group key already
+satisfies the (group, run) clustering — and there is no join. At 10^12
+turns the input scan dominates; this formulation reads it once (the
+first version scanned twice and merged with a SortMergeJoin).
 """
 
 from __future__ import annotations
@@ -55,6 +56,7 @@ def trajectory_metrics(
     """
     by = list(by)
     w = Window.partitionBy(*by).orderBy(order_col)
+    is_tool = F.col("_role") == "tool"
 
     base = df.select(
         *by, order_col,
@@ -66,56 +68,67 @@ def trajectory_metrics(
     ).withColumn(
         "_gap_s",
         epoch_seconds("_ts") - F.lag(epoch_seconds("_ts")).over(w),
-    )
-
-    per_turn = base.groupBy(*by).agg(
-        F.count(F.lit(1)).cast("long").alias("n_turns"),
-        F.count(F.when(F.col("_role") == "tool", 1)).cast("long")
-        .alias("n_tool_calls"),
-        F.countDistinct(
-            F.when(F.col("_role") == "tool", F.col("_tool"))
-        ).cast("long").alias("n_distinct_tools"),
-        F.count(
-            F.when(F.col("_role") == F.col("_prev_role"), 1)
-        ).cast("long").alias("n_role_repeats"),
-        F.count(F.when(F.col("_role") == "user", 1)).cast("long")
-        .alias("n_user_turns"),
-        F.count(F.when(F.col("_role") == "assistant", 1)).cast("long")
-        .alias("n_assistant_turns"),
-        F.avg(
-            F.when(F.col("_role") == "assistant", F.col("_gap_s"))
-        ).alias("mean_reply_latency_s"),
-    )
-
-    # Gaps-and-islands over the TOOL-CALL subsequence: restrict to tool
-    # turns, then a run starts wherever the tool name differs from the
-    # previous tool call's (or at the first call). run_id = running sum
-    # of starts; island length = rows per (group, run_id).
-    tools = base.filter(F.col("_role") == "tool").withColumn(
+    ).withColumn(
+        # the PREVIOUS tool call's tool name (running last over the
+        # strictly-preceding frame, non-tool rows transparent) — a new
+        # same-tool run starts where it differs or doesn't exist
+        "_prev_tool_call",
+        F.last(F.when(is_tool, F.col("_tool")), ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    ).withColumn(
         "_new_run",
         F.when(
-            F.lag("_tool").over(w).isNull()
-            | (F.lag("_tool").over(w) != F.col("_tool")),
+            is_tool
+            & (F.col("_prev_tool_call").isNull()
+               | (F.col("_prev_tool_call") != F.col("_tool"))),
             F.lit(1),
         ).otherwise(F.lit(0)),
-    ).withColumn("_run_id", F.sum("_new_run").over(
-        w.rowsBetween(Window.unboundedPreceding, 0)))
-    runs = (
-        tools.groupBy(*by, "_run_id").agg(F.count(F.lit(1)).alias("_len"))
-        .groupBy(*by).agg(
-            F.max("_len").cast("long").alias("max_tool_run"),
-            F.count(F.when(F.col("_len") >= loop_min, 1)).cast("long")
-            .alias("n_tool_loops"),
-        )
+    ).withColumn(
+        # run ordinal among this group's tool calls; NULL for non-tool
+        # rows so the (group, run) aggregation keeps them in their own
+        # bucket instead of folding them into the nearest run
+        "_run_key",
+        F.when(is_tool, F.sum("_new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, 0))),
     )
 
-    out = per_turn.join(runs, on=by, how="left").select(
-        *by, "n_turns", "n_tool_calls", "n_distinct_tools",
-        F.coalesce("max_tool_run", F.lit(0)).cast("long")
-        .alias("max_tool_run"),
-        F.coalesce("n_tool_loops", F.lit(0)).cast("long")
-        .alias("n_tool_loops"),
-        "n_role_repeats", "n_user_turns", "n_assistant_turns",
-        "mean_reply_latency_s",
+    # level 1: one row per (group, tool-run) — plus one NULL-key row per
+    # group carrying the non-tool partials. Hash partitioning on `by`
+    # satisfies this clustering, so no second exchange.
+    runs = base.groupBy(*by, "_run_key").agg(
+        F.count(F.lit(1)).alias("_n_rows"),
+        F.count(F.when(is_tool, 1)).alias("_run_len"),
+        F.first(F.when(is_tool, F.col("_tool"))).alias("_run_tool"),
+        F.count(F.when(F.col("_role") == F.col("_prev_role"), 1))
+        .alias("_role_repeats"),
+        F.count(F.when(F.col("_role") == "user", 1)).alias("_n_user"),
+        F.count(F.when(F.col("_role") == "assistant", 1))
+        .alias("_n_assistant"),
+        F.sum(F.when(F.col("_role") == "assistant", F.col("_gap_s")))
+        .alias("_lat_sum"),
+        F.count(F.when(F.col("_role") == "assistant", F.col("_gap_s")))
+        .alias("_lat_cnt"),
+    )
+
+    # level 2: fold runs into the per-group summary
+    out = runs.groupBy(*by).agg(
+        F.sum("_n_rows").cast("long").alias("n_turns"),
+        F.sum("_run_len").cast("long").alias("n_tool_calls"),
+        F.countDistinct("_run_tool").cast("long").alias("n_distinct_tools"),
+        F.coalesce(
+            F.max(F.when(F.col("_run_key").isNotNull(), F.col("_run_len"))),
+            F.lit(0),
+        ).cast("long").alias("max_tool_run"),
+        F.count(
+            F.when(
+                F.col("_run_key").isNotNull()
+                & (F.col("_run_len") >= loop_min), 1)
+        ).cast("long").alias("n_tool_loops"),
+        F.sum("_role_repeats").cast("long").alias("n_role_repeats"),
+        F.sum("_n_user").cast("long").alias("n_user_turns"),
+        F.sum("_n_assistant").cast("long").alias("n_assistant_turns"),
+        (F.sum("_lat_sum")
+         / F.when(F.sum("_lat_cnt") > 0, F.sum("_lat_cnt")))
+        .alias("mean_reply_latency_s"),
     )
     return out
