@@ -562,11 +562,29 @@ def q_text_metrics(spark, sf_dir):
 
 def q_exact_dedup(spark, sf_dir):
     """Prefix-key variant so the shared corpus (no verbatim dups) still
-    exercises the hash-groupBy dedup path with non-empty output."""
+    exercises the hash-groupBy dedup path with non-empty output.
+    Round-5 merge: CONVERSATION-grain structural dedup rides the same
+    gate under path='conv' — conversations fingerprinted on their
+    ordered role sequence (trajectory.conversation_fingerprints,
+    cols=('role',)), duplicate interaction shapes grouped exactly like
+    duplicate documents."""
     from opensmile_spark.dedup import exact_dedup
+    from opensmile_spark.trajectory import conversation_fingerprints
 
     docs = _docs(spark, sf_dir)
-    return exact_dedup(docs, key=F.substring(F.col("text"), 1, 40))
+    d = exact_dedup(docs, key=F.substring(F.col("text"), 1, 40)).select(
+        F.lit("doc").alias("path"), "content_md5",
+        F.col("survivor_id").cast("string").alias("survivor_id"),
+        "n_dups")
+    fp = conversation_fingerprints(
+        _transcripts(spark, sf_dir), cols=("role",))
+    c = (fp.groupBy(F.col("conv_fp").alias("content_md5"))
+         .agg(F.min("conv_id").alias("survivor_id"),
+              F.count("*").alias("n_dups"))
+         .filter(F.col("n_dups") > 1)
+         .select(F.lit("conv").alias("path"), "content_md5",
+                 "survivor_id", "n_dups"))
+    return d.unionByName(c)
 
 
 def q_doc_signatures(spark, sf_dir):
@@ -4249,10 +4267,20 @@ SELECT doc_id, md5(text) AS doc_md5,
 FROM documents
 """
 
-_ORACLES["exact_dedup"] = """
-SELECT md5(substr(text, 1, 40)) AS content_md5, MIN(doc_id) AS survivor_id,
+_ORACLES["exact_dedup"] = SQL_PREFIX + """
+, doc_dups AS (
+  SELECT 'doc' AS path, md5(substr(text, 1, 40)) AS content_md5,
+         CAST(MIN(doc_id) AS VARCHAR) AS survivor_id, COUNT(*) AS n_dups
+  FROM documents GROUP BY md5(substr(text, 1, 40)) HAVING COUNT(*) > 1
+), conv_fp AS (
+  SELECT conv_id, md5(string_agg(role, chr(30) ORDER BY turn_idx)) AS fp
+  FROM transcripts GROUP BY conv_id
+)
+SELECT * FROM doc_dups
+UNION ALL
+SELECT 'conv' AS path, fp AS content_md5, MIN(conv_id) AS survivor_id,
        COUNT(*) AS n_dups
-FROM documents GROUP BY md5(substr(text, 1, 40)) HAVING COUNT(*) > 1
+FROM conv_fp GROUP BY fp HAVING COUNT(*) > 1
 """
 
 _MH_COLS = ", ".join(

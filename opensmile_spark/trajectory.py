@@ -36,6 +36,36 @@ from pyspark.sql import functions as F
 from opensmile_spark.util import epoch_seconds
 
 
+def conversation_fingerprints(
+    df: DataFrame,
+    by: Sequence[str] = ("conv_id",),
+    order_col: str = "turn_idx",
+    cols: Sequence[str] = ("role", "text"),
+    out_col: str = "conv_fp",
+) -> DataFrame:
+    """One md5 fingerprint per conversation over the ORDERED turn
+    sequence — the conversation-grain analogue of document content
+    hashing. `cols=("role",)` fingerprints only the interaction shape
+    (structural dedup: conversations with identical role protocols),
+    the default fingerprints full content (verbatim re-ingest dedup).
+
+    The per-group concatenation is bounded by conversation length; at
+    10^12 turns a mega-conversation's turn texts still fit one
+    aggregation buffer (they fit one Arrow batch elsewhere in the
+    engine), and the md5-of-ordered-string form is what keeps the
+    fingerprint DuckDB-twinnable (string_agg ... ORDER BY turn_idx).
+    Fields join on 0x1f, turns on 0x1e (unit / record separators), so
+    no text can alias a boundary.
+    """
+    by = list(by)
+    parts = F.concat_ws("\x1f", *[F.col(c) for c in cols])
+    arr = F.array_sort(F.collect_list(
+        F.struct(F.col(order_col).alias("i"), parts.alias("s"))))
+    joined = F.array_join(
+        F.transform(arr, lambda x: x["s"]), "\x1e")
+    return df.groupBy(*by).agg(F.md5(joined).alias(out_col))
+
+
 def trajectory_metrics(
     df: DataFrame,
     by: Sequence[str] = ("conv_id",),

@@ -63,6 +63,38 @@ def test_trajectory_no_tools_and_single_turn(spark):
     assert b["mean_reply_latency_s"] is None  # no assistant turn
 
 
+def test_conversation_fingerprints(spark):
+    from opensmile_spark.trajectory import conversation_fingerprints
+
+    rows = [
+        # a and b: same role shape, different text
+        ("a", 0, "user", "hi", None), ("a", 1, "assistant", "yo", None),
+        ("b", 0, "user", "hey", None), ("b", 1, "assistant", "sup", None),
+        # c: different shape
+        ("c", 0, "user", "hi", None),
+        # d: same CONTENT as a
+        ("d", 0, "user", "hi", None), ("d", 1, "assistant", "yo", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string")
+    struct_fp = {r["conv_id"]: r["conv_fp"] for r in
+                 conversation_fingerprints(df, cols=("role",)).collect()}
+    assert struct_fp["a"] == struct_fp["b"] == struct_fp["d"]
+    assert struct_fp["c"] != struct_fp["a"]
+    content_fp = {r["conv_id"]: r["conv_fp"] for r in
+                  conversation_fingerprints(df).collect()}
+    assert content_fp["a"] == content_fp["d"]
+    assert content_fp["a"] != content_fp["b"]   # text differs
+    # fingerprint is partitioning-independent (order comes from turn_idx,
+    # not from physical row order)
+    shuffled = {r["conv_id"]: r["conv_fp"] for r in
+                conversation_fingerprints(
+                    df.repartition(7).sortWithinPartitions("text")
+                ).collect()}
+    assert shuffled == content_fp
+
+
 def test_trajectory_interleaved_tool_runs(spark):
     # same tool NOT consecutive in the tool subsequence -> separate runs
     turns = [
