@@ -943,8 +943,12 @@ def q_turn_detector(spark, sf_dir):
     traj = trajectory_metrics(t, loop_min=3)
     traj = traj.withColumn(
         "mean_reply_latency_s", F.round("mean_reply_latency_s", 6))
+    from opensmile_spark.trajectory import turn_novelty
+
+    nov = turn_novelty(t).select(
+        "conv_id", "turn_idx", F.round("novelty", 6).alias("novelty"))
     return out.select("conv_id", "turn_idx", "turn_id").join(
-        traj, "conv_id")
+        traj, "conv_id").join(nov, ["conv_id", "turn_idx"])
 
 
 def q_median_smooth(spark, sf_dir):
@@ -3936,17 +3940,28 @@ _ORACLES["turn_detector"] = SQL_PREFIX + """
     ) GROUP BY conv_id, run_id
   ) GROUP BY conv_id
 )
+, novelty AS (
+  SELECT conv_id, turn_idx,
+    ROUND(CASE WHEN lag(text) OVER w IS NULL THEN 1.0
+          ELSE CAST(levenshtein(text, lag(text) OVER w) AS DOUBLE)
+               / NULLIF(GREATEST(length(text),
+                                 length(lag(text) OVER w)), 0)
+          END, 6) AS novelty
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
 SELECT a.conv_id, a.turn_idx, v.turn_id,
   p.n_turns, p.n_tool_calls, p.n_distinct_tools,
   COALESCE(r.max_tool_run, 0) AS max_tool_run,
   COALESCE(r.n_tool_loops, 0) AS n_tool_loops,
   p.n_role_repeats, p.n_user_turns, p.n_assistant_turns,
-  p.mean_reply_latency_s
+  p.mean_reply_latency_s, n.novelty
 FROM act a
 LEFT JOIN grp gr ON gr.conv_id = a.conv_id AND gr.i = a.i
 LEFT JOIN valid v ON v.conv_id = a.conv_id AND v.g = gr.g
 JOIN traj_per_turn p ON p.conv_id = a.conv_id
 LEFT JOIN traj_runs r ON r.conv_id = a.conv_id
+JOIN novelty n ON n.conv_id = a.conv_id AND n.turn_idx = a.turn_idx
 """
 
 _ORACLES["median_smooth"] = SQL_PREFIX + """

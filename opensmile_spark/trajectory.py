@@ -66,6 +66,28 @@ def conversation_fingerprints(
     return df.groupBy(*by).agg(F.md5(joined).alias(out_col))
 
 
+def turn_novelty(
+    df: DataFrame,
+    by: Sequence[str] = ("conv_id",),
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    out_col: str = "novelty",
+) -> DataFrame:
+    """Per-turn novelty vs the previous turn: Levenshtein edit distance
+    normalized by the longer text's length. 1.0 for the first turn (and
+    for total rewrites); near 0 for near-verbatim repeats — the
+    turn-grain repetition signal for agents stuck re-emitting the same
+    output. Pure JVM expression (F.levenshtein + one lag window), rides
+    the conversation exchange like every other LLD."""
+    w = Window.partitionBy(*by).orderBy(order_col)
+    prev = F.lag(text_col).over(w)
+    dist = F.levenshtein(F.col(text_col), prev).cast("double")
+    denom = F.greatest(F.length(text_col), F.length(prev))
+    nov = F.when(prev.isNull(), F.lit(1.0)).otherwise(
+        dist / F.when(denom > 0, denom))
+    return df.withColumn(out_col, nov)
+
+
 def trajectory_metrics(
     df: DataFrame,
     by: Sequence[str] = ("conv_id",),

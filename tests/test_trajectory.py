@@ -95,6 +95,22 @@ def test_conversation_fingerprints(spark):
     assert shuffled == content_fp
 
 
+def test_turn_novelty(spark):
+    from opensmile_spark.trajectory import turn_novelty
+
+    rows = [("c", 0, "kitten"), ("c", 1, "sitting"),  # lev 3 / max-len 7
+            ("c", 2, "sitting"),                      # verbatim repeat
+            ("c", 3, "")]                             # empty vs "sitting"
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, "
+                                     "text string")
+    out = {r["turn_idx"]: r["novelty"]
+           for r in turn_novelty(df).collect()}
+    assert out[0] == 1.0                       # first turn
+    assert abs(out[1] - 3.0 / 7.0) < 1e-12
+    assert out[2] == 0.0
+    assert abs(out[3] - 1.0) < 1e-12           # total rewrite
+
+
 def test_trajectory_interleaved_tool_runs(spark):
     # same tool NOT consecutive in the tool subsequence -> separate runs
     turns = [
