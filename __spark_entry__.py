@@ -161,16 +161,23 @@ def q_delta2(spark, sf_dir):
 
 def q_sessionize(spark, sf_dir):
     """Gap sessionization + the max-length split variant (cTurnDetector
-    maxTurnLength analogue) side by side."""
+    maxTurnLength analogue) side by side. Round-5 merge: the SFT
+    prompt/response pair extraction (trajectory.extract_sft_pairs,
+    context='turn' — adjacent user->assistant turns become training
+    pairs) rides the same turn grain as nullable prompt/response
+    columns."""
     from opensmile_spark.operators import sessionize
+    from opensmile_spark.trajectory import extract_sft_pairs
 
     lld = _lld(spark, sf_dir)
     d = sessionize(lld, gap_seconds=SESSION_GAP_S)
     m = sessionize(lld, gap_seconds=SESSION_GAP_S, max_turns=10).select(
         "conv_id", "turn_idx",
         F.col("session_id").alias("session_id_maxlen"))
+    pairs = extract_sft_pairs(_transcripts(spark, sf_dir))
     return d.select("conv_id", "turn_idx", "session_id").join(
-        m, ["conv_id", "turn_idx"])
+        m, ["conv_id", "turn_idx"]).join(
+        pairs, ["conv_id", "turn_idx"], "left")
 
 
 def q_functionals_sql(spark, sf_dir):
@@ -4705,14 +4712,27 @@ _ORACLES["delta2"] = _join_parts(
 _ORACLES["peaks2_restricted"] = _join_parts(
     ("conv_id",), [_ORACLES["peaks2_restricted"], _peaks_legacy_oracle()])
 
+_SFT_PAIRS_SQL = SQL_PREFIX + """
+SELECT conv_id, turn_idx, prompt, text AS response FROM (
+  SELECT conv_id, turn_idx, role, text,
+    lag(role) OVER w AS prev_role, lag(text) OVER w AS prompt
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+) WHERE role = 'assistant' AND prev_role = 'user' AND length(prompt) > 0
+"""
+
 _ORACLES["sessionize"] = f"""
 SELECT a.conv_id, a.turn_idx, a.session_id,
-       b.session_id AS session_id_maxlen
+       b.session_id AS session_id_maxlen,
+       p.prompt, p.response
 FROM (
 {_ORACLES["sessionize"]}
 ) a JOIN (
 {_ORACLES["sessionize_maxlen"]}
 ) b ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+LEFT JOIN (
+{_SFT_PAIRS_SQL}
+) p ON p.conv_id = a.conv_id AND p.turn_idx = a.turn_idx
 """
 
 _ORACLES["functionals_session"] = _join_parts(

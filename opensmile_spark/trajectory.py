@@ -66,6 +66,66 @@ def conversation_fingerprints(
     return df.groupBy(*by).agg(F.md5(joined).alias(out_col))
 
 
+def extract_sft_pairs(
+    df: DataFrame,
+    by: Sequence[str] = ("conv_id",),
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    user_role: str = "user",
+    assistant_role: str = "assistant",
+    context: str = "turn",
+    max_context_chars: int | None = None,
+    sep: str = "\n",
+) -> DataFrame:
+    """Extract (prompt, response) training pairs from transcripts — the
+    conversation-grain last mile of a training-data pipeline (documents
+    get chunk/pack; transcripts get pair extraction).
+
+    context='turn': each assistant turn whose IMMEDIATELY preceding turn
+    is a user turn yields (that user text, assistant text). One lag
+    window, pure JVM.
+
+    context='full': the prompt is the whole preceding conversation
+    rendered as "role: text" lines joined by `sep` (every assistant
+    turn with a non-empty history yields a pair — the multi-turn SFT
+    convention). `max_context_chars` keeps the TAIL of long contexts
+    (the turns nearest the response), bounding row width for
+    mega-conversations at scale.
+
+    Output: `by` + order_col + (prompt, response), one row per emitted
+    pair, same conv partitioning as every other transcript operator.
+    """
+    w = Window.partitionBy(*by).orderBy(order_col)
+    if context == "turn":
+        prompt = F.when(
+            F.lag(role_col).over(w) == user_role,
+            F.lag(text_col).over(w))
+    elif context == "full":
+        line = F.concat_ws(": ", F.col(role_col), F.col(text_col))
+        prompt = F.array_join(
+            F.collect_list(line).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)), sep)
+    else:
+        raise ValueError(f"context must be 'turn' or 'full': {context!r}")
+    out = (
+        df.select(*by, order_col, F.col(role_col).alias("_role"),
+                  prompt.alias("prompt"),
+                  F.col(text_col).alias("response"))
+        .filter((F.col("_role") == assistant_role)
+                & F.col("prompt").isNotNull()
+                & (F.length("prompt") > 0))
+        .drop("_role")
+    )
+    if max_context_chars is not None:
+        n = int(max_context_chars)
+        out = out.withColumn(
+            "prompt",
+            F.expr(f"substring(prompt, "
+                   f"greatest(1, length(prompt) - {n} + 1))"))
+    return out
+
+
 def turn_novelty(
     df: DataFrame,
     by: Sequence[str] = ("conv_id",),

@@ -95,6 +95,39 @@ def test_conversation_fingerprints(spark):
     assert shuffled == content_fp
 
 
+def test_extract_sft_pairs(spark):
+    from opensmile_spark.trajectory import extract_sft_pairs
+
+    rows = [
+        ("c", 0, "system", "sys"),
+        ("c", 1, "user", "q1"),
+        ("c", 2, "assistant", "a1"),       # pair (q1, a1)
+        ("c", 3, "assistant", "a2"),       # prev is assistant -> no turn pair
+        ("c", 4, "user", "q2"),
+        ("c", 5, "tool", "t"),
+        ("c", 6, "assistant", "a3"),       # prev is tool -> no turn pair
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, "
+                                     "role string, text string")
+    turn = {(r["turn_idx"]): (r["prompt"], r["response"])
+            for r in extract_sft_pairs(df).collect()}
+    assert turn == {2: ("q1", "a1")}
+
+    full = {r["turn_idx"]: r["prompt"]
+            for r in extract_sft_pairs(df, context="full").collect()}
+    # every assistant turn with history; prompt = all prior turns
+    assert set(full) == {2, 3, 6}
+    assert full[2] == "system: sys\nuser: q1"
+    assert full[3] == "system: sys\nuser: q1\nassistant: a1"
+    assert full[6].endswith("user: q2\ntool: t")
+    # tail truncation keeps the chars nearest the response
+    trunc = {r["turn_idx"]: r["prompt"]
+             for r in extract_sft_pairs(
+                 df, context="full", max_context_chars=8).collect()}
+    assert trunc[2] == "user: q1"
+    assert all(len(p) <= 8 for p in trunc.values())
+
+
 def test_turn_novelty(spark):
     from opensmile_spark.trajectory import turn_novelty
 
