@@ -1328,7 +1328,13 @@ def q_stratified_sample(spark, sf_dir):
     out = stratified_sample(
         docs, "stratum", {"short": 1.0, "mid": 0.5, "long": 0.25},
         key_col="doc_id", seed=7)
-    return out.select("doc_id", "stratum")
+    # round-5 merge: leakage-safe train/val/test assignment (every key in
+    # exactly one split, md5-deterministic) rides the same doc grain
+    from opensmile_spark.sampling import assign_splits
+
+    out = assign_splits(out, {"train": 0.8, "val": 0.1, "test": 0.1},
+                        key_col="doc_id", seed=11)
+    return out.select("doc_id", "stratum", "split")
 
 
 def q_chunk_documents(spark, sf_dir):
@@ -5001,6 +5007,14 @@ FROM lined WHERE line BETWEEN 5 AND 454
 """
 
 # thresholds = sampling.rate_threshold(r) = int(r * 2^32) for 1.0/0.5/0.25
+# split thresholds replicated with assign_splits' exact accumulation
+# (hi += frac; int(min(hi, 1.0) * 2^32)) so the literals are bit-equal
+_SPLIT_TS = []
+_hi = 0.0
+for _frac in (0.8, 0.1, 0.1):
+    _hi += _frac
+    _SPLIT_TS.append(int(min(_hi, 1.0) * (1 << 32)))
+
 _ORACLES["stratified_sample"] = r"""
 WITH t AS (
   SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS ntok
@@ -5010,14 +5024,22 @@ WITH t AS (
     CASE WHEN ntok < 45 THEN 'short'
          WHEN ntok < 60 THEN 'mid' ELSE 'long' END AS stratum,
     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8))
-         AS BIGINT) AS h
+         AS BIGINT) AS h,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 8))
+         AS BIGINT) AS h2
   FROM t
 )
-SELECT doc_id, stratum FROM s
+SELECT doc_id, stratum,
+  CASE WHEN h2 < {t0} THEN 'train'
+       WHEN h2 < {t1} THEN 'val'
+       WHEN h2 < {t2} THEN 'test' END AS split
+FROM s
 WHERE h < CASE stratum WHEN 'short' THEN 4294967296
                        WHEN 'mid' THEN 2147483648
                        ELSE 1073741824 END
-"""
+""".replace("{t0}", str(_SPLIT_TS[0])) \
+   .replace("{t1}", str(_SPLIT_TS[1])) \
+   .replace("{t2}", str(_SPLIT_TS[2]))
 
 _ORACLES["chunk_documents"] = r"""
 WITH t AS (

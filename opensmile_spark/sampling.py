@@ -51,6 +51,36 @@ def hash_sample(df: DataFrame, rate: float, key_col: str = "doc_id",
                      < F.lit(rate_threshold(rate)))
 
 
+def assign_splits(df: DataFrame, splits: dict[str, float],
+                  key_col: str = "conv_id", seed: int = 0,
+                  out_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment keyed on `key_col` — every
+    row with the same key (e.g. all turns of one conversation) lands in
+    the SAME split, so no conversation leaks across the boundary.
+    `splits` maps name -> fraction (must sum to <= 1; any remainder is
+    assigned NULL, i.e. held out). Pure projection: no shuffle, no
+    state, bit-identical on rerun and in the md5 oracle twin. Buckets
+    are contiguous hash ranges in `splits`' insertion order, so growing
+    one split only ever takes keys from its right neighbour."""
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    h = _hash32(F.col(key_col), seed)
+    expr = F.lit(None).cast("string")
+    hi = 0.0
+    # build the CASE from the LAST range backwards so earlier whens win
+    bounds = []
+    for name, frac in splits.items():
+        lo, hi = hi, hi + frac
+        bounds.append((name, rate_threshold(min(hi, 1.0))))
+    for name, upper in reversed(bounds):
+        expr = F.when(h < F.lit(upper), F.lit(name)).otherwise(expr)
+    # reversed + when-chains: the FIRST matching upper bound in insertion
+    # order must win, and when() chains evaluate outermost-first
+    out = df.withColumn(out_col, expr)
+    return out
+
+
 def stratified_sample(df: DataFrame, strata_col: str | Column,
                       rates: dict[str, float], key_col: str = "doc_id",
                       seed: int = 0,
