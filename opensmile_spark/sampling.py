@@ -71,7 +71,7 @@ def assign_splits(df: DataFrame, splits: dict[str, float],
     # build the CASE from the LAST range backwards so earlier whens win
     bounds = []
     for name, frac in splits.items():
-        lo, hi = hi, hi + frac
+        hi = hi + frac
         bounds.append((name, rate_threshold(min(hi, 1.0))))
     for name, upper in reversed(bounds):
         expr = F.when(h < F.lit(upper), F.lit(name)).otherwise(expr)
