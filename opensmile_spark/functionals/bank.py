@@ -316,7 +316,12 @@ def functionals_sql(
               over the 0..N-1 index axis.
 
     All map-side combinable except `percentile` (which buffers per group) —
-    still no Python, no extra shuffle beyond the groupBy.
+    still no Python, no extra shuffle beyond the groupBy. All percentile
+    outputs of a column share ONE percentile(x, array(...)) aggregate (r6):
+    the scalar calls each kept their own value buffer and per-group sort —
+    5 identical buffers per column; the array form computes every requested
+    percentile from a single buffer with the same interpolation, so the
+    doubles are identical (guide §1.2 per-task work).
     """
     group_cols = list(group_cols)
     w = Window.partitionBy(*group_cols).orderBy(order_col)
@@ -326,7 +331,14 @@ def functionals_sql(
         (F.row_number().over(w) - 1).cast("double").alias("__i"),
     )
 
+    pct_list = [0.25, 0.50, 0.75]
+    for p in percentiles:
+        if float(p) not in pct_list:
+            pct_list.append(float(p))
+    pidx = {p: i + 1 for i, p in enumerate(pct_list)}   # element_at: 1-based
+
     aggs = [F.count("*").cast("long").alias("n_turns")]
+    final: list = ["n_turns"]
     for c in value_cols:
         x = F.col(c)
         n = F.count(x)
@@ -369,20 +381,30 @@ def functionals_sql(
             (F.max(x) - F.min(x)).alias(f"{c}_range"),
             (F.max(x) - mean).alias(f"{c}_maxameandist"),
             (mean - F.min(x)).alias(f"{c}_minameandist"),
-            F.percentile(x, 0.25).alias(f"{c}_quartile1"),
-            F.percentile(x, 0.50).alias(f"{c}_quartile2"),
-            F.percentile(x, 0.75).alias(f"{c}_quartile3"),
-            (F.percentile(x, 0.75) - F.percentile(x, 0.25))
-            .alias(f"{c}_iqr1-3"),
+            F.percentile(x, F.array(*[F.lit(p) for p in pct_list]))
+            .alias(f"__pct_{c}"),
+        ]
+
+        def _pq(p, _c=c):
+            return F.element_at(F.col(f"`__pct_{_c}`"), pidx[float(p)])
+
+        final += [
+            f"{c}_amean", f"{c}_absmean", f"{c}_qmean", f"{c}_rqmean",
+            f"{c}_nnz", f"{c}_nzamean", f"{c}_nzabsmean", f"{c}_nzqmean",
+            f"{c}_variance", f"{c}_stddev", f"{c}_skewness", f"{c}_kurtosis",
+            f"{c}_stddevNorm", f"{c}_coeffOfVariation",
+            f"{c}_max", f"{c}_min", f"{c}_range",
+            f"{c}_maxameandist", f"{c}_minameandist",
+            _pq(0.25).alias(f"{c}_quartile1"),
+            _pq(0.50).alias(f"{c}_quartile2"),
+            _pq(0.75).alias(f"{c}_quartile3"),
+            (_pq(0.75) - _pq(0.25)).alias(f"{c}_iqr1-3"),
         ]
         for p in percentiles:
-            aggs.append(
-                F.percentile(x, float(p)).alias(f"{c}_percentile{p * 100:.1f}")
-            )
+            final.append(_pq(p).alias(f"{c}_percentile{p * 100:.1f}"))
         if len(percentiles) >= 3:
-            aggs.append(
-                F.abs(F.percentile(x, float(percentiles[-1]))
-                      - F.percentile(x, float(percentiles[0])))
+            final.append(
+                F.abs(_pq(percentiles[-1]) - _pq(percentiles[0]))
                 .alias(f"{c}_pctlrange0-2")
             )
         # linear regression on index axis i=0..N-1 (functionalRegression.cpp:
@@ -401,5 +423,7 @@ def functionals_sql(
             m_slope.alias(f"{c}_linregc1"),
             t_off.alias(f"{c}_linregc2"),
         ]
+        final += [f"{c}_linregc1", f"{c}_linregc2"]
 
-    return proj.groupBy(*group_cols).agg(*aggs)
+    out = proj.groupBy(*group_cols).agg(*aggs)
+    return out.select(*group_cols, *final)

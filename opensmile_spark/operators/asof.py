@@ -16,9 +16,13 @@ AT the anchor timestamp is visible — mirroring "frame written at t is
 readable at t").
 
 `backfill_functionals` materializes whole functional vectors at every
-(conv_id, anchor_ts) grid point using a per-conversation vectorized kernel
-(cogrouped applyInPandas): for A anchors over N turns it does one sort plus
-prefix scans — not A separate window jobs.
+(conv_id, anchor_ts) grid point using a per-conversation vectorized kernel:
+for A anchors over N turns it does one sort plus prefix scans — not A
+separate window jobs. Physically it is ONE union-tag shuffle + mapInPandas
+with a group-carry loop (the functionals_kernel batching discipline), not a
+per-conversation cogroup: cogrouped applyInPandas pays ~0.5-1 ms of pandas
+dispatch PER GROUP, which at high conversation cardinality dominates the
+numpy kernel by an order of magnitude.
 """
 
 from __future__ import annotations
@@ -106,13 +110,19 @@ def backfill_functionals(
     only turns with ts <= anchor_ts (zero temporal leakage, enforced in one
     place), optionally bounded to a trailing window of `window_seconds`.
 
-    Cogrouped applyInPandas keyed by conv_id: one shuffle of each side,
-    vectorized numpy inside. Per-anchor windows are gathered into ONE
-    concatenated array and every reduceat-expressible family is computed for
-    ALL anchors at once (functionals/batched.py) — no per-anchor Python
-    dispatch; only families outside BATCHED_FAMILIES fall back to a
-    per-anchor loop. Anchor blocks are chunked so the gathered array stays
-    bounded (`max_gather_elems`) regardless of anchor density. Empty windows
+    Physical strategy: union-tag the turn and anchor tables (side 0 / 1),
+    ONE repartition by conv + in-partition sort, then a single mapInPandas
+    pass whose batches carry the trailing conversation over to the next
+    batch (the functionals_kernel discipline). Each conversation's numpy
+    math is unchanged from the cogroup formulation — same sort order, same
+    per-conv arrays, bit-identical outputs — but the Python/pandas dispatch
+    is amortized over every conversation in an Arrow batch instead of paid
+    per conversation. Per-anchor windows are gathered into ONE concatenated
+    array and every reduceat-expressible family is computed for ALL anchors
+    at once (functionals/batched.py) — no per-anchor Python dispatch; only
+    families outside BATCHED_FAMILIES fall back to a per-anchor loop.
+    Anchor blocks are chunked so the gathered array stays bounded
+    (`max_gather_elems`) regardless of anchor density. Empty windows
     emit NaN features (anchor row is kept so the grid is complete — the
     PAD_ZERO/PAD_NONE choice is the caller's fillna/dropna).
 
@@ -177,17 +187,10 @@ def backfill_functionals(
         if residual and fam not in gather_fams:
             gather_fams.append(fam)
 
-    def kernel(key, ldf, adf):
-        if adf.empty:
-            return pd.DataFrame(columns=[on, anchor_ts, "n_visible"] + feat_names)
-        conv = key[0]
-        adf = adf.sort_values(anchor_ts)
-        if ldf.empty:
-            ts_vals = np.array([], dtype="datetime64[us]")
-        else:
-            ldf = ldf.sort_values([ts_col, order_col], kind="mergesort")
-            ts_vals = ldf[ts_col].to_numpy()
-        anchor_vals = adf[anchor_ts].to_numpy()
+    def _one_conv(ts_vals, col_arrays, anchor_vals):
+        """Per-conversation math — unchanged from the r5 cogroup
+        formulation (same op sequence on the same sorted arrays =>
+        bit-identical outputs)."""
         # prefix positions: count of turns with ts <= anchor (searchsorted right)
         hi = np.searchsorted(ts_vals, anchor_vals, side="right")
         if window_seconds is not None:
@@ -198,10 +201,8 @@ def backfill_functionals(
             )
         else:
             lo = np.zeros_like(hi)
-        col_arrays = {c: ldf[c].to_numpy(dtype=np.float64) if not ldf.empty
-                      else np.array([]) for c in value_cols}
 
-        A = len(adf)
+        A = len(anchor_vals)
         out_cols = {f"{c}_{k}": np.full(A, np.nan) for c in value_cols
                     for k in probe}
         sizes = (hi - lo).astype(np.int64)
@@ -248,17 +249,93 @@ def backfill_functionals(
                             if key_src.get(k) == "loop":
                                 out_cols[f"{c}_{k}"][ai] = v
             blk_start = blk_end
+        return sizes, out_cols
 
-        data = {on: np.full(A, conv, dtype=object),
-                anchor_ts: adf[anchor_ts].to_numpy(),
-                "n_visible": sizes}
-        data.update(out_cols)
+    def _process(pdf: pd.DataFrame):
+        """All conversations in pdf are complete; rows sorted by
+        (__k, __side, __t, __ord): per conv, side-0 turn rows sorted by
+        (ts, order) — the cogroup kernel's mergesort order — then side-1
+        anchor rows sorted by anchor_ts."""
+        k_np = pdf["__k"].to_numpy()
+        side_np = pdf["__side"].to_numpy()
+        t_np = pdf["__t"].to_numpy()
+        vals = {c: pdf[c].to_numpy(dtype=np.float64) for c in value_cols}
+        n = len(pdf)
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        change[1:] = k_np[1:] != k_np[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        convs, counts, anchor_chunks, size_chunks = [], [], [], []
+        feat_chunks: dict[str, list] = {f: [] for f in feat_names}
+        for s, e in zip(starts, ends):
+            a0 = s + int(np.searchsorted(side_np[s:e], 1, side="left"))
+            anchor_vals = t_np[a0:e]
+            if anchor_vals.size == 0:
+                continue   # conv has turns but no anchors: no output rows
+            ts_vals = t_np[s:a0]
+            col_arrays = {c: vals[c][s:a0] for c in value_cols}
+            sizes, out_cols = _one_conv(ts_vals, col_arrays, anchor_vals)
+            convs.append(k_np[s])
+            counts.append(anchor_vals.size)
+            anchor_chunks.append(anchor_vals)
+            size_chunks.append(sizes)
+            for f in feat_names:
+                feat_chunks[f].append(out_cols[f])
+        if not convs:
+            return None
+        data = {on: np.repeat(np.array(convs, dtype=object),
+                              np.array(counts, dtype=np.int64)),
+                anchor_ts: np.concatenate(anchor_chunks),
+                "n_visible": np.concatenate(size_chunks)}
+        for f in feat_names:
+            data[f] = np.concatenate(feat_chunks[f])
         return pd.DataFrame(data, columns=[on, anchor_ts, "n_visible"]
                             + feat_names)
 
-    lg = lld.select(on, order_col, ts_col, *value_cols).groupBy(on)
-    ag = anchors.select(on, anchor_ts).groupBy(on)
-    return lg.cogroup(ag).applyInPandas(kernel, schema=schema)
+    def run(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            # hold back the trailing conversation — it may continue in the
+            # next batch (a conv's rows are contiguous: sorted input)
+            kcol = pdf["__k"]
+            mask = (kcol == kcol.iloc[-1]).to_numpy()
+            tail_start = int(np.argmax(mask))
+            carry = pdf.iloc[tail_start:]
+            head = pdf.iloc[:tail_start]
+            if len(head):
+                out = _process(head)
+                if out is not None:
+                    yield out
+        if carry is not None and len(carry):
+            out = _process(carry)
+            if out is not None:
+                yield out
+
+    left = lld.select(
+        F.col(on).alias("__k"),
+        F.lit(0).alias("__side"),
+        F.col(ts_col).alias("__t"),
+        F.col(order_col).cast("long").alias("__ord"),
+        *[F.col(c).cast("double").alias(c) for c in value_cols],
+    )
+    right = anchors.select(
+        F.col(on).alias("__k"),
+        F.lit(1).alias("__side"),
+        F.col(anchor_ts).alias("__t"),
+        F.lit(0).cast("long").alias("__ord"),
+        *[F.lit(None).cast("double").alias(c) for c in value_cols],
+    )
+    merged = (
+        left.unionByName(right)
+        .repartition(F.col("__k"))
+        .sortWithinPartitions("__k", "__side", "__t", "__ord")
+    )
+    return merged.mapInPandas(run, schema=schema)
 
 
 def incremental_backfill(
