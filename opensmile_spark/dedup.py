@@ -62,6 +62,15 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     # a single projection with n_hashes array_min(transform(shingles...))
     # would make Catalyst inline the whole shingle pipeline n_hashes times
     # (projection collapse), an O(n_hashes x) blowup observed in bench.
+    #
+    # The min runs over the PARSED 32-bit values, not the hex strings (r6):
+    # min(string) has an immutable aggregation buffer, which evicts the
+    # aggregation from HashAggregate to SortAggregate — two full sorts of
+    # the exploded shingle rows per pass. min(long) keeps the codegen'd
+    # hash aggregate (no sort, map-side partials); fixed-width lowercase
+    # hex compares identically to its numeric value, and the hex form is
+    # reconstructed after the aggregate (lower(lpad(hex(x), 8, '0'))), so
+    # the output strings are byte-identical.
     from opensmile_spark.util import ensure_min_partitions
 
     n_digests = (n_hashes + 3) // 4
@@ -74,19 +83,32 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
         *[F.md5(F.concat(F.lit(f"{d}|"), F.col("__s"))).alias(f"__d{d}")
           for d in range(n_digests)],
     )
-    return exploded.groupBy(id_col).agg(*[
-        F.min(F.substring(F.col(f"__d{i // 4}"), 8 * (i % 4) + 1, 8))
-        .alias(f"mh{i}")
+    agg = exploded.groupBy(id_col).agg(*[
+        F.min(F.conv(
+            F.substring(F.col(f"__d{i // 4}"), 8 * (i % 4) + 1, 8), 16, 10
+        ).cast("long")).alias(f"__m{i}")
         for i in range(n_hashes)
     ])
+    return agg.select(
+        id_col,
+        *[F.lower(F.lpad(F.hex(F.col(f"__m{i}")), 8, "0")).alias(f"mh{i}")
+          for i in range(n_hashes)],
+    )
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", k_shingle: int = 3,
                       n_hashes: int = 16, bands: int = 4) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs sharing any band key
-    become a pair (id_a < id_b). Self-join is per-bucket — bounded by bucket
-    sizes, shuffles on the band key only."""
+    become a pair (id_a < id_b). Pair formation is per-bucket — bounded by
+    bucket sizes, shuffles on the band key only.
+
+    Physically (r6): ONE aggregation per band bucket (sorted id list) and
+    an in-bucket ordered-pair explosion, instead of a bucket self-join.
+    The self-join evaluated the whole signature pipeline TWICE (Spark does
+    not CSE across the two sides of a join) and broadcast one copy; the
+    groupBy form computes signatures once and emits the identical pair set
+    (same buckets, same a < b ordering, same distinct)."""
     sig = minhash_signatures(df, id_col, text_col, k_shingle, n_hashes)
     rows_per_band = n_hashes // bands
     band_keys = [
@@ -103,18 +125,24 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
             args=", ".join(f"'{b}', band{b}" for b in range(bands)),
         ),
     )
-    a = stacked.alias("a")
-    b = stacked.alias("b")
-    pairs = (
-        a.join(b, ["band_no", "band_key"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+    buckets = (
+        stacked.groupBy("band_no", "band_key")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
+        .filter(F.size("__ids") > 1)
+    )
+    ids = F.col("__ids")
+    pair_arr = F.flatten(F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + 2, F.size(ids)),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+        ),
+    ))
+    return (
+        buckets.select(F.explode(pair_arr).alias("__p"))
+        .select(F.col("__p.id_a"), F.col("__p.id_b"))
         .distinct()
     )
-    return pairs
 
 
 def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",

@@ -67,7 +67,7 @@ def functionals_kernel(
     options: dict | None = None,
     pre_partitioned: bool = False,
     repartition_cols: list | None = None,
-    engine: str = "pandas",
+    engine: str = "arrow",
     derive: list[str] | None = None,
 ) -> DataFrame:
     """One output row per group; columns <value>_<functional>.
@@ -249,7 +249,11 @@ def functionals_kernel(
             arrays = [pa.array(cols[c], type=key_types[c])
                       for c in group_cols]
             arrays.append(pa.array(cols["n_turns"], type=pa.int64()))
-            arrays += [pa.array(cols[f], type=pa.float64()) for f in feats]
+            # from_pandas=True: NaN -> null, matching what the pandas
+            # engine's DataFrame->Arrow conversion does — the two engines
+            # must agree on nullness, not just on values
+            arrays += [pa.array(cols[f], type=pa.float64(),
+                                from_pandas=True) for f in feats]
             return pa.RecordBatch.from_arrays(arrays, names=out_cols)
 
         for rb in batches:

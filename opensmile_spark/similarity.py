@@ -72,18 +72,25 @@ def cosine_topk(
 
     query_id_col = query_id_col or id_col
     index = ensure_min_partitions(index)   # scoring map side: use all cores
+    # norms are hoisted out of the cross join (r6): computed once per query
+    # row (vs once per scored row — an |index|x redundancy) and once per
+    # index row (vs once per query pairing). Same float ops per vector, so
+    # cosine = dot / (q_norm * i_norm) is bit-identical.
     q = F.broadcast(queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("__q_norm"),
     ))
     scored = (
-        index.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("i_vec"))
+        index.select(F.col(id_col).alias("item_id"),
+                     F.col(vec_col).alias("i_vec"),
+                     _norm(F.col(vec_col)).alias("__i_norm"))
         .crossJoin(q)
         .filter(F.col("item_id") != F.col("query_id"))
         .withColumn(
             "cosine",
             _dot(F.col("q_vec"), F.col("i_vec"))
-            / (_norm(F.col("q_vec")) * _norm(F.col("i_vec"))),
+            / (F.col("__q_norm") * F.col("__i_norm")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
