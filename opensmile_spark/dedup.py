@@ -149,10 +149,25 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", k_shingle: int = 3,
                   threshold: float = 0.0) -> DataFrame:
     """Exact Jaccard over k-shingle sets for given candidate pairs (the
-    verify stage after LSH). Join is pair-bounded."""
+    verify stage after LSH). Join is pair-bounded.
+
+    Shingles are computed ONLY for docs that appear in a candidate pair
+    (r6): a broadcast semi-join on the pair id set first — candidate docs
+    are a tiny, output-bounded subset of the corpus, so the corpus-wide
+    shingle projection (and its broadcast) was almost entirely thrown
+    away. The candidate pair table is materialized once (eager
+    localCheckpoint — it is output-bounded by construction) because it is
+    read twice here (id set + verify join) and Spark would otherwise
+    re-execute its whole lineage for each read."""
     from opensmile_spark.util import ensure_min_partitions
 
-    sh = ensure_min_partitions(df).select(
+    pairs = pairs.localCheckpoint(eager=True)
+    pair_ids = (
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
+        .distinct()
+    )
+    cand = df.join(F.broadcast(pair_ids), id_col, "left_semi")
+    sh = ensure_min_partitions(cand).select(
         F.col(id_col), _shingles(text_col, k_shingle).alias("sh"))
     out = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a")

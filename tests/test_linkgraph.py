@@ -72,3 +72,23 @@ def test_pagerank_dangling_only_sink(spark):
     got = {r["host"]: r["rank"] for r in pagerank(edges, 3).collect()}
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert got["b"] > got["a"]
+
+
+def test_pagerank_persist_discipline(spark):
+    """r6: pagerank persists each iteration's ranks and releases them as
+    the next materializes — deep runs must not leak storage (only the
+    returned localCheckpoint may survive) and must still match numpy
+    beyond the old 5-iteration checkpoint window."""
+    jsc = spark.sparkContext._jsc
+    base = jsc.getPersistentRDDs().size()
+    edges_py = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+    edges = host_graph(spark.createDataFrame(
+        edges_py, "host string, dst_host string"))
+    out = pagerank(edges, iterations=12)
+    assert jsc.getPersistentRDDs().size() <= base + 1
+    got = {r["host"]: r["rank"] for r in out.collect()}
+    want = _np_pagerank(edges_py, 12)
+    assert set(got) == set(want)
+    for h in want:
+        assert abs(got[h] - want[h]) < 1e-12, h
+    assert abs(sum(got.values()) - 1.0) < 1e-9
