@@ -788,8 +788,24 @@ def q_egemaps_bundle(spark, sf_dir):
     out = egemaps_style(_transcripts(spark, sf_dir),
                         gap_seconds=SESSION_GAP_S)
     cols = [c for c in out.columns]
+
+    def _round6(col):
+        # Sign-preserving ROUND twin (r6, the r5 hash-red root cause):
+        # Spark's round() routes through BigDecimal, which cannot represent
+        # -0.0, so a tiny negative (e.g. a -1.7e-18 falling-slope mean)
+        # rounds to +0.0 while DuckDB's ROUND keeps the sign bit and yields
+        # -0.0 — equal under ==, different under the driver's byte hash.
+        # Rounding the magnitude and re-applying the sign reproduces
+        # DuckDB bit-for-bit (both engines round halves away from zero);
+        # nonzero outputs are untouched.
+        # -0.0 detection without division (ANSI mode): Double.toString
+        # keeps the sign, so CAST(-0.0 AS STRING) = '-0.0'
+        neg = (col < 0) | ((col == 0)
+                           & col.cast("string").startswith("-"))
+        return F.when(neg, -F.round(-col, 6)).otherwise(F.round(col, 6))
+
     eg = out.select(*[
-        F.round(F.col(f"`{c}`"), 6).alias(c)
+        _round6(F.col(f"`{c}`")).alias(c)
         if c not in ("conv_id", "session_id", "n_turns") else F.col(c)
         for c in cols
     ])
