@@ -46,6 +46,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # functional banks are WIDE: a 3-column functionals_sql already
+        # carries ~100 aggregation-buffer fields, and the default
+        # spark.sql.codegen.maxFields=100 silently evicts such operators
+        # from whole-stage codegen into interpreted evaluation (~2x on the
+        # aggregate stage, measured). 1000 keeps reference-width banks
+        # codegen'd; oversized generated methods still fall back safely.
+        .config("spark.sql.codegen.maxFields", "1000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # one BLAS/OpenMP thread per python worker: each worker owns one
