@@ -29,8 +29,12 @@ def test_splits_leakage_safe_and_proportional(spark):
     # deterministic across reruns / partitionings
     again = assign_splits(df.repartition(7),
                           {"train": 0.8, "val": 0.1, "test": 0.1})
-    assert (out.select("conv_id", "split").distinct().exceptAll(
-        again.select("conv_id", "split").distinct()).count() == 0)
+    a_set = out.select("conv_id", "split").distinct()
+    b_set = again.select("conv_id", "split").distinct()
+    # both directions (ADVICE r5): one-way exceptAll would pass if the
+    # repartitioned run produced EXTRA distinct rows
+    assert a_set.exceptAll(b_set).count() == 0
+    assert b_set.exceptAll(a_set).count() == 0
 
 
 def test_splits_nested_growth_and_holdout(spark):
