@@ -58,40 +58,42 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     substr(md5((i div 4) || '|' || shingle), 8*(i mod 4)+1, 8); min over
     fixed-width lowercase hex == min over the 32-bit values, and md5/substr
     exist verbatim in DuckDB so the signature stays oracle-checkable."""
-    # explode shingles once, then one aggregate with n_hashes min() exprs —
-    # a single projection with n_hashes array_min(transform(shingles...))
-    # would make Catalyst inline the whole shingle pipeline n_hashes times
-    # (projection collapse), an O(n_hashes x) blowup observed in bench.
-    #
-    # The min runs over the PARSED 32-bit values, not the hex strings (r6):
-    # min(string) has an immutable aggregation buffer, which evicts the
-    # aggregation from HashAggregate to SortAggregate — two full sorts of
-    # the exploded shingle rows per pass. min(long) keeps the codegen'd
-    # hash aggregate (no sort, map-side partials); fixed-width lowercase
-    # hex compares identically to its numeric value, and the hex form is
-    # reconstructed after the aggregate (lower(lpad(hex(x), 8, '0'))), so
-    # the output strings are byte-identical.
+    # ZERO-shuffle signatures (r6): the per-doc min runs as ONE array fold
+    # (aggregate over the shingle array with an n_hashes-wide running-min
+    # accumulator), i.e. a map-only projection — the r5 explode + groupBy
+    # formulation paid an exchange and (with min(string)'s immutable
+    # buffer) two SortAggregate sorts of the exploded rows. The digest
+    # array is referenced exactly once and the fold result is pinned
+    # behind an explode(array(...)) Generate barrier, so projection
+    # collapse cannot inline the shingle pipeline n_hashes times (the
+    # blowup the r3 bench observed with naive array_min projections).
+    # least(string) skips nulls exactly like min(); an all-null/absent
+    # shingle set leaves the init sentinel ('g' > any hex digit), mapped
+    # back to NULL — frame-equal to the explode+groupBy formulation
+    # (verified exceptAll-empty both directions at two corpus sizes).
     from opensmile_spark.util import ensure_min_partitions
 
     n_digests = (n_hashes + 3) // 4
     df = ensure_min_partitions(df)   # md5 map side must not run on 1 split
-    exploded = df.select(
-        F.col(id_col),
-        F.explode(_shingles(text_col, k_shingle)).alias("__s"),
-    ).select(
-        id_col,
-        *[F.md5(F.concat(F.lit(f"{d}|"), F.col("__s"))).alias(f"__d{d}")
-          for d in range(n_digests)],
+    digests = F.transform(
+        _shingles(text_col, k_shingle),
+        lambda s: F.concat(*[F.md5(F.concat(F.lit(f"{d}|"), s))
+                             for d in range(n_digests)]),
     )
-    agg = exploded.groupBy(id_col).agg(*[
-        F.min(F.conv(
-            F.substring(F.col(f"__d{i // 4}"), 8 * (i % 4) + 1, 8), 16, 10
-        ).cast("long")).alias(f"__m{i}")
-        for i in range(n_hashes)
-    ])
-    return agg.select(
+    init = F.array_repeat(F.lit("g" * 8), n_hashes)
+    sig = F.aggregate(
+        digests, init,
+        lambda acc, d: F.zip_with(
+            acc,
+            F.array(*[F.substring(d, 32 * (i // 4) + 8 * (i % 4) + 1, 8)
+                      for i in range(n_hashes)]),
+            lambda a, b: F.least(a, b)),
+    )
+    barrier = df.select(id_col, F.explode(F.array(sig)).alias("__sig"))
+    return barrier.select(
         id_col,
-        *[F.lower(F.lpad(F.hex(F.col(f"__m{i}")), 8, "0")).alias(f"mh{i}")
+        *[F.when(F.element_at("__sig", i + 1) == "g" * 8, None)
+          .otherwise(F.element_at("__sig", i + 1)).alias(f"mh{i}")
           for i in range(n_hashes)],
     )
 
