@@ -245,17 +245,33 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
                 for b in range(blocks)),
         ),
     )
-    a, b = stacked.alias("a"), stacked.alias("b")
+    # per-bucket member list + in-bucket ordered-pair explosion instead of
+    # a block self-join (r6, the minhash_lsh_pairs treatment): the join
+    # evaluated the whole simhash token-fold pipeline twice — Spark does
+    # not CSE across join sides. sort_array on struct(id, simhash) orders
+    # by id (ids are unique within a bucket), so pairs keep id_a < id_b;
+    # identical pair set, signatures computed once.
+    buckets = (
+        stacked.groupBy("blk_no", "blk")
+        .agg(F.sort_array(F.collect_list(F.struct(
+            F.col(id_col).alias("i"), F.col("simhash").alias("s")
+        ))).alias("__m"))
+        .filter(F.size("__m") > 1)
+    )
+    m = F.col("__m")
+    pair_arr = F.flatten(F.transform(
+        m,
+        lambda x, i: F.transform(
+            F.slice(m, i + 2, F.size(m)),
+            lambda y: F.struct(
+                x["i"].alias("id_a"), y["i"].alias("id_b"),
+                F.bit_count(x["s"].bitwiseXOR(y["s"])).alias("hamming"),
+            ),
+        ),
+    ))
     cand = (
-        a.join(b, ["blk_no", "blk"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
+        buckets.select(F.explode(pair_arr).alias("__p"))
+        .select(F.col("__p.id_a"), F.col("__p.id_b"), F.col("__p.hamming"))
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
