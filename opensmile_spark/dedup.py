@@ -18,11 +18,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from opensmile_spark.exprcache import expr_memo
 
+# Expression construction in this module is py4j-heavy (nested lambda HOFs:
+# the shingle transform, the n_hashes-wide minhash fold, the simhash bit
+# votes) — measured ~1 s per minhash+jaccard query CONSTRUCTION at bench
+# scale, dominating the query's own runtime. The builders below are pure
+# functions of their (string/int) parameters, so their unresolved Columns
+# are memoized via exprcache.expr_memo; no data or results are cached.
+
+
+@expr_memo
 def _tokens(text_col):
     return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
 
 
+@expr_memo
 def _shingles(text_col, k: int):
     toks = _tokens(text_col)
     n = F.size(toks)
@@ -73,8 +84,16 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     # (verified exceptAll-empty both directions at two corpus sizes).
     from opensmile_spark.util import ensure_min_partitions
 
-    n_digests = (n_hashes + 3) // 4
     df = ensure_min_partitions(df)   # md5 map side must not run on 1 split
+    sig, unsentinel = _mh_sig_exprs(id_col, text_col, k_shingle, n_hashes)
+    barrier = df.select(id_col, F.explode(F.array(sig)).alias("__sig"))
+    return barrier.select(id_col, *unsentinel)
+
+
+@expr_memo
+def _mh_sig_exprs(id_col: str, text_col: str, k_shingle: int, n_hashes: int):
+    """(fold signature Column, sentinel-to-NULL output Columns)."""
+    n_digests = (n_hashes + 3) // 4
     digests = F.transform(
         _shingles(text_col, k_shingle),
         lambda s: F.concat(*[F.md5(F.concat(F.lit(f"{d}|"), s))
@@ -89,13 +108,12 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                       for i in range(n_hashes)]),
             lambda a, b: F.least(a, b)),
     )
-    barrier = df.select(id_col, F.explode(F.array(sig)).alias("__sig"))
-    return barrier.select(
-        id_col,
-        *[F.when(F.element_at("__sig", i + 1) == "g" * 8, None)
-          .otherwise(F.element_at("__sig", i + 1)).alias(f"mh{i}")
-          for i in range(n_hashes)],
-    )
+    unsentinel = [
+        F.when(F.element_at("__sig", i + 1) == "g" * 8, None)
+        .otherwise(F.element_at("__sig", i + 1)).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return sig, unsentinel
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -112,6 +130,24 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     groupBy form computes signatures once and emits the identical pair set
     (same buckets, same a < b ordering, same distinct)."""
     sig = minhash_signatures(df, id_col, text_col, k_shingle, n_hashes)
+    band_keys, stack_expr, pair_arr = _lsh_band_exprs(id_col, n_hashes, bands)
+    banded = sig.select(id_col, *band_keys)
+    stacked = banded.selectExpr(id_col, stack_expr)
+    buckets = (
+        stacked.groupBy("band_no", "band_key")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
+        .filter(F.size("__ids") > 1)
+    )
+    return (
+        buckets.select(F.explode(pair_arr).alias("__p"))
+        .select(F.col("__p.id_a"), F.col("__p.id_b"))
+        .distinct()
+    )
+
+
+@expr_memo
+def _lsh_band_exprs(id_col: str, n_hashes: int, bands: int):
+    """(band key Columns, stack expr string, in-bucket pair explosion)."""
     rows_per_band = n_hashes // bands
     band_keys = [
         F.md5(F.concat_ws("|", F.lit(b), *[
@@ -119,18 +155,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         ])).alias(f"band{b}")
         for b in range(bands)
     ]
-    banded = sig.select(id_col, *band_keys)
-    stacked = banded.selectExpr(
-        id_col,
-        "stack({n}, {args}) as (band_no, band_key)".format(
-            n=bands,
-            args=", ".join(f"'{b}', band{b}" for b in range(bands)),
-        ),
-    )
-    buckets = (
-        stacked.groupBy("band_no", "band_key")
-        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
-        .filter(F.size("__ids") > 1)
+    stack_expr = "stack({n}, {args}) as (band_no, band_key)".format(
+        n=bands,
+        args=", ".join(f"'{b}', band{b}" for b in range(bands)),
     )
     ids = F.col("__ids")
     pair_arr = F.flatten(F.transform(
@@ -140,11 +167,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
             lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
         ),
     ))
-    return (
-        buckets.select(F.explode(pair_arr).alias("__p"))
-        .select(F.col("__p.id_a"), F.col("__p.id_b"))
-        .distinct()
-    )
+    return band_keys, stack_expr, pair_arr
 
 
 def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
@@ -197,6 +220,11 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     from opensmile_spark.util import ensure_min_partitions
 
     df = ensure_min_partitions(df)   # per-token hashing must not run on 1 split
+    return df.select(F.col(id_col), _simhash_expr(text_col, bits))
+
+
+@expr_memo
+def _simhash_expr(text_col: str, bits: int):
     toks = F.array_distinct(_tokens(text_col))
     h = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
@@ -223,7 +251,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                    .otherwise(F.lit(0).cast("long"))),
         F.lit(0).cast("long"), lambda a, x: a + x,
     )
-    return df.select(F.col(id_col), sig.alias("simhash"))
+    return sig.alias("simhash")
 
 
 def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
@@ -234,17 +262,8 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
     Hamming d < blocks shares at least one exact block (pigeonhole), so we
     bucket-join per block, then verify exactly with bit_count(xor)."""
     sig = simhash(df, id_col, text_col, bits)
-    bw = bits // blocks
-    mask = (1 << bw) - 1
-    stacked = sig.selectExpr(
-        id_col, "simhash",
-        "stack({n}, {args}) as (blk_no, blk)".format(
-            n=blocks,
-            args=", ".join(
-                f"'{b}', shiftright(simhash, {b * bw}) & {mask}"
-                for b in range(blocks)),
-        ),
-    )
+    stack_expr, pair_arr = _simhash_block_exprs(id_col, bits, blocks)
+    stacked = sig.selectExpr(id_col, "simhash", stack_expr)
     # per-bucket member list + in-bucket ordered-pair explosion instead of
     # a block self-join (r6, the minhash_lsh_pairs treatment): the join
     # evaluated the whole simhash token-fold pipeline twice — Spark does
@@ -258,6 +277,25 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
         ))).alias("__m"))
         .filter(F.size("__m") > 1)
     )
+    cand = (
+        buckets.select(F.explode(pair_arr).alias("__p"))
+        .select(F.col("__p.id_a"), F.col("__p.id_b"), F.col("__p.hamming"))
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
+@expr_memo
+def _simhash_block_exprs(id_col: str, bits: int, blocks: int):
+    """(block stack expr string, in-bucket pair explosion Column)."""
+    bw = bits // blocks
+    mask = (1 << bw) - 1
+    stack_expr = "stack({n}, {args}) as (blk_no, blk)".format(
+        n=blocks,
+        args=", ".join(
+            f"'{b}', shiftright(simhash, {b * bw}) & {mask}"
+            for b in range(blocks)),
+    )
     m = F.col("__m")
     pair_arr = F.flatten(F.transform(
         m,
@@ -269,12 +307,7 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
             ),
         ),
     ))
-    cand = (
-        buckets.select(F.explode(pair_arr).alias("__p"))
-        .select(F.col("__p.id_a"), F.col("__p.id_b"), F.col("__p.hamming"))
-        .distinct()
-    )
-    return cand.filter(F.col("hamming") <= max_hamming)
+    return stack_expr, pair_arr
 
 
 def _exact_cosine_pairs(emb: DataFrame, pairs: DataFrame | None,

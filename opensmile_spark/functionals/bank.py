@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from opensmile_spark.exprcache import expr_memo
 from opensmile_spark.functionals.kernels import compute_all
 
 DEFAULT_FAMILIES = [
@@ -56,6 +57,39 @@ def feature_names(value_cols, families=None, options=None) -> list[str]:
     probe = compute_all(np.arange(1.0, 9.0), families or DEFAULT_FAMILIES,
                         options)
     return [f"{c}_{k}" for c in value_cols for k in probe]
+
+
+@expr_memo
+def _kernel_probe(lane_names: tuple, families: tuple, options):
+    """(feats, probe_keys, batched_fams, loop_fams, key_src) for
+    functionals_kernel — all derived from fixed 8-element compute_all
+    probes, pure in (lane_names, families, options)."""
+    feats = feature_names(list(lane_names), list(families), options)
+    probe_keys = list(compute_all(np.arange(1.0, 9.0), list(families),
+                                  options))
+
+    # families vectorizable ACROSS groups (batched.py); a family stays on
+    # the fast path when all its options are implemented there (equality
+    # pinned by tests/test_batched_kernels.py), else falls back per-group
+    from opensmile_spark.functionals.batched import (
+        BATCHED_FAMILIES, BATCHED_SUPPORTED_OPTIONS,
+    )
+
+    opt = options or {}
+    batched_fams = [
+        f for f in families
+        if f in BATCHED_FAMILIES
+        and set(opt.get(f, {})) <= BATCHED_SUPPORTED_OPTIONS[f]
+    ]
+    loop_fams = [f for f in families if f not in batched_fams]
+    # which probe keys come from which path (first-writer wins like
+    # compute_all's dict: iterate families in order, keep first producer)
+    key_src: dict[str, str] = {}
+    for fam in families:
+        sample = compute_all(np.arange(1.0, 9.0), [fam], options)
+        for k in sample:
+            key_src.setdefault(k, "batched" if fam in batched_fams else "loop")
+    return feats, probe_keys, batched_fams, loop_fams, key_src
 
 
 def functionals_kernel(
@@ -121,8 +155,13 @@ def functionals_kernel(
     lanes = [(c, None) for c in value_cols] + [
         (f"{c}__{op}", (c, op)) for c in value_cols for op in derive]
     lane_names = [ln for ln, _ in lanes]
-    feats = feature_names(lane_names, families, options)
-    probe_keys = list(compute_all(np.arange(1.0, 9.0), families, options))
+    # probe metadata is a pure function of (lanes, families, options) and
+    # costs several compute_all numpy probes per construction — memoized
+    # (exprcache) so repeated query builds skip it
+    feats, probe_keys, batched_fams, loop_fams, key_src = _kernel_probe(
+        tuple(lane_names), tuple(families), options)
+
+    from opensmile_spark.functionals.batched import compute_batched
 
     key_schema = ", ".join(
         f"`{c}` {df.schema[c].dataType.simpleString()}" for c in group_cols
@@ -131,28 +170,7 @@ def functionals_kernel(
         f"`{n}` double" for n in feats
     )
     out_cols = group_cols + ["n_turns"] + feats
-
-    # families vectorizable ACROSS groups (batched.py); a family stays on
-    # the fast path when all its options are implemented there (equality
-    # pinned by tests/test_batched_kernels.py), else falls back per-group
-    from opensmile_spark.functionals.batched import (
-        BATCHED_FAMILIES, BATCHED_SUPPORTED_OPTIONS, compute_batched,
-    )
-
     opt = options or {}
-    batched_fams = [
-        f for f in families
-        if f in BATCHED_FAMILIES
-        and set(opt.get(f, {})) <= BATCHED_SUPPORTED_OPTIONS[f]
-    ]
-    loop_fams = [f for f in families if f not in batched_fams]
-    # which probe keys come from which path (first-writer wins like
-    # compute_all's dict: iterate families in order, keep first producer)
-    key_src: dict[str, str] = {}
-    for fam in families:
-        sample = compute_all(np.arange(1.0, 9.0), [fam], options)
-        for k in sample:
-            key_src.setdefault(k, "batched" if fam in batched_fams else "loop")
 
     def _process_np(arrs: dict) -> dict:
         """Shared numpy core for both engines: column dict in, column dict
@@ -326,20 +344,60 @@ def functionals_sql(
     5 identical buffers per column; the array form computes every requested
     percentile from a single buffer with the same interpolation, so the
     doubles are identical (guide §1.2 per-task work).
+
+    The percentile aggregates run in a SEPARATE groupBy joined back on the
+    group key (r6): `percentile` is TypedImperative, and ONE such function
+    in the aggregate list forces the whole operator into
+    ObjectHashAggregateExec, which does not participate in whole-stage
+    codegen — every declarative sum/moment/extreme in the bank was paying
+    interpreted per-row evaluation for it (~2x the stage, measured:
+    interpreted full agg 1.0 s vs 0.46 s split at sf0.1). Split, the wide
+    declarative aggregate compiles (HashAggregateExec) and the small
+    percentile-only ObjectHashAggregate runs beside it; both sides hang
+    off the SAME window subtree, so the shuffle is shared (ReusedExchange)
+    and the group key join of two already-partitioned aggregates adds no
+    exchange. Aggregation semantics per group are untouched — the same
+    aggregate functions see the same rows — so the doubles are identical.
+
+    Expression construction is memoized (exprcache.expr_memo): the bank's
+    ~160 aggregate/projection Columns cost ~0.7 s of py4j round trips to
+    build — more than executing the query on 100k rows — and are a pure
+    function of (group_cols, value_cols, order_col, percentiles).
     """
     group_cols = list(group_cols)
+    proj_cols, pct_aggs, aggs, final = _fsql_exprs(
+        tuple(group_cols), tuple(value_cols), order_col,
+        tuple(float(p) for p in percentiles))
+    proj = df.select(*proj_cols)
+    decl = proj.groupBy(*group_cols).agg(*aggs)
+    pct = proj.groupBy(*group_cols).agg(*pct_aggs)
+    out = decl.join(pct, group_cols)
+    return out.select(*group_cols, *final)
+
+
+@expr_memo
+def _fsql_exprs(group_cols: tuple, value_cols: tuple, order_col: str,
+                percentiles: tuple):
+    """Unresolved expression lists for functionals_sql (see its docstring):
+    (projection cols, percentile aggs, declarative aggs, final select)."""
     w = Window.partitionBy(*group_cols).orderBy(order_col)
-    proj = df.select(
+    proj_cols = [
         *group_cols,
         *value_cols,
         (F.row_number().over(w) - 1).cast("double").alias("__i"),
-    )
+    ]
 
     pct_list = [0.25, 0.50, 0.75]
     for p in percentiles:
         if float(p) not in pct_list:
             pct_list.append(float(p))
     pidx = {p: i + 1 for i, p in enumerate(pct_list)}   # element_at: 1-based
+
+    pct_aggs = [
+        F.percentile(F.col(c), F.array(*[F.lit(p) for p in pct_list]))
+        .alias(f"__pct_{c}")
+        for c in value_cols
+    ]
 
     aggs = [F.count("*").cast("long").alias("n_turns")]
     final: list = ["n_turns"]
@@ -385,8 +443,6 @@ def functionals_sql(
             (F.max(x) - F.min(x)).alias(f"{c}_range"),
             (F.max(x) - mean).alias(f"{c}_maxameandist"),
             (mean - F.min(x)).alias(f"{c}_minameandist"),
-            F.percentile(x, F.array(*[F.lit(p) for p in pct_list]))
-            .alias(f"__pct_{c}"),
         ]
 
         def _pq(p, _c=c):
@@ -429,5 +485,4 @@ def functionals_sql(
         ]
         final += [f"{c}_linregc1", f"{c}_linregc2"]
 
-    out = proj.groupBy(*group_cols).agg(*aggs)
-    return out.select(*group_cols, *final)
+    return proj_cols, pct_aggs, aggs, final

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from opensmile_spark.exprcache import expr_memo
 from opensmile_spark.util import epoch_seconds
 
 LLD_COLS = [
@@ -58,13 +59,19 @@ def compute_lld(transcripts: DataFrame, keep_text: bool = False) -> DataFrame:
     Single narrow projection + one window (lag) — the lag shuffles by conv_id
     once; everything else stays in whole-stage codegen. At scale the input
     should already be bucketed/partitioned by conv_id so the lag window
-    reuses that distribution.
+    reuses that distribution. The projection Columns are memoized
+    (exprcache): they are parameter-pure and py4j-priced.
     """
+    return transcripts.select(*_lld_cols(keep_text))
+
+
+@expr_memo
+def _lld_cols(keep_text: bool):
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     char_len = F.length("text").cast("double")
 
-    out = transcripts.select(
+    return (
         "conv_id",
         "turn_idx",
         "ts",
@@ -88,4 +95,3 @@ def compute_lld(transcripts: DataFrame, keep_text: bool = False) -> DataFrame:
         ).otherwise(0.0).alias("role_change"),
         F.when(F.col("role") == "tool", 1.0).otherwise(0.0).alias("is_tool"),
     )
-    return out

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from opensmile_spark.exprcache import expr_memo
 from opensmile_spark.util import epoch_seconds
 
 
@@ -65,32 +66,40 @@ def sma(
     """
     if sma_win % 2 == 0:
         sma_win += 1
-    k = sma_win // 2
     suffix = suffix or (f"_sma{sma_win}nz" if no_zero_sma else f"_sma{sma_win}")
-    out = df
-    for c in cols:
-        neighbors = [F.col(c)]
-        for i in range(1, k + 1):
-            neighbors.append(clamped_lag(F.col(c), i, partition_cols, order_col))
-            neighbors.append(clamped_lead(F.col(c), i, partition_cols, order_col))
-        if no_zero_sma:
-            arr = F.array(*neighbors)
-            nzsum = F.aggregate(
-                F.filter(arr, lambda v: v != 0.0),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            nzcnt = F.size(F.filter(arr, lambda v: v != 0.0))
-            smoothed = F.when(F.col(c) == 0.0, F.lit(0.0)).otherwise(
-                nzsum / nzcnt.cast("double")
-            )
-        else:
-            total = neighbors[0]
-            for n in neighbors[1:]:
-                total = total + n
-            smoothed = total / F.lit(float(sma_win))
-        out = out.withColumn(c + suffix, smoothed)
-    return out
+    # ONE withColumns call (a single Project node instead of a chain) with
+    # memoized per-column expressions (exprcache: construction is py4j-
+    # priced and parameter-pure)
+    return df.withColumns({
+        c + suffix: _sma_col(c, sma_win, no_zero_sma,
+                             tuple(partition_cols), order_col)
+        for c in cols
+    })
+
+
+@expr_memo
+def _sma_col(c: str, sma_win: int, no_zero_sma: bool,
+             partition_cols: tuple, order_col: str):
+    k = sma_win // 2
+    neighbors = [F.col(c)]
+    for i in range(1, k + 1):
+        neighbors.append(clamped_lag(F.col(c), i, partition_cols, order_col))
+        neighbors.append(clamped_lead(F.col(c), i, partition_cols, order_col))
+    if no_zero_sma:
+        arr = F.array(*neighbors)
+        nzsum = F.aggregate(
+            F.filter(arr, lambda v: v != 0.0),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        nzcnt = F.size(F.filter(arr, lambda v: v != 0.0))
+        return F.when(F.col(c) == 0.0, F.lit(0.0)).otherwise(
+            nzsum / nzcnt.cast("double")
+        )
+    total = neighbors[0]
+    for n in neighbors[1:]:
+        total = total + n
+    return total / F.lit(float(sma_win))
 
 
 def delta_regression(
@@ -110,30 +119,31 @@ def delta_regression(
     x[n]-x[n-1] (deltaRegression.cpp:148-160). Suffix '_de' per reference
     naming (deltaRegression.cpp nameAppend).
     """
-    out = df
+    return df.withColumns({
+        c + suffix: _delta_col(c, deltawin, abs_output, half_wave_rect,
+                               tuple(partition_cols), order_col)
+        for c in cols
+    })
+
+
+@expr_memo
+def _delta_col(c: str, deltawin: int, abs_output: bool,
+               half_wave_rect: bool, partition_cols: tuple, order_col: str):
     if deltawin > 0:
         norm = 2.0 * sum(i * i for i in range(1, deltawin + 1))
-        for c in cols:
-            num = F.lit(0.0)
-            for i in range(1, deltawin + 1):
-                later = clamped_lead(F.col(c), i, partition_cols, order_col)
-                prior = clamped_lag(F.col(c), i, partition_cols, order_col)
-                num = num + F.lit(float(i)) * (later - prior)
-            d = num / F.lit(norm)
-            if half_wave_rect:
-                d = F.greatest(d, F.lit(0.0))
-            elif abs_output:
-                d = F.abs(d)
-            out = out.withColumn(c + suffix, d)
+        num = F.lit(0.0)
+        for i in range(1, deltawin + 1):
+            later = clamped_lead(F.col(c), i, partition_cols, order_col)
+            prior = clamped_lag(F.col(c), i, partition_cols, order_col)
+            num = num + F.lit(float(i)) * (later - prior)
+        d = num / F.lit(norm)
     else:
-        for c in cols:
-            d = F.col(c) - clamped_lag(F.col(c), 1, partition_cols, order_col)
-            if half_wave_rect:
-                d = F.greatest(d, F.lit(0.0))
-            elif abs_output:
-                d = F.abs(d)
-            out = out.withColumn(c + suffix, d)
-    return out
+        d = F.col(c) - clamped_lag(F.col(c), 1, partition_cols, order_col)
+    if half_wave_rect:
+        d = F.greatest(d, F.lit(0.0))
+    elif abs_output:
+        d = F.abs(d)
+    return d
 
 
 def preemphasis(
