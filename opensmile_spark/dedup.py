@@ -194,6 +194,11 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     cand = df.join(F.broadcast(pair_ids), id_col, "left_semi")
     sh = ensure_min_partitions(cand).select(
         F.col(id_col), _shingles(text_col, k_shingle).alias("sh"))
+    # the verify join reads sh TWICE (id_a and id_b sides) and Spark does
+    # not CSE across join sides — materialize the candidate-bounded
+    # shingle table once (r6 second pass; same discipline as the pair
+    # table above) instead of computing the shingles twice
+    sh = sh.localCheckpoint(eager=True)
     out = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a")
                    .withColumnRenamed("sh", "sh_a"), "id_a")
