@@ -191,8 +191,15 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
         pairs.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
         .distinct()
     )
-    cand = df.join(F.broadcast(pair_ids), id_col, "left_semi")
-    sh = ensure_min_partitions(cand).select(
+    # ensure_min_partitions runs on the BASE table (its partition-count
+    # probe is cached on the caller's long-lived Dataset) rather than on
+    # the per-call semi-join output, whose fresh probe costs a driver-side
+    # physical-planning pass every invocation; the broadcast semi-join
+    # preserves the repartitioned layout, so the shingle map side is
+    # parallel either way
+    cand = ensure_min_partitions(df).join(
+        F.broadcast(pair_ids), id_col, "left_semi")
+    sh = cand.select(
         F.col(id_col), _shingles(text_col, k_shingle).alias("sh"))
     # the verify join reads sh TWICE (id_a and id_b sides) and Spark does
     # not CSE across join sides — materialize the candidate-bounded
