@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from opensmile_spark.exprcache import expr_memo
 from opensmile_spark.functionals.kernels import compute_all
 
 
@@ -94,6 +95,55 @@ def asof_join(
     return out.withColumnRenamed("__t", anchor_ts)
 
 
+@expr_memo
+def _backfill_probe(value_cols: tuple, families: tuple, options,
+                    expanding: bool):
+    """(probe keys, feature names, exp/gather/loop family routing,
+    key->source map) for backfill_functionals — derived from fixed
+    8-element compute_all probes, pure in its arguments."""
+    import numpy as np
+
+    from opensmile_spark.functionals.batched import (
+        BATCHED_FAMILIES, BATCHED_SUPPORTED_OPTIONS, EXPANDING_FAMILIES,
+        EXPANDING_UNSUPPORTED_KEYS,
+    )
+
+    options = options or {}
+    probe = list(compute_all(np.arange(1.0, 9.0), list(families), options))
+    feat_names = [f"{c}_{k}" for c in value_cols for k in probe]
+
+    batched_fams = [
+        f for f in families
+        if f in BATCHED_FAMILIES
+        and set(options.get(f, {})) <= BATCHED_SUPPORTED_OPTIONS[f]
+    ]
+    # sum/central-stat families on EXPANDING windows (no trailing bound)
+    # take the O(N + A) prefix/blocked-Chan path — linear, not O(sum of
+    # window sizes). Routing is per OUTPUT KEY: the two mean-|residual|
+    # regression outputs (EXPANDING_UNSUPPORTED_KEYS) are irreducibly
+    # per-window, so their family additionally joins the bounded gather,
+    # which then fills ONLY those keys.
+    exp_fams = [f for f in batched_fams if f in EXPANDING_FAMILIES] \
+        if expanding else []
+    gather_fams = [f for f in batched_fams if f not in exp_fams]
+    loop_fams = [f for f in families if f not in batched_fams]
+    key_src: dict[str, str] = {}
+    for fam in families:
+        sample = compute_all(np.arange(1.0, 9.0), [fam], options)
+        src = ("exp" if fam in exp_fams else
+               "batched" if fam in batched_fams else "loop")
+        residual = False
+        for k in sample:
+            if src == "exp" and k in EXPANDING_UNSUPPORTED_KEYS:
+                key_src.setdefault(k, "batched")
+                residual = True
+            else:
+                key_src.setdefault(k, src)
+        if residual and fam not in gather_fams:
+            gather_fams.append(fam)
+    return probe, feat_names, exp_fams, gather_fams, loop_fams, key_src
+
+
 def backfill_functionals(
     lld: DataFrame,
     anchors: DataFrame,
@@ -141,8 +191,7 @@ def backfill_functionals(
     import pandas as pd
 
     from opensmile_spark.functionals.batched import (
-        BATCHED_FAMILIES, BATCHED_SUPPORTED_OPTIONS, EXPANDING_FAMILIES,
-        EXPANDING_UNSUPPORTED_KEYS, compute_batched, compute_expanding,
+        compute_batched, compute_expanding,
     )
 
     families = families or ["means", "moments", "extremes", "percentiles",
@@ -150,42 +199,15 @@ def backfill_functionals(
     options = options or {}
     max_gather_elems = 16_000_000  # ~128 MB of float64 gather per block
 
-    probe = list(compute_all(np.arange(1.0, 9.0), families, options))
-    feat_names = [f"{c}_{k}" for c in value_cols for k in probe]
+    # probe metadata is pure in (value_cols, families, options, bounded?)
+    # and costs several numpy compute_all probes — memoized (exprcache)
+    probe, feat_names, exp_fams, gather_fams, loop_fams, key_src = \
+        _backfill_probe(tuple(value_cols), tuple(families), options,
+                        window_seconds is None)
     schema = (
         f"{on} string, {anchor_ts} timestamp, n_visible long, "
         + ", ".join(f"`{n}` double" for n in feat_names)
     )
-
-    batched_fams = [
-        f for f in families
-        if f in BATCHED_FAMILIES
-        and set(options.get(f, {})) <= BATCHED_SUPPORTED_OPTIONS[f]
-    ]
-    # sum/central-stat families on EXPANDING windows (no trailing bound)
-    # take the O(N + A) prefix/blocked-Chan path — linear, not O(sum of
-    # window sizes). Routing is per OUTPUT KEY: the two mean-|residual|
-    # regression outputs (EXPANDING_UNSUPPORTED_KEYS) are irreducibly
-    # per-window, so their family additionally joins the bounded gather,
-    # which then fills ONLY those keys.
-    exp_fams = [f for f in batched_fams if f in EXPANDING_FAMILIES] \
-        if window_seconds is None else []
-    gather_fams = [f for f in batched_fams if f not in exp_fams]
-    loop_fams = [f for f in families if f not in batched_fams]
-    key_src: dict[str, str] = {}
-    for fam in families:
-        sample = compute_all(np.arange(1.0, 9.0), [fam], options)
-        src = ("exp" if fam in exp_fams else
-               "batched" if fam in batched_fams else "loop")
-        residual = False
-        for k in sample:
-            if src == "exp" and k in EXPANDING_UNSUPPORTED_KEYS:
-                key_src.setdefault(k, "batched")
-                residual = True
-            else:
-                key_src.setdefault(k, src)
-        if residual and fam not in gather_fams:
-            gather_fams.append(fam)
 
     def _one_conv(ts_vals, col_arrays, anchor_vals):
         """Per-conversation math — unchanged from the r5 cogroup
