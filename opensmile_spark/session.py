@@ -53,6 +53,15 @@ def get_spark(
         # aggregate stage, measured). 1000 keeps reference-width banks
         # codegen'd; oversized generated methods still fall back safely.
         .config("spark.sql.codegen.maxFields", "1000")
+        # the JVM-wide cache of COMPILED generated classes defaults to 100
+        # entries — fewer than the distinct codegen units a multi-operator
+        # engine cycles through (the 10-stage pipeline suite alone
+        # overflows it), so steady-state runs were paying janino
+        # recompilation of evicted classes on every query (~28% of the
+        # whole suite, measured: 6.9 -> 5.0 s repeated A/B). Sized by the
+        # operator working set, not by data volume or core count; worst
+        # case cost is tens of KB of bytecode per cached class.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # one BLAS/OpenMP thread per python worker: each worker owns one
