@@ -222,6 +222,11 @@ def _two_pass_stats(cols, starts, sizes, names, m34, pairs):
     return st
 
 
+# below this n*A product the dense (A, n) path beats the coarse-matrix
+# machinery's fixed cost; tests monkeypatch it to force either path
+_SELECT_DENSE_CUTOFF = 32768
+
+
 def _expanding_select(x, his, targets, B=_CHAN_B, W=256, chunk=8192):
     """Exact order statistics over prefixes: for every anchor a, the
     targets[j][a]-th smallest (1-based) element of x[0:his[a]] — the
@@ -234,8 +239,33 @@ def _expanding_select(x, his, targets, B=_CHAN_B, W=256, chunk=8192):
     a two-level select per target: coarse bucket via monotone count
     comparison, then the exact member inside the <=W-wide bucket via a
     masked cumulative count over `order`. O(N + A*(B + N/W + W)) work —
-    linear like the Chan path, never the O(sum of window sizes) gather."""
+    linear like the Chan path, never the O(sum of window sizes) gather.
+
+    Small inputs take a dense path (r6): the coarse-matrix machinery has
+    ~2 ms of fixed per-call cost, which dominated point-in-time backfills
+    over SHORT conversations (the per-conv kernel calls this once per
+    conversation). For n*A below the cutoff, a dense (A, n) in-window
+    cumulative count over the SAME stable ranks selects the same
+    elements — selection never performs a float operation, and both
+    paths order ties by original index (stable argsort), so the returned
+    bits are identical by construction (pinned by
+    tests/test_batched_kernels.py::test_expanding_select_dense_matches)."""
     n = x.size
+    his_arr = np.asarray(his, dtype=np.int64)
+    if n * his_arr.size <= _SELECT_DENSE_CUTOFF:
+        order = np.argsort(x, kind="stable")
+        sorted_vals = x[order]
+        valid = order[None, :] < his_arr[:, None]
+        cum = np.cumsum(valid, axis=1)
+        outs = []
+        for tgt in targets:
+            t = np.asarray(tgt, dtype=np.int64)
+            # first sorted position whose in-window count reaches t — that
+            # position is in-window (the count increments only there), so
+            # it IS the t-th smallest element of x[0:h]
+            j_star = (cum < t[:, None]).sum(axis=1)
+            outs.append(sorted_vals[j_star])
+        return outs
     order = np.argsort(x, kind="stable")          # rank -> index
     sorted_vals = x[order]
     g = np.empty(n, dtype=np.int64)               # index -> rank

@@ -530,3 +530,40 @@ def test_lsp_formants_companion_eigvals_match_roots(fams, opts):
                 assert np.isclose(got, v, rtol=1e-9, atol=1e-12), (
                     f"group {gi} (n={e - s}) fams={fams} {k}: "
                     f"batched={got} pergroup={v}")
+
+
+def test_expanding_select_dense_matches(monkeypatch):
+    """The r6 dense small-input path of _expanding_select must return the
+    SAME BITS as the coarse-matrix machinery (both select elements via
+    stable ranks; selection performs no float op) — adversarial ties,
+    -0.0/0.0 mixes, and NaN included, since the driver's byte hash
+    distinguishes -0.0 from 0.0."""
+    from opensmile_spark.functionals import batched
+
+    rng = np.random.RandomState(23)
+    for n in (1, 2, 7, 66, 250):
+        cases = [rng.rand(n)]
+        tie = np.repeat(rng.rand(max(1, n // 4)), 4)[:n].copy()
+        cases.append(tie)
+        z = rng.rand(n).copy()
+        z[::3] = 0.0
+        z[1::4] = -0.0
+        cases.append(z)
+        nanx = rng.rand(n).copy()
+        nanx[::5] = np.nan
+        cases.append(nanx)
+        for x in cases:
+            his = np.arange(1, x.size + 1, dtype=np.int64)
+            targets = []
+            for p in (0.25, 0.5, 0.75, 0.2, 0.8):
+                idxf = p * (his.astype(float) - 1.0)
+                targets.append(
+                    np.clip(np.floor(idxf).astype(np.int64), 0, his - 1) + 1)
+                targets.append(
+                    np.clip(np.ceil(idxf).astype(np.int64), 0, his - 1) + 1)
+            monkeypatch.setattr(batched, "_SELECT_DENSE_CUTOFF", 1 << 60)
+            dense = batched._expanding_select(x, his, targets)
+            monkeypatch.setattr(batched, "_SELECT_DENSE_CUTOFF", -1)
+            machinery = batched._expanding_select(x, his, targets)
+            for d, m in zip(dense, machinery):
+                assert d.tobytes() == m.tobytes(), (n, x[:8])
